@@ -1,0 +1,76 @@
+"""Headline benchmark. Runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Execution is measured with the noop sink (full plan runs, results are not
+shipped to the driver), best-of-2 per query after a session warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gvcf_hbase_spark.registry import load_all
+from gvcf_hbase_spark.session import get_spark
+
+# Headline set: one representative per operator family; filtered to what
+# the registry currently implements so bench stays runnable mid-build.
+HEADLINE = [
+    "scan_range_key",
+    "agg_group",
+    "agg_grouping_sets",
+    "join_broadcast",
+    "join_shuffle",
+    "join_asof",
+    "win_topk_group",
+    "win_carry_forward",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "sim_knn_topk",
+    "text_tfidf",
+    "stream_tumbling",
+]
+
+
+def run_once(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    specs = load_all()
+    keys = [k for k in HEADLINE if k in specs]
+
+    spark = get_spark("gvcf-hbase-spark-bench")
+    # Warm up the JVM / parquet footer caches off the clock.
+    specs["agg_group"].fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for k in keys:
+        best = min(run_once(specs[k].fn(spark, sf_dir)) for _ in range(2))
+        times[k] = round(best, 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

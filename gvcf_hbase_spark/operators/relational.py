@@ -1,0 +1,460 @@
+"""Relational core: scans, projections, filters, aggregations, sorts.
+
+Reference parity (SURVEY §2A; upstream recollection — local reference
+checkout was empty):
+- A6 range scan  -> ``scan_range_key``: Catalyst pushes the predicate to
+  Parquet row-group min/max stats, the columnar analog of an HBase
+  start/stop-row scan.
+- A7 column projection -> ``scan_project``: ColumnPruning reaches the
+  Parquet reader (ReadSchema shows only the selected columns).
+- A8 predicate filter (variant-sites-only) -> ``filter_variant_sites``.
+- Aggregations/sorts are new surface (the reference is a storage PoC).
+
+Scale notes (100 TB):
+- Every aggregation here is a hash aggregate with partial (map-side) +
+  final (reduce-side) phases — Spark plans this automatically, so the
+  shuffle carries one row per (partition, group), not per input row.
+- Scans push filters + projections into the Parquet reader; nothing below
+  materializes an unpruned table.
+- No collect()/driver loops anywhere; results stay distributed until the
+  harness collects them.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.sources.tables import load_table
+
+
+def _ts(s: str):
+    """timestamp_ntz literal (fixture ms-timestamps read as timestamp_ntz)."""
+    return F.lit(s).cast("timestamp_ntz")
+
+
+# ---------------------------------------------------------------------------
+# 2B.1 Scans / sources
+# ---------------------------------------------------------------------------
+
+
+@register("scan_full", oracle="SELECT * FROM lineitem", tags=("scan",))
+def scan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table scan, schema fidelity check."""
+    return load_table(spark, sf_dir, "lineitem")
+
+
+@register(
+    "scan_project",
+    oracle="SELECT l_orderkey, l_quantity FROM lineitem",
+    tags=("scan",),
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning: ReadSchema must contain only these two columns."""
+    return load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+
+@register(
+    "scan_range_key",
+    oracle="""
+    SELECT * FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
+    """,
+    tags=("scan",),
+)
+def scan_range_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 analog: range scan on the sort key -> Parquet row-group skipping."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate").between(_ts("1996-01-01"), _ts("1996-03-31")))
+
+
+@register(
+    "scan_events_ns",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts_us, user_id, event_type, value
+    FROM events
+    """,
+    tags=("scan", "events"),
+)
+def scan_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ns-timestamp ingestion (SURVEY §1.2): nanosAsLong + integer div 1000.
+    Both sides truncate ns->µs (DuckDB CAST probe-verified to truncate)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", "ts_us", "user_id", "event_type", "value")
+
+
+@register(
+    "source_json_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k2
+    FROM events
+    """,
+    tags=("scan", "json"),
+)
+def source_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string ingestion via from_json (schema-on-read, JVM-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        (parsed.getField("k") * 2).alias("k2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2B.2 Projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "project_expr",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem
+    """,
+    tags=("project",),
+)
+def project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed columns. Identical IEEE expression trees on both sides, so
+    no rounding is needed (per-row arithmetic is order-independent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rev.alias("revenue"),
+        (rev * (1 + F.col("l_tax"))).alias("charge"),
+    )
+
+
+@register(
+    "filter_conj",
+    oracle="""
+    SELECT * FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_totalprice BETWEEN 50000 AND 200000
+      AND (o_orderpriority LIKE '1-%' OR o_orderpriority IN ('2-HIGH', '3-MEDIUM'))
+      AND o_orderdate IS NOT NULL
+    """,
+    tags=("filter",),
+)
+def filter_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound AND/OR/LIKE/IN/BETWEEN/IS NULL predicate -> single pushed
+    filter (PushedFilters in the scan node)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "O")
+        & F.col("o_totalprice").between(50000, 200000)
+        & (F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").isin("2-HIGH", "3-MEDIUM"))
+        & F.col("o_orderdate").isNotNull()
+    )
+
+
+@register(
+    "filter_variant_sites",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts_us, user_id, event_type, value
+    FROM events WHERE event_type <> 'view'
+    """,
+    tags=("filter", "events"),
+)
+def filter_variant_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 analog: drop 'reference-only' rows (here: drop passive 'view'
+    events), keeping only 'variant' rows — the onlyVariants flag of the
+    reference's scan pipeline re-expressed as a pushed predicate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") != "view").select(
+        "event_id", "ts_us", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "distinct_rows",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    tags=("filter",),
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate elimination -> hash aggregate on all columns (partial+final,
+    so the shuffle carries only distinct pairs)."""
+    return load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# ---------------------------------------------------------------------------
+# 2B.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_global",
+    oracle="""
+    SELECT count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-group) aggregate -> partial per partition + single final."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "agg_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP (TPC-H Q1-style pricing summary; also entry()).
+
+    Plan shape at any scale: pushed date filter -> partial hash agg (map
+    side, one row per partition×6 groups) -> tiny shuffle -> final agg.
+    The shuffle is O(partitions), independent of table size — this is the
+    plan that survives 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= _ts("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS cust_cnt,
+           count(DISTINCT o_orderpriority) AS prio_cnt,
+           count(*) AS cnt
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregate (Spark expands to a two-phase plan)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("cust_cnt"),
+        F.countDistinct("o_orderpriority").alias("prio_cnt"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ cardinality. No oracle (sketches differ across engines —
+    SURVEY §5.4 rule 7); tests assert within 5% of exact instead."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_cust_cnt")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup (grouping sets family). Group keys are non-null in the
+    fixture, so the NULLs in the output unambiguously mark subtotal rows."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS std_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates; rounded so one-pass-algorithm differences
+    between engines (~1e-10 relative) can't flip the hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (F.percentile <-> quantile_cont,
+    both linear-interpolating — probe-verified same results)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 4).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", 0.9), 4).alias("p90_qty"),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT o_orderstatus,
+           list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS prios,
+           count(*) AS cnt
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List/set aggregation. Always sorted (sort_array) so the
+    order-insensitive-but-hashable contract holds (SURVEY §5.4 rule 3)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("prios"),
+        F.count("*").alias("cnt"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS "view"
+    FROM events GROUP BY 1
+    """,
+    tags=("agg", "events"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot day × event_type. Explicit value list -> single-pass pivot
+    (no extra distinct-values job — that matters at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.to_date("ts_us").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return out.na.fill(0, subset=_EVENT_TYPES)
+
+
+# ---------------------------------------------------------------------------
+# 2B.6 Sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_multi",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    tags=("sort",),
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key mixed-direction sort; o_orderkey is the unique tiebreaker
+    that makes the LIMIT deterministic (SURVEY §5.4 rule 2)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(F.col("o_orderstatus").asc(), F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "topk_global",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 50
+    """,
+    tags=("sort",),
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k -> TakeOrderedAndProject (each partition keeps k rows,
+    driver merges k×partitions — no full sort, scales to any table size)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 50 OFFSET 100
+    """,
+    tags=("sort",),
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination over a total order (o_orderkey is unique)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").orderBy("o_orderkey").offset(100).limit(50)

@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+Centralizes the configs every query in this engine depends on:
+
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the ``events`` fixture has
+  a TIMESTAMP(NANOS) column that Spark 4.1.2 rejects by default
+  ([PARQUET_TYPE_ILLEGAL]); with this flag it reads as ``long`` nanoseconds
+  and ``sources.tables`` converts to a µs timestamp column (SURVEY §1.2).
+- UTC session timezone — deterministic timestamp arithmetic vs the DuckDB
+  oracle.
+- AQE on (skew-join splitting, partition coalescing, broadcast switch) —
+  the runtime half of the 100 TB design (SURVEY §4).
+- Arrow for pandas UDF exchange.
+
+At 100 TB the same builder runs against a real cluster master; nothing here
+is local-mode-specific except the default master string.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that are safe (and required) to apply to an externally provided
+# session at runtime — all of these are runtime-settable SQLConfs.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events/documents/embeddings are small dims at every SF; lineitem at
+    # 100 TB shuffles on 32-ish partitions locally, cluster-sized via AQE.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an existing session (e.g. the
+    driver-harness session, which we don't construct). Best-effort: a conf
+    that became static in a future Spark just logs and is skipped."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static conf on other versions
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "gvcf-hbase-spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the engine session. Tests and bench.py use this;
+    the driver harness passes its own session, which goes through
+    :func:`apply_runtime_confs` inside the table loader instead."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)

@@ -1,0 +1,98 @@
+"""Simulate a driver verify round end-to-end, through the public contract.
+
+Builds a *plain* SparkSession (no engine configs — exactly what the driver
+harness does), then:
+  t1: entry(spark) -> rows > 0
+  t2: every queries()[k] at sf0.01 vs oracle_sql()[k] via DuckDB
+      (row-count + sorted-column schema + order-insensitive values)
+
+Prints one JSON line per query plus a summary. Exit 0 iff everything
+matches. Usage:  python scripts/driver_mirror.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as contract
+    from gvcf_hbase_spark.sources.tables import TABLES
+    from tests.conftest import canon_rows
+
+    # Plain session, like the driver's: no engine confs at build time.
+    spark = (
+        SparkSession.builder.appName("driver-mirror")
+        .master("local[32]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    results: dict[str, str] = {}
+
+    # t1 smoke
+    try:
+        n = contract.entry(spark).count()
+        results["__entry__"] = "ok" if n > 0 else "FAIL: 0 rows"
+    except Exception as e:
+        results["__entry__"] = f"FAIL: {e}"
+
+    qs = contract.queries()
+    oracles = contract.oracle_sql()
+    t0 = time.perf_counter()
+    for key in sorted(qs):
+        try:
+            df = qs[key](spark, sf_dir)
+            if key not in oracles:
+                cnt = df.count()
+                results[key] = f"rows-only: {cnt}"
+                continue
+            s_cols, s_rows = canon_rows(df.toPandas())
+            o_cols, o_rows = canon_rows(con.execute(oracles[key]).df())
+            if s_cols != o_cols:
+                results[key] = f"FAIL schema: spark={s_cols} oracle={o_cols}"
+            elif len(s_rows) != len(o_rows):
+                results[key] = f"FAIL rows: spark={len(s_rows)} oracle={len(o_rows)}"
+            elif s_rows != o_rows:
+                bad = next(i for i, (s, o) in enumerate(zip(s_rows, o_rows)) if s != o)
+                results[key] = f"FAIL values @sortedrow {bad}: spark={s_rows[bad]} oracle={o_rows[bad]}"
+            else:
+                results[key] = "match"
+        except Exception as e:
+            results[key] = f"FAIL exec: {type(e).__name__}: {str(e)[:200]}"
+            traceback.print_exc(limit=2, file=sys.stderr)
+
+    fails = {k: v for k, v in results.items() if v.startswith("FAIL")}
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "total": len(qs),
+                "match": sum(1 for v in results.values() if v == "match"),
+                "rows_only": sum(1 for v in results.values() if v.startswith("rows-only")),
+                "fails": fails,
+                "wall_s": round(time.perf_counter() - t0, 2),
+            },
+            indent=None,
+        )
+    )
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
