@@ -1,1 +1,311 @@
-"""Placeholder — filled in by a later milestone (SURVEY §7.1)."""
+"""Join family (SURVEY §2B.3).
+
+Reference parity: the reference's only "join" is the per-position combine
+(SURVEY §2A A9) — aligning each sample's open gVCF record at every
+position, i.e. a positional as-of/interval alignment across samples. That
+semantic is carried here by ``join_asof`` / ``join_interval`` (and the
+window twins in operators/windows.py); the rest of the family is the
+relational surface a full engine needs.
+
+Scale notes (100 TB):
+- Dimension joins broadcast explicitly (``F.broadcast``) — nation/region
+  size is O(100) rows at any scale factor; never shuffle the fact table
+  for them.
+- Fact-fact joins are shuffle (sort-merge) joins on the join key; AQE
+  handles skew splitting and converts to broadcast when a runtime side
+  turns out small.
+- The as-of join is a composition: equi-join on the partition key +
+  per-key window top-1. The shuffle is on the equi key (user), so it
+  scales horizontally; no cross-partition state is needed — the same
+  property the reference engineered with fixed-boundary block splits.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Reusable operator: as-of join (Spark has no native one)
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the single right row with the greatest
+    ``right_ts`` <= ``left_ts`` (direction='backward'; 'forward' mirrors).
+
+    Implementation: equi-join on ``on`` + range predicate, then a window
+    ``row_number() == 1`` per left row. The shuffle is on the equi keys, so
+    the plan scales with the number of keys; within a key the window sort
+    is the per-key event count. For very hot keys, pre-bucketing both
+    sides on ``on`` removes the shuffle entirely.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lcol, rcol = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    if direction == "backward":
+        cond = rcol < lcol if strict else rcol <= lcol
+        order = rcol.desc()
+    elif direction == "forward":
+        cond = rcol > lcol if strict else rcol >= lcol
+        order = rcol.asc()
+    else:
+        raise ValueError(f"unknown direction: {direction}")
+    for k in keys:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+
+    l, r = left.alias("l"), right.alias("r")
+    joined = l.join(r, cond, "inner")
+    w = Window.partitionBy(*[F.col(f"l.{c}") for c in left.columns]).orderBy(order)
+    return joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# queries() entries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+    tags=("join",),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dim equi-join chain with explicit broadcast: the fact side
+    never shuffles (BroadcastHashJoin at every scale)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "join_shuffle",
+    oracle="""
+    SELECT o_orderkey, l_linenumber, o_totalprice, l_extendedprice
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    """,
+    tags=("join",),
+)
+def join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join. Written declaratively: at bench SF Spark may
+    still broadcast the smaller side; at 100 TB the same plan becomes a
+    sort-merge join on o_orderkey with AQE skew handling. The SMJ path is
+    asserted separately in tests with broadcast disabled."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey", "l_linenumber", "o_totalprice", "l_extendedprice"
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    tags=("join",),
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join; customers without orders null-extend."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("join",),
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (mirror of left; Spark plans both sides)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders),
+         b AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000)
+    SELECT a.o_custkey, b.c_custkey, b.c_acctbal
+    FROM a FULL JOIN b ON a.o_custkey = b.c_custkey
+    """,
+    tags=("join",),
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with null extension on both sides (partial overlap
+    by construction)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = o.select("o_custkey").distinct()
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_acctbal")
+    return a.join(b, a.o_custkey == b.c_custkey, "full").select(
+        "o_custkey", "c_custkey", "c_acctbal"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence (left semi): output carries only left columns, right side
+    short-circuits after first match — cheaper than join+distinct."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-existence (left anti): customers with no orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region
+    CROSS JOIN (SELECT n_name FROM nation WHERE n_regionkey < 2) sub
+    """,
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (bounded inputs only; a guard-railed operator —
+    Spark requires explicit crossJoin)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    sub = n.filter(F.col("n_regionkey") < 2).select("n_name")
+    return r.select("r_name").crossJoin(sub)
+
+
+@register(
+    "join_theta",
+    oracle="""
+    SELECT e1.event_id AS click_id, e2.event_id AS purchase_id, e1.user_id
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e1.event_type = 'click' AND e2.event_type = 'purchase'
+     AND epoch_us(e2.ts) > epoch_us(e1.ts)
+     AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 3600000000
+    """,
+    tags=("join", "events"),
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (theta) join: purchases within 1h after a click, same user.
+    The equi component (user_id) keeps this a hash/SMJ join with a range
+    residual — NOT a nested-loop — so it scales with per-user density.
+    Comparisons at µs granularity on both engines (DuckDB reads the ns
+    parquet column µs-truncated — probe-verified)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us_long", F.expr("ts div 1000"))
+    e1 = ev.filter(F.col("event_type") == "click").alias("e1")
+    e2 = ev.filter(F.col("event_type") == "purchase").alias("e2")
+    hour_us = 3_600_000_000
+    return e1.join(
+        e2,
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts_us_long") > F.col("e1.ts_us_long"))
+        & (F.col("e2.ts_us_long") <= F.col("e1.ts_us_long") + hour_us),
+    ).select(
+        F.col("e1.event_id").alias("click_id"),
+        F.col("e2.event_id").alias("purchase_id"),
+        F.col("e1.user_id").alias("user_id"),
+    )
+
+
+@register(
+    "join_interval",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, o_orderdate, l_shipdate
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+    """,
+    tags=("join", "gvcf"),
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9-descended interval join: rows matched while falling inside a
+    date interval — the relational form of 'position inside an open gVCF
+    block'. Equi key + interval residual, same scaling as join_theta."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+    ).select("l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us, epoch_us(s.ts) AS signup_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    tags=("join", "gvcf"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9-descended as-of join: each purchase matched to the latest prior
+    (or same-instant) signup of the same user — exactly the reference's
+    'which block is open at this position' lookup, per sample. Built on
+    the generic :func:`asof_join` operator."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us_long", F.expr("ts div 1000"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us_long"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts_us_long")
+    out = asof_join(purchases, signups, on="user_id", left_ts="ts_us_long", right_ts="ts_us_long")
+    return out.select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts_us_long").alias("purchase_ts_us"),
+        F.col("r.ts_us_long").alias("signup_ts_us"),
+    )

@@ -1,1 +1,227 @@
-"""Placeholder — filled in by a later milestone (SURVEY §7.1)."""
+"""Scalar function surface (SURVEY §2B.8): string / date / math / case /
+array / json / hash expression families.
+
+All JVM-side built-ins (pyspark.sql.functions) — these stay inside
+WholeStageCodegen, no Python boundary crossing; at 100 TB this is the
+difference between wire-speed projection and a 10-100× Python UDF tax.
+
+Cross-engine gotchas handled here (probe-verified):
+- Spark ceil/floor(double) -> BIGINT, DuckDB -> DOUBLE: cast explicitly.
+- DuckDB SUM(int)/list_aggregate 'sum' -> DECIMAL128: CAST AS BIGINT.
+- Regex patterns kept POSIX-simple so both dialects agree.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.sources.tables import load_table
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           substr(p_name, 1, 8) AS name_prefix,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_first_word,
+           regexp_replace(p_name, ' ', '_') AS name_snake,
+           levenshtein(p_brand, 'Brand#1') AS brand_dist,
+           trim(p_name) AS name_trim
+    FROM part
+    """,
+    tags=("fn",),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_first_word"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).alias("brand_dist"),
+        F.trim("p_name").alias("name_trim"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS o_year,
+           month(o_orderdate) AS o_month,
+           day(o_orderdate) AS o_day,
+           date_trunc('month', o_orderdate) AS month_start,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus_30d,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    """,
+    tags=("fn",),
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family (timestamp_ntz column; date casts keep
+    both engines at the same granularity)."""
+    o = load_table(spark, sf_dir, "orders")
+    odate = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(odate, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
+        F.date_add(odate, 30).alias("plus_30d"),
+        F.last_day(odate).alias("month_end"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT c_custkey,
+           round(c_acctbal, 1) AS bal_round,
+           abs(c_acctbal) AS bal_abs,
+           CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
+           CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+           round(ln(abs(c_acctbal) + 1), 9) AS bal_ln,
+           round(log10(abs(c_acctbal) + 1), 9) AS bal_log10,
+           pow(c_acctbal, 2) AS bal_sq,
+           CAST(sign(c_acctbal) AS INT) AS bal_sign,
+           c_custkey % 7 AS key_mod,
+           greatest(c_acctbal, 0.0) AS bal_pos,
+           least(c_acctbal, 0.0) AS bal_neg
+    FROM customer
+    """,
+    tags=("fn",),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family. ceil/floor cast to BIGINT on both sides
+    (Spark returns BIGINT, DuckDB DOUBLE — probe-verified)."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.round(bal, 1).alias("bal_round"),
+        F.abs(bal).alias("bal_abs"),
+        F.ceil(bal).cast("bigint").alias("bal_ceil"),
+        F.floor(bal).cast("bigint").alias("bal_floor"),
+        # transcendentals: libm last-ulp differences across engines -> round
+        F.round(F.log(F.abs(bal) + 1), 9).alias("bal_ln"),
+        F.round(F.log10(F.abs(bal) + 1), 9).alias("bal_log10"),
+        F.pow(bal, 2).alias("bal_sq"),
+        F.signum(bal).cast("int").alias("bal_sign"),
+        (F.col("c_custkey") % 7).alias("key_mod"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_pos"),
+        F.least(bal, F.lit(0.0)).alias("bal_neg"),
+    )
+
+
+@register(
+    "fn_case_null",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_bucket,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           CASE WHEN c_nationkey % 2 = 0 THEN NULL ELSE c_nationkey END AS odd_nation
+    FROM customer
+    """,
+    tags=("fn",),
+)
+def fn_case_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif family."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.when(F.col("c_nationkey") % 2 == 0, F.lit(None).cast("int"))
+        .otherwise(F.col("c_nationkey"))
+        .alias("odd_nation"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           list_contains(string_split(text, ' '), 'the') AS has_the,
+           list_sort(string_split(text, ' '))[1:3] AS first3_sorted,
+           CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum') AS BIGINT) AS total_token_chars
+    FROM documents
+    """,
+    tags=("fn", "array"),
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order function family (transform/aggregate — the
+    same machinery the vector ops in §2B.9 use for dot products)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.slice(F.sort_array(toks), 1, 3).alias("first3_sorted"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        .cast("bigint")
+        .alias("total_token_chars"),
+    )
+
+
+@register(
+    "fn_map_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket
+    FROM events
+    """,
+    tags=("fn", "json"),
+)
+def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path access (get_json_object — JVM-side, no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_id", k.alias("k"), (k % 10).alias("k_bucket"))
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256
+    FROM documents
+    """,
+    tags=("fn", "hash"),
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic fingerprints (the dedup building block). Engine-
+    portable md5/sha256 only — Spark's xxhash64/hash are Spark-specific
+    and never appear in oracle-checked output (SURVEY §2B.8)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+    )
