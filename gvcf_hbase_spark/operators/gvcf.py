@@ -1,0 +1,102 @@
+"""gVCF block semantics as first-class engine operators (SURVEY §2A).
+
+The reference's core query (A9, `GVCFHBase.scan` — upstream recollection;
+local reference checkout was empty) is a stateful pass over key-ordered
+HBase rows: maintain each sample's open record (variant or reference
+block), and at each position emit the aligned tuple of every sample's
+record covering that position. Correctness across parallel scan partitions
+is engineered by writing each block once per fixed-size key range it
+overlaps (A4), so a partition never needs state from its left neighbor.
+
+Spark-first re-expression — no custom partition-local state at all:
+
+- :func:`expand_blocks` densifies ``[start, end]`` intervals to positions
+  (explode(sequence)); the shuffle then realigns by position, which is
+  what makes cross-partition blocks a non-problem here.
+- :func:`carry_forward` is the sparse alternative: last-non-null window —
+  a block's value persists until the next record of the same sample.
+- :func:`combine_positions` is the full A9: per-position sample→value map,
+  optionally variant-sites-only (A8's onlyVariants flag).
+
+Scale: expansion multiplies rows by mean block length; for long blocks
+prefer carry_forward / interval joins (operators/joins.py) which stay
+sparse. All three shuffle once on (contig, pos[-range]) or (sample) keys.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def expand_blocks(
+    df: DataFrame, start: str = "start", end: str = "end", pos_col: str = "pos"
+) -> DataFrame:
+    """One row per position covered by each ``[start, end]`` interval
+    (inclusive both ends, like gVCF blocks)."""
+    return df.withColumn(pos_col, F.explode(F.sequence(F.col(start), F.col(end))))
+
+
+def carry_forward(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Last non-null ``value_col`` so far, per partition in order — the
+    open-block lookup. ``order_cols`` must include a unique tiebreaker."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out_col or f"{value_col}_carried", F.last(value_col, ignorenulls=True).over(w)
+    )
+
+
+def combine_positions(
+    intervals: DataFrame,
+    contig_col: str = "contig",
+    start: str = "start",
+    end: str = "end",
+    sample_col: str = "sample_id",
+    value_col: str = "value",
+    variant_col: str | None = None,
+    only_variant_sites: bool = False,
+) -> DataFrame:
+    """A9: per-position combine across samples.
+
+    Input: one row per record ``(contig, start, end, sample_id, value[,
+    is_variant])`` — variants have start == end, reference blocks span.
+    Output: ``(contig, pos, samples: map<sample_id, value>, n_samples)``,
+    one row per covered position, each map holding every sample whose
+    record covers that position (deterministically sorted entries).
+
+    With ``only_variant_sites`` (A8), keep only positions where at least
+    one sample's covering record is a variant — but still report *all*
+    samples' records at those positions, which is exactly the per-position
+    alignment the reference scans for.
+    """
+    pos = expand_blocks(intervals, start=start, end=end)
+    is_var = (
+        F.max(F.col(variant_col).cast("int")).alias("__any_variant")
+        if variant_col
+        else F.lit(None).alias("__any_variant")
+    )
+    combined = (
+        pos.groupBy(contig_col, "pos")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct(F.col(sample_col), F.col(value_col))))
+            ).alias("samples"),
+            F.count(sample_col).alias("n_samples"),
+            is_var,
+        )
+    )
+    if only_variant_sites:
+        if not variant_col:
+            raise ValueError("only_variant_sites requires variant_col")
+        combined = combined.filter(F.col("__any_variant") == 1)
+    return combined.drop("__any_variant")

@@ -285,7 +285,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §5.4 rule 7); tests assert within 5% of exact instead."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_cust_cnt")
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_cust_cnt")
     )
 
 

@@ -1,1 +1,234 @@
-"""Placeholder — filled in by a later milestone (SURVEY §7.1)."""
+"""Window functions (SURVEY §2B.5) — including the two operators that carry
+the reference's gVCF block semantics (SURVEY §2A A4/A9):
+
+- ``win_carry_forward``: a gVCF reference block's value applies at every
+  position until the next record — 'last non-null value so far' per
+  partition in order. The reference implements this as partition-local
+  iterator state over key-ordered HBase cells; here it is one window
+  expression, and Spark's shuffle guarantees partition-completeness (the
+  property the reference had to engineer with fixed-boundary block splits).
+- ``win_expand_blocks``: expand ``[start, end]`` interval rows to one row
+  per position (explode(sequence(...))) — the dense-alignment half of the
+  reference's per-position combine.
+
+Ordering discipline: every window ORDER BY carries a unique tiebreaker
+(event_id / o_orderkey), and event-time ordering uses µs-truncated longs so
+both engines sort identically (DuckDB reads the ns column µs-truncated).
+
+Scale notes (100 TB): windows shuffle once on partitionBy keys; within a
+key the sort is per-key cardinality. Running/frame aggregates are O(1) per
+row. Skewed partition keys are the one hazard — mitigate upstream with
+key salting or pre-bucketed layout (plans/layout.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.sources.tables import load_table
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").withColumn("ts_us_long", F.expr("ts div 1000"))
+
+
+@register(
+    "win_rank",
+    oracle="""
+    SELECT event_id, user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_type, event_id) AS rn,
+           rank()       OVER (PARTITION BY user_id ORDER BY event_type) AS rnk,
+           dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS drnk
+    FROM events
+    """,
+    tags=("window",),
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank. event_type has heavy ties, so rank vs
+    dense_rank genuinely diverge; row_number adds the unique tiebreaker."""
+    ev = _events_us(spark, sf_dir)
+    w_tie = Window.partitionBy("user_id").orderBy("event_type", "event_id")
+    w = Window.partitionBy("user_id").orderBy("event_type")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w_tie).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "win_topk_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+    tags=("window",),
+)
+def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: rank-filter pattern. At scale this is the standard
+    substitute for a per-group ORDER BY/LIMIT; only k rows per group
+    survive the window stage."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(value)       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_value,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type,
+           first_value(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS first_type
+    FROM events
+    """,
+    tags=("window",),
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value over event time (µs) with unique tiebreaker."""
+    ev = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us_long", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+@register(
+    "win_frame_rows",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+    FROM events
+    """,
+    tags=("window",),
+)
+def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving aggregate over a ROWS frame (3-row trailing average)."""
+    ev = _events_us(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us_long", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mov_avg")
+    )
+
+
+@register(
+    "win_frame_range",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+    FROM events
+    """,
+    tags=("window",),
+)
+def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total over a RANGE frame keyed by event time: peer rows
+    (same µs timestamp) share the same running value — that's the RANGE
+    vs ROWS distinction this query exists to pin down."""
+    ev = _events_us(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us_long")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running_total")
+    )
+
+
+@register(
+    "win_ntile_pct",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS quartile,
+           round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 9) AS pct_rank,
+           round(cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 9) AS cdist
+    FROM orders
+    """,
+    tags=("window",),
+)
+def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist (distribution functions)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cdist"),
+    )
+
+
+@register(
+    "win_carry_forward",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+    FROM events
+    """,
+    tags=("window", "gvcf"),
+)
+def win_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 analog — gVCF open-block semantics: at every event, the value of
+    the user's most recent purchase so far (NULL before the first). The
+    reference keeps this state in a partition-local iterator over
+    key-ordered cells; one `last(..., ignorenulls)` window replaces it."""
+    ev = _events_us(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us_long", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(pv, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+@register(
+    "win_expand_blocks",
+    oracle="""
+    SELECT o_orderkey,
+           unnest(range(CAST(day(o_orderdate) AS BIGINT),
+                        CAST(day(o_orderdate) AS BIGINT) + o_orderkey % 3 + 1)) AS pos
+    FROM orders
+    """,
+    tags=("window", "gvcf"),
+)
+def win_expand_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A9 analog — expand [start, end] interval rows to per-position
+    rows via explode(sequence(...)). On a derived interval table from
+    orders (start = day-of-month, length = o_orderkey % 3). At 100 TB the
+    expansion multiplies rows by mean block length — keep it lazy
+    (generator inside WholeStageCodegen, never materialized on the driver).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    start = F.dayofmonth("o_orderdate").cast("bigint")
+    end = start + F.col("o_orderkey") % 3
+    return o.select(
+        "o_orderkey", F.explode(F.sequence(start, end)).alias("pos")
+    )
