@@ -1,1 +1,266 @@
-"""Placeholder — filled in by a later milestone (SURVEY §7.1)."""
+"""Deduplication operators (north-star training-data-pipeline surface):
+exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard.
+
+Determinism contract (SURVEY §5.4): no runtime RNG anywhere — MinHash
+permutation constants come from a fixed-seed numpy RandomState evaluated
+at import, and every hash is the engine-portable md5-prefix 32-bit hash so
+DuckDB oracles reproduce signatures exactly.
+
+Scale notes (100 TB):
+- ``dedup_exact`` is one hash aggregate on a 16-byte fingerprint — the
+  shuffle carries (fingerprint, doc_id), not text.
+- ``dedup_near_minhash`` is the linear-time path: signatures are a single
+  explode+groupBy (32 min-aggregates, one shuffle), LSH banding turns the
+  O(n²) pair space into per-bucket joins; only candidates (a tiny
+  fraction) pay the exact-Jaccard verify. This is the operator that
+  replaces ``dedup_ngram_jaccard``'s all-pairs join beyond ~10^5 docs.
+- Band-bucket skew (a degenerate bucket with thousands of docs) is the
+  known hazard: AQE skew-join splitting handles moderate skew; extreme
+  skew calls for dropping over-full buckets (standard practice).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gvcf_hbase_spark.functions.textfns import normalize_text, shingles, stable_hash32, tokens
+from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# MinHash constants (fixed seed — SURVEY §5.4 rule 6)
+# ---------------------------------------------------------------------------
+
+_P = 4_294_967_311  # smallest prime > 2^32
+_N_HASHES = 32
+_BAND_ROWS = 2  # 16 bands × 2 rows: P(candidate | j) = 1-(1-j^2)^16
+_rng = np.random.RandomState(42)
+# a in [1, 2^31): a*h < 2^63 for 32-bit h — no BIGINT overflow on either engine
+_MINHASH_A = _rng.randint(1, 2**31 - 1, size=_N_HASHES).tolist()
+_MINHASH_B = _rng.randint(0, 2**31 - 1, size=_N_HASHES).tolist()
+
+_JACCARD_THRESHOLD = 0.8
+
+
+def _shingle_sets(d: DataFrame) -> DataFrame:
+    """doc_id + distinct 3-token shingle set of the normalized text."""
+    norm = normalize_text(F.col("text"))
+    return d.select(
+        "doc_id", F.array_distinct(shingles(tokens(norm), k=3)).alias("sh")
+    )
+
+
+def minhash_signatures(d: DataFrame) -> DataFrame:
+    """32 minhash values per doc: explode shingles once, hash once, then
+    32 min-aggregates in a single shuffle."""
+    ex = _shingle_sets(d).select("doc_id", F.explode("sh").alias("s"))
+    h = stable_hash32(F.col("s"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(_P)).alias(f"m{j}")
+        for j, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signatures (16 bands × 2 rows) and emit distinct doc pairs
+    sharing any band bucket. The self-join is per (band, bucket) — an
+    equi-join, never a cross join."""
+    n_bands = _N_HASHES // _BAND_ROWS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[F.col(f"m{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)])
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries() entries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize → md5 fingerprint → keep min doc_id per
+    group. One hash aggregate; the canonical first pass of any pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(normalize_text(F.col("text"))).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+@register(
+    "dedup_near_minhash",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(l) - 2, 0) + 1),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, ' +', ' ', 'g'))), ' ') AS l
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {_JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "lsh"),
+)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection, the scale path: 3-shingles → 32 seeded minhashes
+    → 16×2 LSH banding → candidate pairs → exact shingle-Jaccard verify
+    (≥ 0.8). The oracle computes ground truth by brute force; they agree
+    because 16×2 banding misses a j≥0.8 pair with P=(1-0.64)^16 ≈ 1e-7 —
+    and deterministically not on this corpus (asserted in tests at two SFs).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sets_df = _shingle_sets(d)
+    cands = lsh_candidate_pairs(minhash_signatures(d))
+    a = sets_df.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / union
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# SimHash: 32-bit, bit i set iff the token-hash population leans 1 at bit i.
+_SIMHASH_BITS = 32
+
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               string_split(lower(trim(regexp_replace(text, ' +', ' ', 'g'))), ' '),
+               x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT))) AS h
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id,
+{",".join(f"             CAST(sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{i}" for i in range(_SIMHASH_BITS))}
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {" + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS))} AS simhash
+    FROM bits
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup", "hash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (token-multiset weighted bit
+    vote). Near-dup pairs are then hamming-distance ≤ k over signatures —
+    see tests for the pairing; the signature table is the oracle-checked
+    artifact. Single explode + one 32-column aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("tok")
+    ).select("doc_id", stable_hash32(F.col("tok")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    bits = ex.groupBy("doc_id").agg(*votes)
+    sim = None
+    for i in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(0)
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs of docs whose simhashes differ in ≤ max_hamming bits. At scale,
+    block on bit-bands first (pigeonhole) instead of this all-pairs join."""
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(ham <= max_hamming)
+        .select("id_a", "id_b", ham.alias("hamming"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(l) - 1, 0) + 1),
+               i -> l[i] || ' ' || l[i+1])) AS grams
+      FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, ' +', ' ', 'g'))), ' ') AS l
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.6
+    """,
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard over all pairs (≥ 0.6). The brute-force
+    baseline the MinHash path approximates — quadratic by design; beyond
+    ~10^5 docs use dedup_near_minhash."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    grams = d.select(
+        "doc_id", F.array_distinct(shingles(tokens(norm), k=2)).alias("grams")
+    )
+    a = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"))
+    b = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size("g_a") + F.size("g_b") - F.size(F.array_intersect("g_a", "g_b"))
+    jac = inter / union
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jac >= 0.6)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )

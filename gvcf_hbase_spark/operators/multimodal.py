@@ -1,1 +1,121 @@
-"""Placeholder — filled in by a later milestone (SURVEY §7.1)."""
+"""Multimodal columns (north-star surface): treat image/audio/video as
+opaque ``binary`` columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` stages.
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+(:func:`decode_media_stub` — raises for real formats, deterministic fake
+for ``fake/*``), but everything Spark-side is real and tested: the binary
+column, the mapInPandas batch shape (pandas DataFrame iterator in/out),
+the output schema contract, and partition behavior. Swapping the stub for
+PIL/ffmpeg changes one function, not the plan.
+
+Scale: mapInPandas streams Arrow batches executor→Python worker; the
+per-batch overhead amortizes, and binary payloads never touch the driver.
+Feature extraction parallelism = input partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gvcf_hbase_spark.functions.vectors import as_double, norm
+from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.sources.tables import load_table
+
+
+def decode_media_stub(payload: bytes, media_type: str) -> bytes:
+    """STUB decode. Real image/audio/video decoding needs codec libraries
+    not present in this environment; the Spark-side plumbing around this
+    function (schema, batching, partitioning) is real.
+
+    - ``fake/bytes``: identity — deterministic stand-in used by tests.
+    - anything else: NotImplementedError, by design.
+    """
+    if media_type == "fake/bytes":
+        return payload
+    raise NotImplementedError(
+        f"decode for {media_type!r} requires codec libs (PIL/ffmpeg); "
+        "stubbed in this environment"
+    )
+
+
+_FEATURE_SCHEMA = "doc_id long, n_bytes long, head_byte int, byte_sum long"
+
+
+def extract_binary_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas feature extractor over a binary column: byte length,
+    first byte, and a byte-sum checksum — the decode-adjacent features
+    that don't need a codec. Arrow moves the binary batches; pandas ops
+    are vectorized per batch."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf[payload_col].map(
+                lambda b: decode_media_stub(bytes(b), "fake/bytes")
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payload.map(len).astype("int64"),
+                    "head_byte": payload.map(lambda b: b[0] if b else -1).astype("int32"),
+                    "byte_sum": payload.map(lambda b: sum(b)).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(gen, schema=_FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS head_byte,
+           CAST(list_aggregate(list_transform(range(1, length(text) + 1),
+                                              i -> ascii(substr(text, i, 1))), 'sum') AS BIGINT) AS byte_sum
+    FROM documents
+    """,
+    tags=("multimodal", "udf"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline end-to-end: build a binary payload column
+    (UTF-8 text bytes stand in for media), run the mapInPandas extractor,
+    and emit typed features. The oracle recomputes byte features in SQL —
+    valid because the fixture text is ASCII (byte == char)."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return extract_binary_features(with_payload)
+
+
+@register(
+    "multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, e.label,
+           len(string_split(d.text, ' ')) AS n_tokens,
+           round(sqrt(list_aggregate(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                                    x -> x * x), 'sum')), 6) AS emb_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE e.label < 5 AND d.text LIKE '%the%'
+    """,
+    tags=("multimodal",),
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text+vector multimodal rows: documents ⋈ embeddings with a label
+    and a text predicate — the canonical 'join modalities then filter'
+    shape. Flattened output for the oracle comparison."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id).filter(
+        (F.col("label") < 5) & F.col("text").like("%the%")
+    )
+    return joined.select(
+        "doc_id",
+        "lang",
+        "label",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.round(norm(as_double("embedding")), 6).alias("emb_norm"),
+    )

@@ -1,1 +1,257 @@
-"""Placeholder — filled in by a later milestone (SURVEY §7.1)."""
+"""Text-analysis operators (SURVEY §2B.9 + training-data-pipeline surface):
+tokenize/TF, TF-IDF, per-language stats, language-ID heuristic, quality
+scoring, token counting, document fingerprinting.
+
+All are JVM-side expression compositions over the ``documents`` table —
+explode/groupBy pipelines whose shuffles carry (term) or (doc) keys and
+scale horizontally. No Python UDF in any hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gvcf_hbase_spark.functions.textfns import STOPWORDS, stable_hash32, tokens
+from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.sources.tables import load_table
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@register(
+    "text_tokenize_tf",
+    oracle="""
+    SELECT term, CAST(count(*) AS BIGINT) AS tf, count(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+    WHERE term <> ''
+    GROUP BY term
+    """,
+    tags=("text",),
+)
+def text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequencies: explode + hash aggregate (the
+    shuffle carries one row per (partition, term) thanks to partial agg)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 9) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+    tags=("text",),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smoothed sklearn-style idf = ln((N+1)/(df+1)) + 1). The df
+    side and the N scalar are broadcast — the only large shuffle is the
+    (doc, term) aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 9
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+    tags=("text",),
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+_LANG_SCORE_SQL = ",\n".join(
+    f"           len(list_filter(string_split(lower(text), ' '), t -> t IN ({_sql_list(ws)}))) AS s_{lang}"
+    for lang, ws in STOPWORDS.items()
+)
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+{_LANG_SCORE_SQL}
+      FROM documents
+    )
+    SELECT doc_id, s_en, s_de, s_es, s_fr,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+                WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+                WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM scored
+    """,
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon language-ID heuristic: count stopword hits per language,
+    argmax with a fixed precedence order (en > de > es > fr) so ties are
+    deterministic on both engines. Pure expressions — no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    def _in_list(ws):
+        # closure factory: F.filter inspects lambda arity, so the word
+        # list must not appear as a second parameter
+        return lambda t: t.isin(ws)
+
+    scores = {lang: F.size(F.filter(toks, _in_list(ws))) for lang, ws in STOPWORDS.items()}
+    s = d.select("doc_id", *[scores[lang].alias(f"s_{lang}") for lang in STOPWORDS])
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in STOPWORDS])
+    pred = (
+        F.when(best == 0, "unknown")
+        .when(F.col("s_en") >= F.greatest("s_de", "s_es", "s_fr"), "en")
+        .when(F.col("s_de") >= F.greatest("s_es", "s_fr"), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    return s.withColumn("lang_pred", pred)
+
+
+_EN_LIST = _sql_list(STOPWORDS["en"])
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+           round(CAST(len(list_filter(toks, x -> x IN ({_EN_LIST}))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+           round(CAST(length(text) AS DOUBLE) / len(toks), 6) AS avg_token_span,
+           (len(toks) BETWEEN 5 AND 1000
+             AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) > 0.6) AS quality_ok
+    FROM t
+    """,
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length, alphabetic ratio, stopword
+    ratio, mean token span, and a pass/fail gate — the standard cheap
+    pre-filter stage of a training-data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    alpha = F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double") / F.length("text")
+    en = STOPWORDS["en"]
+    stop = F.size(F.filter(toks, lambda t: t.isin(en))).cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round(F.length("text").cast("double") / F.size(toks), 6).alias("avg_token_span"),
+        (F.size(toks).between(5, 1000) & (alpha > 0.6)).alias("quality_ok"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, regex word tokens, and
+    the chars/4 BPE-budget approximation LLM pipelines use for sizing."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+")).cast("bigint").alias("re_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("approx_bpe_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, ' +', ' ', 'g'))), ' ') AS toks
+               FROM documents),
+    pos AS (
+      SELECT doc_id,
+             unnest(list_transform(toks, x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT))) AS h,
+             unnest(range(1, len(toks) + 1)) AS i
+      FROM t
+    )
+    SELECT p.doc_id,
+           CAST(sum(p.h * p.i) AS BIGINT) AS poly_fingerprint,
+           md5(lower(trim(regexp_replace(d.text, ' +', ' ', 'g')))) AS md5_fingerprint
+    FROM pos p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY p.doc_id, d.text
+    """,
+    tags=("text", "hash"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: a position-weighted rolling hash (order-
+    sensitive — reorderings change it, unlike bag-of-words md5) plus the
+    md5 of the normalized text. Both engine-portable by construction."""
+    from gvcf_hbase_spark.functions.textfns import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    toks = d.select("doc_id", norm.alias("norm"), tokens(norm).alias("toks"))
+    pos = toks.select(
+        "doc_id",
+        F.col("norm"),
+        F.posexplode("toks").alias("p", "tok"),
+    ).select(
+        "doc_id",
+        "norm",
+        ((F.col("p") + 1) * stable_hash32(F.col("tok"))).alias("weighted"),
+    )
+    return pos.groupBy("doc_id").agg(
+        F.sum("weighted").alias("poly_fingerprint"),
+        F.md5(F.first("norm")).alias("md5_fingerprint"),
+    )

@@ -1,1 +1,130 @@
-"""Placeholder — filled in by a later milestone (SURVEY §7.1)."""
+"""User-defined function surface (SURVEY §2B.11): vectorized scalar
+pandas UDF, grouped-map UDAF (applyInPandas), and a Python UDTF.
+
+These are the *sanctioned* Python escape hatches — Arrow-batched, never
+row-at-a-time. Each query here is deliberately SQL-replicable so the
+oracle can check the full Python↔JVM round trip, not just row counts.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf, udtf
+
+from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.sources.tables import load_table
+
+
+def make_normalize_text_udf():
+    """Arrow-batched text normalizer (the dedup normalizer, Python side):
+    lower + trim + collapse whitespace. Built lazily — pandas_udf needs an
+    active SparkContext to parse its return type."""
+
+    @pandas_udf("string")
+    def normalize_text_udf(s: pd.Series) -> pd.Series:
+        return s.str.lower().str.strip().map(lambda x: re.sub(" +", " ", x))
+
+    return normalize_text_udf
+
+
+@register(
+    "udf_scalar",
+    oracle="""
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS norm_text,
+           length(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS norm_len
+    FROM documents
+    """,
+    tags=("udf",),
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF over Arrow batches. The oracle is the
+    pure-SQL twin — checking the Python path produces byte-identical
+    strings."""
+    d = load_table(spark, sf_dir, "documents")
+    norm_udf = make_normalize_text_udf()
+    return d.select(
+        "doc_id",
+        norm_udf("text").alias("norm_text"),
+        F.length(norm_udf("text")).alias("norm_len"),
+    )
+
+
+@register(
+    "udaf_grouped",
+    oracle="""
+    SELECT label, i AS dim,
+           round(avg(e), 6) AS centroid_val
+    FROM (SELECT label,
+                 unnest(CAST(embedding AS DOUBLE[])) AS e,
+                 unnest(range(1, 65)) AS i
+          FROM embeddings)
+    GROUP BY label, i
+    """,
+    tags=("udf",),
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF via applyInPandas: per-label embedding centroid,
+    emitted long-form (label, dim, value) so the oracle compares scalars.
+    numpy computes per-dim means on each Arrow batch group."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["emb"].values)
+        means = mat.mean(axis=0)
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "dim": range(1, len(means) + 1),
+                "centroid_val": [round(v, 6) for v in means],
+            }
+        )
+
+    return e.groupBy("label").applyInPandas(
+        centroid, schema="label int, dim int, centroid_val double"
+    )
+
+
+class ShinglesUDTF:
+    """Python UDTF: emit 3-token shingles with positions for one document.
+    The table-function analog of functions.textfns.shingles. Wrapped with
+    @udtf lazily (needs an active session for the return type)."""
+
+    def eval(self, doc_id: int, text: str):  # noqa: D102
+        toks = text.split(" ")
+        for i in range(len(toks) - 2):
+            yield doc_id, i, " ".join(toks[i : i + 3])
+
+
+@register(
+    "udtf_shingles",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, sh AS shingle
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(l) - 2, 0) + 1),
+                                   i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh,
+             unnest(range(1, greatest(len(l) - 2, 0) + 1)) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+    """,
+    tags=("udf",),
+)
+def udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF applied laterally per document row."""
+    spark.udtf.register(
+        "shingles_udtf", udtf(ShinglesUDTF, returnType="doc_id bigint, pos int, shingle string")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__docs_for_udtf")
+    return spark.sql(
+        "SELECT s.doc_id, s.pos, s.shingle "
+        "FROM __docs_for_udtf d, LATERAL shingles_udtf(d.doc_id, d.text) s"
+    )
