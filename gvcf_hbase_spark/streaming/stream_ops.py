@@ -1,0 +1,148 @@
+"""Real Structured Streaming operators (SURVEY §2B.10): availableNow
+micro-batch runs over the same parquet, memory sink, returned as a
+DataFrame. These are the rows-only ``queries()`` entries (their semantics
+aren't batch-SQL-expressible); the oracle-checked twins live in
+batch_twins.py and tests assert batch ≡ stream.
+
+At scale the same plans run with a real trigger: state (windows, dedup
+keys, per-user carry-forward) lives in the executor-local RocksDB state
+store keyed by group — the Spark-native replacement for the reference's
+partition-local open-block iterator state (SURVEY §2A A9 / §3.2).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.session import apply_runtime_confs
+from gvcf_hbase_spark.streaming.batch_twins import tumbling_agg
+
+
+_stream_dirs: dict[str, str] = {}
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """FileStreamSource requires a *directory*; expose the single events
+    parquet file through a per-SF temp dir symlink (cached)."""
+    if sf_dir not in _stream_dirs:
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="gvcf_events_stream_")
+        os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        _stream_dirs[sf_dir] = d
+    return _stream_dirs[sf_dir]
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the events parquet (ns recipe applies —
+    nanosAsLong conf + derived µs timestamp column)."""
+    apply_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = spark.readStream.schema(schema).parquet(_events_stream_dir(sf_dir))
+    return raw.withColumn(
+        "ts_us", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Drain a streaming DataFrame with trigger(availableNow) into a memory
+    sink and return the materialized result."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+@register("stream_watermark_late", oracle=None, tags=("streaming",))
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + tumbling window in append mode: a window emits only
+    once the 10-minute watermark passes its end; data later than the
+    watermark is dropped. Rows-only (watermark semantics are not
+    batch-SQL-expressible); tests assert the output is a subset of the
+    batch windows and that injected late rows are dropped."""
+    ev = read_events_stream(spark, sf_dir).withColumn(
+        # watermarks require TIMESTAMP (not NTZ); session tz is UTC so the
+        # window bounds equal the batch twin's NTZ values
+        "ts_evt",
+        F.timestamp_micros(F.expr("ts div 1000")),
+    )
+    agg = (
+        ev.withWatermark("ts_evt", "10 minutes")
+        .groupBy(F.window("ts_evt", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+    return run_available_now(agg, "append")
+
+
+@register("stream_dedup", oracle=None, tags=("streaming",))
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id within the watermark horizon
+    (dropDuplicatesWithinWatermark) — the streaming face of dedup_exact.
+    State holds one key per id inside the horizon, then ages out."""
+    ev = read_events_stream(spark, sf_dir).withColumn(
+        "ts_evt", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    dedup = ev.withWatermark("ts_evt", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    return run_available_now(
+        dedup.select("event_id", "user_id", "event_type", "value"), "append"
+    )
+
+
+@register("stream_stateful", oracle=None, tags=("streaming", "gvcf"))
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9-descended custom stateful operator: per-user carry-forward of
+    the last purchase value, via applyInPandasWithState. The state value
+    (last purchase seen) persists across micro-batches in the state store
+    — the direct streaming analog of the reference's open-record state.
+    Rows-only; tests assert equality with the batch twin win_carry_forward.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", F.expr("ts div 1000").alias("ts_us_long"), "event_id", "event_type", "value"
+    )
+
+    out_schema = "event_id bigint, user_id bigint, last_purchase_value double"
+    state_schema = "last double"
+
+    def carry(key, pdfs, state: GroupState):
+        (user_id,) = key
+        last = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdfs)).sort_values(["ts_us_long", "event_id"])
+        out_ids, out_vals = [], []
+        for _, r in rows.iterrows():
+            if r["event_type"] == "purchase":
+                last = float(r["value"])
+            out_ids.append(int(r["event_id"]))
+            out_vals.append(last)
+        state.update((last,))
+        yield pd.DataFrame(
+            {
+                "event_id": out_ids,
+                "user_id": user_id,
+                "last_purchase_value": pd.array(out_vals, dtype="float64"),
+            }
+        )
+
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        carry,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_available_now(result, "append")

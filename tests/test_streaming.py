@@ -1,0 +1,73 @@
+"""Batch ≡ stream equivalence (SURVEY §5.3): every windowed aggregation
+must produce identical results through the batch plan and through
+Structured Streaming with trigger(availableNow), plus semantic checks for
+the streaming-only operators (watermark drop, dedup, stateful).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_DIR, canon_rows
+from gvcf_hbase_spark.registry import load_all
+from gvcf_hbase_spark.streaming.batch_twins import session_agg, sliding_agg, tumbling_agg
+from gvcf_hbase_spark.streaming.stream_ops import read_events_stream, run_available_now
+
+SPECS = load_all()
+
+
+def _assert_same(batch_df, stream_df, key):
+    b_cols, b_rows = canon_rows(batch_df.toPandas())
+    s_cols, s_rows = canon_rows(stream_df.toPandas())
+    assert b_cols == s_cols, key
+    assert b_rows == s_rows, f"{key}: batch and stream outputs differ"
+
+
+def test_tumbling_batch_equals_stream(spark):
+    batch = SPECS["stream_tumbling"].fn(spark, SF_DIR)
+    stream = run_available_now(tumbling_agg(read_events_stream(spark, SF_DIR)), "complete")
+    _assert_same(batch, stream, "tumbling")
+
+
+def test_sliding_batch_equals_stream(spark):
+    batch = SPECS["stream_sliding"].fn(spark, SF_DIR)
+    stream = run_available_now(sliding_agg(read_events_stream(spark, SF_DIR)), "complete")
+    _assert_same(batch, stream, "sliding")
+
+
+def test_session_batch_equals_stream(spark):
+    batch = SPECS["stream_session"].fn(spark, SF_DIR)
+    stream = run_available_now(session_agg(read_events_stream(spark, SF_DIR)), "complete")
+    _assert_same(batch, stream, "session")
+
+
+def test_watermark_output_is_subset_of_batch(spark):
+    batch = {
+        (r.window_start, r.event_type): r.cnt
+        for r in SPECS["stream_tumbling"].fn(spark, SF_DIR).collect()
+    }
+    late = SPECS["stream_watermark_late"].fn(spark, SF_DIR).collect()
+    assert late, "append-mode windowed agg should finalize windows below the watermark"
+    for r in late:
+        assert (r.window_start, r.event_type) in batch
+        assert r.cnt == batch[(r.window_start, r.event_type)]
+
+
+def test_stream_dedup_unique_ids(spark):
+    out = SPECS["stream_dedup"].fn(spark, SF_DIR)
+    total = out.count()
+    assert total == out.select("event_id").distinct().count()
+    assert total > 0
+
+
+def test_stateful_carry_forward_equals_batch_twin(spark):
+    """The applyInPandasWithState carry-forward must equal the batch
+    window twin (win_carry_forward) row for row."""
+    stream = SPECS["stream_stateful"].fn(spark, SF_DIR)
+    batch = SPECS["win_carry_forward"].fn(spark, SF_DIR).withColumnRenamed(
+        "last_purchase_value", "last_purchase_value"
+    )
+    s = {(r.event_id): r.last_purchase_value for r in stream.collect()}
+    b = {(r.event_id): r.last_purchase_value for r in batch.collect()}
+    assert len(s) == len(b)
+    assert s == b
