@@ -31,16 +31,26 @@ def tokens(c: Column) -> Column:
 
 
 def shingles(toks: Column, k: int = 3) -> Column:
-    """k-token shingles: [t[i] .. t[i+k-1]] joined by spaces. Built with
-    transform over an index sequence — stays JVM-side, no UDF.
-    DuckDB twin: list_transform(range(1, len(l)-k+2), i -> l[i] || ' ' ...).
+    """k-token shingles: [t[i] .. t[i+k-1]] joined by spaces. Built as a
+    zip_with fold over k shifted slices of the token array — stays
+    JVM-side, no UDF. DuckDB twin:
+    list_transform(range(1, len(l)-k+2), i -> l[i] || ' ' ...).
+
+    Physical note: an earlier version indexed ``element_at(toks, i+j)``
+    inside a transform lambda; when ``toks`` is itself an expression
+    (CollapseProject re-inlines projections), everything inside the lambda
+    re-evaluates PER ELEMENT — measured ~25× slower at sf0.1. Slices
+    evaluate ``toks`` only k times per row regardless of inlining.
     """
     n = F.size(toks)
-    out = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]),
-    )
-    # guard: sequence(0, n-k) runs DESCENDING when n < k — emit [] instead
+    cnt = n - k + 1
+    out = F.slice(toks, 1, cnt)
+    for j in range(1, k):
+        out = F.zip_with(
+            out, F.slice(toks, j + 1, cnt), lambda acc, x: F.concat_ws(" ", acc, x)
+        )
+    # guard: slice length would be <= 0 when n < k — emit [] instead
+    # (CaseWhen evaluates only the taken branch, so the slice is safe)
     return F.when(n >= k, out).otherwise(F.array().cast("array<string>"))
 
 

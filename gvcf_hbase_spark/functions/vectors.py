@@ -1,19 +1,26 @@
-"""Vector math over ``array<float/double>`` columns — all JVM-side
-higher-order functions (F.zip_with / F.aggregate), no Python boundary.
+"""Vector math over ``array<float/double>`` columns.
 
-Sequential fold order matches DuckDB's list_* implementations, so doubles
-agree to the last ulp in practice; similarity queries still round to 6dp
-before comparing/thresholding (SURVEY §5.4).
+Two tiers:
 
-At 100 TB these expressions run inside codegen per row; for >10^5-vector
-corpora pair them with the LSH bucketing in operators/similarity.py so the
-pair space, not the arithmetic, is what shrinks.
+- Column expressions (``dot`` / ``norm`` / ``cosine``) built from
+  F.zip_with / F.aggregate — JVM-side, fine for a handful of rows, but
+  higher-order-function lambdas are *interpreted per element*, which
+  measured ~1000× slower than BLAS on all-pairs workloads.
+- The hot path: :func:`corpus_broadcast` ships the whole (id, L2-normalized
+  matrix) corpus to executors once; scorers in operators/similarity.py then
+  run numpy matmuls inside Arrow-batched ``mapInPandas``. At 64-dim doubles
+  this broadcast stays practical to ~10^7 vectors (~5 GB); beyond that the
+  LSH/IVF bucket-join path in operators/similarity.py is the design.
+
+Similarity queries round scores to 6dp before thresholding/ranking so both
+engines make identical keep/rank decisions (SURVEY §5.4).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyspark.sql.functions as F
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 
 
 def as_double(v: Column | str) -> Column:
@@ -33,3 +40,16 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def corpus_broadcast(e: DataFrame, id_col: str = "vec_id", vec_col: str = "emb"):
+    """Collect ``(ids int64[n], L2-normalized float64[n, d])`` to the driver
+    and broadcast to executors. Row dot products of the normalized matrix
+    ARE cosines. One driver collect + one broadcast per query — the
+    standard Spark shape for brute-force vector search where the corpus
+    fits in executor memory."""
+    pdf = e.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(dtype="int64")
+    m = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    return e.sparkSession.sparkContext.broadcast((ids, mn))

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from gvcf_hbase_spark.functions.textfns import normalize_text, shingles, stable_hash32, tokens
 from gvcf_hbase_spark.registry import register
-from gvcf_hbase_spark.sources.tables import load_table
+from gvcf_hbase_spark.sources.tables import load_table, spread
 
 # ---------------------------------------------------------------------------
 # MinHash constants (fixed seed — SURVEY §5.4 rule 6)
@@ -45,10 +45,20 @@ _JACCARD_THRESHOLD = 0.8
 
 
 def _shingle_sets(d: DataFrame) -> DataFrame:
-    """doc_id + distinct 3-token shingle set of the normalized text."""
+    """doc_id + distinct 3-token shingle set of the normalized text.
+
+    Two deliberate physical choices (both measured ~5× apiece at sf0.1):
+    spread first (documents arrives as ONE input split — see
+    sources.tables.spread), and materialize the token array in its own
+    projection before shingling — an expression passed into a transform
+    lambda is inlined and re-evaluated per element (CSE does not reach
+    inside lambda bodies), so shingling over the raw split() expression
+    re-splits the text k times per shingle."""
     norm = normalize_text(F.col("text"))
-    return d.select(
-        "doc_id", F.array_distinct(shingles(tokens(norm), k=3)).alias("sh")
+    return (
+        spread(d)
+        .select("doc_id", tokens(norm).alias("toks"))
+        .select("doc_id", F.array_distinct(shingles(F.col("toks"), k=3)).alias("sh"))
     )
 
 
@@ -195,7 +205,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     see tests for the pairing; the signature table is the oracle-checked
     artifact. Single explode + one 32-column aggregate."""
     d = load_table(spark, sf_dir, "documents")
-    ex = d.select(
+    ex = spread(d).select(
         "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("tok")
     ).select("doc_id", stable_hash32(F.col("tok")).alias("h"))
     votes = [
@@ -246,21 +256,44 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-bigram Jaccard over all pairs (≥ 0.6). The brute-force
-    baseline the MinHash path approximates — quadratic by design; beyond
-    ~10^5 docs use dedup_near_minhash."""
+    """Exact word-bigram Jaccard pairs (≥ 0.6) as an **inverted-index
+    set-similarity join** (the classic MapReduce SSJoin shape) instead of
+    the n² pair join:
+
+    - explode each doc's distinct bigrams (carrying the set size);
+    - equi-join the postings on the gram → one row per *shared gram* per
+      pair, pruned in the join by ``t·|A| ≤ |B| ≤ |A|/t`` (Jaccard ≥ t
+      forces min-size ≥ t·max-size);
+    - ``groupBy(pair).count()`` = exact |A∩B| (grams are distinct per
+      doc), so jaccard = c / (|A|+|B|−c); pairs sharing nothing never
+      appear and are correctly absent.
+
+    Exact — the oracle is still the brute-force n² SQL. Scale shape: the
+    shuffle carries only (gram, id, size) ints; work is Σ_g df(g)² shared-
+    gram rows through a partial-agg groupBy, not n² array intersections.
+    Hot grams (stopword bigrams) are the skew hazard — AQE skew splitting
+    locally; at 100 TB add a max-df cutoff on the index side paired with a
+    candidate pass for the dropped grams, or go dedup_near_minhash.
+    """
+    t = 0.6
     d = load_table(spark, sf_dir, "documents")
     norm = normalize_text(F.col("text"))
-    grams = d.select(
-        "doc_id", F.array_distinct(shingles(tokens(norm), k=2)).alias("grams")
+    ex = (
+        spread(d)
+        .select("doc_id", tokens(norm).alias("toks"))
+        .select("doc_id", F.array_distinct(shingles(F.col("toks"), k=2)).alias("grams"))
+        .select("doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("g"))
     )
-    a = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"))
-    b = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"))
-    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
-    union = F.size("g_a") + F.size("g_b") - F.size(F.array_intersect("g_a", "g_b"))
-    jac = inter / union
+    a = ex.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
+    b = ex.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
+    shared = a.join(b, "g").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("sz_a") >= t * F.col("sz_b"))
+        & (F.col("sz_b") >= t * F.col("sz_a"))
+    )
+    counts = shared.groupBy("id_a", "id_b", "sz_a", "sz_b").agg(F.count("*").alias("c"))
+    jac = F.col("c") / (F.col("sz_a") + F.col("sz_b") - F.col("c"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(jac >= 0.6)
+        counts.filter(jac >= t)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )

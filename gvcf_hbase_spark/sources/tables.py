@@ -63,6 +63,21 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
         return spark.createDataFrame(pdf)
 
 
+def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Fan a small single-file table out across the cluster before
+    compute-heavy per-row work.
+
+    A small parquet table arrives as ONE input split, so an expensive
+    per-row pipeline (shingling, hashing, vector math) would run on a
+    single core no matter how many are available — measured 12.6 s → 1.7 s
+    on the sf0.1 shingle explode by spreading first. The shuffle this
+    costs is trivial (the table is small by definition); do NOT use on
+    large fact tables, which already arrive as many splits at scale.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(n or sc.defaultParallelism)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
