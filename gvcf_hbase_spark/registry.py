@@ -46,6 +46,7 @@ _MODULES = [
     "gvcf_hbase_spark.operators.udfs",
     "gvcf_hbase_spark.streaming.batch_twins",
     "gvcf_hbase_spark.streaming.stream_ops",
+    "gvcf_hbase_spark.sources.gvcf_text",
 ]
 
 

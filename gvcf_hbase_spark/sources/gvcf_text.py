@@ -1,0 +1,153 @@
+"""gVCF text-line source — the reference's actual input format (SURVEY
+§2A A1/A3/A11; upstream parses gVCF with htsjdk `VCFFileReader` — upstream
+recollection, local reference checkout was empty at survey time).
+
+A gVCF line is 10 tab-separated VCF columns
+``CHROM POS ID REF ALT QUAL FILTER INFO FORMAT <sample calls>`` where
+*reference blocks* carry ``END=<pos>`` in INFO and the symbolic allele
+``<NON_REF>`` as (part of) ALT; variant records have no END and a concrete
+ALT. The parser below re-expresses htsjdk's record model as pure JVM column
+expressions (split / regexp_extract) — no Python UDF in the parse path, so
+at 100 TB the whole parse stage stays inside whole-stage codegen over
+``spark.read.text`` splits.
+
+Output schema is the engine's interval form, feeding directly into
+operators.gvcf.combine_positions (A9) and plans.layout (A5):
+``(sample_id, contig, start, end, ref, alt, gt, is_variant, value)``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def parse_gvcf_lines(
+    lines: DataFrame, sample_col: str = "sample_id", line_col: str = "line"
+) -> DataFrame:
+    """Parse raw gVCF data lines (header lines starting with ``#`` are
+    dropped) into interval records. A11's decode is free here: the struct
+    IS the record — no byte-level encoding round-trip exists to undo."""
+    f = F.split(F.col(line_col), "\t")
+    rec = (
+        lines.filter(~F.col(line_col).startswith("#"))
+        .select(
+            F.col(sample_col),
+            f.getItem(0).alias("contig"),
+            f.getItem(1).cast("long").alias("start"),
+            f.getItem(3).alias("ref"),
+            f.getItem(4).alias("alt_raw"),
+            f.getItem(7).alias("info"),
+            F.split(F.element_at(f, -1), ":").getItem(0).alias("gt"),
+        )
+    )
+    end = F.coalesce(
+        F.nullif(F.regexp_extract("info", r"(?:^|;)END=(\d+)", 1), F.lit("")).cast("long"),
+        F.col("start"),
+    )
+    alt = F.regexp_replace("alt_raw", r",?<NON_REF>", "")
+    is_variant = alt != ""
+    value = F.when(
+        is_variant, F.concat(F.col("ref"), F.lit(">"), alt, F.lit(":"), F.col("gt"))
+    ).otherwise(F.concat(F.lit("ref:"), F.col("gt")))
+    return rec.select(
+        sample_col,
+        "contig",
+        "start",
+        end.alias("end"),
+        "ref",
+        alt.alias("alt"),
+        "gt",
+        is_variant.alias("is_variant"),
+        value.alias("value"),
+    )
+
+
+_GVCF_ORACLE = r"""
+    WITH lines AS (
+      SELECT concat('s', o_orderkey % 4) AS sample_id,
+             concat_ws(chr(9),
+               concat('chr', 1 + o_orderkey % 2),
+               CAST(o_orderkey AS VARCHAR), '.', 'A',
+               CASE WHEN o_orderkey % 3 = 0 THEN '<NON_REF>' ELSE 'T,<NON_REF>' END,
+               '50', 'PASS',
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN concat('END=', CAST(o_orderkey + 9 AS VARCHAR))
+                    ELSE 'DP=10' END,
+               'GT:DP',
+               CASE WHEN o_orderkey % 3 = 0 THEN '0/0:12' ELSE '0/1:15' END) AS line
+      FROM orders
+    ),
+    parsed AS (
+      SELECT sample_id,
+             split_part(line, chr(9), 1) AS contig,
+             CAST(split_part(line, chr(9), 2) AS BIGINT) AS start,
+             split_part(line, chr(9), 4) AS ref,
+             split_part(line, chr(9), 5) AS alt_raw,
+             split_part(line, chr(9), 8) AS info,
+             split_part(split_part(line, chr(9), 10), ':', 1) AS gt
+      FROM lines
+    )
+    SELECT sample_id, contig, start,
+           coalesce(CAST(nullif(regexp_extract(info, 'END=(\d+)', 1), '') AS BIGINT),
+                    start) AS "end",
+           ref,
+           regexp_replace(alt_raw, ',?<NON_REF>', '') AS alt,
+           gt,
+           regexp_replace(alt_raw, ',?<NON_REF>', '') <> '' AS is_variant,
+           CASE WHEN regexp_replace(alt_raw, ',?<NON_REF>', '') <> ''
+                THEN concat(ref, '>', regexp_replace(alt_raw, ',?<NON_REF>', ''),
+                            ':', gt)
+                ELSE concat('ref:', gt) END AS value
+    FROM parsed
+"""
+
+
+def _register_source_query() -> None:
+    from gvcf_hbase_spark.registry import register
+    from gvcf_hbase_spark.sources.tables import load_table
+
+    @register("source_gvcf_lines", oracle=_GVCF_ORACLE, tags=("gvcf", "source"))
+    def source_gvcf_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """A1 parity, oracle-checked: derive deterministic gVCF text lines
+        (ref blocks with END=/<NON_REF>, variants) from the orders fixture,
+        then run them through the real line parser. The DuckDB oracle
+        constructs and parses the same lines with independent string SQL,
+        so the parser's field/END/allele semantics are cross-checked."""
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+        pos = F.col("o_orderkey")
+        is_block = (pos % 3) == 0
+        line = F.concat_ws(
+            "\t",
+            F.concat(F.lit("chr"), (pos % 2 + 1).cast("string")),
+            pos.cast("string"),
+            F.lit("."),
+            F.lit("A"),
+            F.when(is_block, F.lit("<NON_REF>")).otherwise(F.lit("T,<NON_REF>")),
+            F.lit("50"),
+            F.lit("PASS"),
+            F.when(is_block, F.concat(F.lit("END="), (pos + 9).cast("string"))).otherwise(
+                F.lit("DP=10")
+            ),
+            F.lit("GT:DP"),
+            F.when(is_block, F.lit("0/0:12")).otherwise(F.lit("0/1:15")),
+        )
+        lines = o.select(
+            F.concat(F.lit("s"), (pos % 4).cast("string")).alias("sample_id"),
+            line.alias("line"),
+        )
+        return parse_gvcf_lines(lines)
+
+
+_register_source_query()
+
+
+def read_gvcf(spark: SparkSession, path: str, sample_id: str) -> DataFrame:
+    """A1: one sample's gVCF file → interval records.
+
+    ``spark.read.text`` splits large files by range, so a single huge gVCF
+    parses in parallel; many per-sample files parallelize by file. (The
+    upstream equivalent loads one htsjdk reader per file into an RDD.)
+    """
+    lines = spark.read.text(path).withColumnRenamed("value", "line")
+    return parse_gvcf_lines(lines.withColumn("sample_id", F.lit(sample_id)))

@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 
 from gvcf_hbase_spark.operators.gvcf import carry_forward, combine_positions, expand_blocks
 from gvcf_hbase_spark.operators.joins import asof_join
+from gvcf_hbase_spark.sources.gvcf_text import parse_gvcf_lines, read_gvcf
 
 
 def _variants_lite(spark):
@@ -107,6 +108,65 @@ def test_carry_forward_golden(spark):
         ("u1", 5): 20.0,
         ("u2", 1): None,
     }
+
+
+# The same two-sample scenario as _variants_lite, but as raw gVCF text —
+# the reference's actual input format (EP1→EP2 end-to-end, SURVEY §3.1).
+_GVCF_A = [
+    "##fileformat=VCFv4.2",
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tA",
+    "chr1\t1\t.\tA\t<NON_REF>\t.\t.\tEND=5\tGT:DP\t0/0:20",
+    "chr1\t6\t.\tC\tT,<NON_REF>\t50\tPASS\tDP=9\tGT:DP\t0/1:9",
+    "chr1\t7\t.\tG\t<NON_REF>\t.\t.\tEND=10\tGT:DP\t0/0:18",
+]
+_GVCF_B = [
+    "##fileformat=VCFv4.2",
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tB",
+    "chr1\t2\t.\tT\t<NON_REF>\t.\t.\tEND=8\tGT:DP\t0/0:31",
+    "chr1\t9\t.\tG\tA,<NON_REF>\t60\tPASS\tDP=12\tGT:DP\t1/1:12",
+]
+
+
+def test_parse_gvcf_lines(spark):
+    lines = spark.createDataFrame(
+        [("A", ln) for ln in _GVCF_A], "sample_id string, line string"
+    )
+    recs = {r.start: r for r in parse_gvcf_lines(lines).collect()}
+    assert set(recs) == {1, 6, 7}  # headers dropped
+    assert (recs[1].end, recs[1].is_variant, recs[1].gt) == (5, False, "0/0")
+    assert recs[1].value == "ref:0/0"
+    assert (recs[6].end, recs[6].is_variant, recs[6].alt) == (6, True, "T")
+    assert recs[6].value == "C>T:0/1"
+    assert recs[7].end == 10
+
+
+def test_gvcf_text_to_combine_end_to_end(spark, tmp_path):
+    """EP1→EP2 mirror: write per-sample gVCF files, read+parse each
+    (spark.read.text path), union, combine per position — the combined
+    map must equal the hand-computed golden of the same scenario."""
+    fa, fb = tmp_path / "a.g.vcf", tmp_path / "b.g.vcf"
+    fa.write_text("\n".join(_GVCF_A) + "\n")
+    fb.write_text("\n".join(_GVCF_B) + "\n")
+    recs = read_gvcf(spark, str(fa), "A").unionByName(read_gvcf(spark, str(fb), "B"))
+    # re-tag values to the lite fixture's names for golden comparison
+    combined = combine_positions(recs, variant_col="is_variant")
+    got = {r.pos: dict(r.samples) for r in combined.collect()}
+    expect = {
+        pos: {s: v for s, v in m.items()}
+        for pos, m in {
+            1: {"A": "ref:0/0"},
+            2: {"A": "ref:0/0", "B": "ref:0/0"},
+            3: {"A": "ref:0/0", "B": "ref:0/0"},
+            4: {"A": "ref:0/0", "B": "ref:0/0"},
+            5: {"A": "ref:0/0", "B": "ref:0/0"},
+            6: {"A": "C>T:0/1", "B": "ref:0/0"},
+            7: {"A": "ref:0/0", "B": "ref:0/0"},
+            8: {"A": "ref:0/0", "B": "ref:0/0"},
+            9: {"A": "ref:0/0", "B": "G>A:1/1"},
+            10: {"A": "ref:0/0"},
+        }.items()
+    }
+    assert got == expect
 
 
 def test_asof_join_directions(spark):
