@@ -220,6 +220,14 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    return _verify_pairs(cands, bc)
+
+
+def _verify_pairs(cands: DataFrame, bc) -> DataFrame:
+    """Exact-cosine verify for candidate (id_a, id_b) pairs: scores come
+    from the broadcast normalized corpus (id → row lookup), so the verify
+    join ships only int pairs, never vectors."""
+
     @F.pandas_udf("double")
     def pair_cos(ia: pd.Series, ib: pd.Series) -> pd.Series:
         ids_all, mn = bc.value
@@ -231,3 +239,77 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.withColumn("cos_sim", pair_cos("id_a", "id_b")).filter(
         F.col("cos_sim") >= _COS_PAIR_THRESHOLD
     )
+
+
+# IVF: 16 cells, every vector assigned to its 2 nearest cells (multi-probe
+# assignment makes near-boundary pairs share a cell). Fixed Lloyd config —
+# deterministic, no runtime RNG (SURVEY §5.4 rule 6).
+_IVF_CELLS = 16
+_IVF_PROBE = 2
+_IVF_ITERS = 8
+_IVF_TRAIN_SAMPLE = 4096
+
+
+def _ivf_centroids(e: DataFrame) -> np.ndarray:
+    """Train IVF cells with driver-side Lloyd iterations on a bounded,
+    deterministic sample (lowest vec_ids) — the standard ANN recipe: the
+    index trains on a sample, assignment/search run distributed. Init =
+    first k sample vectors; empty cells keep their previous centroid."""
+    pdf = e.orderBy("vec_id").limit(_IVF_TRAIN_SAMPLE).select("emb").toPandas()
+    x = np.stack([np.asarray(v, dtype="float64") for v in pdf["emb"]])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cent = x[:_IVF_CELLS].copy()
+    for _ in range(_IVF_ITERS):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(_IVF_CELLS):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / np.linalg.norm(m)
+    return cent
+
+
+@register("sim_ann_ivf", oracle=None, tags=("similarity", "ann"))
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest-neighbor pairs via IVF (inverted-file) cells:
+    k-means centroids trained on a deterministic sample → every vector
+    assigned to its 2 nearest cells → per-cell equi-join candidates →
+    exact cosine verify ≥ 0.4.
+
+    Same scale shape as sim_ann_lsh (cost ~ Σ cell², join ships only
+    (id, cell) ints) but data-adaptive: cells follow the corpus density
+    instead of fixed random hyperplanes, which typically buys higher
+    recall per candidate at the price of a training pass. Rows-only check;
+    tests assert output ⊆ sim_cosine_pairs and recall ≥ 0.7.
+    """
+    e = _emb(spark, sf_dir)
+    bc = corpus_broadcast(e)
+    cent = _ivf_centroids(e)
+
+    def assign_cells(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.stack([np.asarray(v, dtype="float64") for v in pdf["emb"]])
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            # top-_IVF_PROBE cells per vector
+            order = np.argsort(-(qn @ cent.T), axis=1)[:, :_IVF_PROBE]
+            ids = pdf["vec_id"].to_numpy(dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, _IVF_PROBE),
+                    "cell": order.ravel().astype("int32"),
+                }
+            )
+
+    assigned = spread(e).mapInPandas(assign_cells, "vec_id bigint, cell int")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_pairs(cands, bc)

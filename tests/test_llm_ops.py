@@ -15,6 +15,13 @@ from gvcf_hbase_spark.registry import load_all
 SPECS = load_all()
 
 
+def test_ann_ivf_subset_and_recall(spark):
+    exact = {(r.id_a, r.id_b) for r in SPECS["sim_cosine_pairs"].fn(spark, SF_DIR).collect()}
+    ann = {(r.id_a, r.id_b) for r in SPECS["sim_ann_ivf"].fn(spark, SF_DIR).collect()}
+    assert ann <= exact
+    assert len(ann) / max(len(exact), 1) >= 0.7
+
+
 def test_ann_subset_and_recall(spark):
     """ANN output must be a subset of the exact pairs; recall on the
     fixture is deterministic (measured 0.95) — assert a safe floor."""
