@@ -55,6 +55,52 @@ def test_agg_is_partial_plus_final(spark):
     assert plan.count("HashAggregate") >= 2  # partial (map-side) + final
 
 
+def test_relational_paths_are_jvm_only(spark):
+    """No Python evaluation nodes in any relational/join/window/setop/
+    scalar-fn plan: the hot path must stay inside whole-stage codegen
+    (SURVEY §4). Python is allowed only where declared (similarity
+    scorers, UDF-surface queries, multimodal feature extraction)."""
+    python_ok = {
+        "sim_cosine_pairs", "sim_knn_topk", "sim_ann_lsh", "sim_ann_ivf",
+        "dedup_embedding_cosine", "udf_scalar", "udaf_grouped", "udtf_shingles",
+        "multimodal_features", "stream_stateful",
+    }
+    for key, spec in SPECS.items():
+        if key in python_ok or "streaming" in spec.tags:
+            continue
+        plan = explain_str(spec.fn(spark, SF_DIR))
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, (
+            f"{key}: unexpected Python boundary in plan"
+        )
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """Every join in the inventory must be equi/broadcast/range — a
+    CartesianProduct at 100 TB is a bug. join_cross is the one deliberate
+    exception (tiny dims, explicit crossJoin)."""
+    for key, spec in SPECS.items():
+        if key == "join_cross" or "streaming" in spec.tags:
+            continue
+        plan = explain_str(spec.fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, f"{key}: cartesian product in plan"
+
+
+def test_ssjoin_aggregates_partially(spark):
+    """dedup_ngram_jaccard's intersection count must map-side combine
+    before the shuffle (partial + final HashAggregate)."""
+    plan = explain_str(SPECS["dedup_ngram_jaccard"].fn(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_knn_ships_no_pairs(spark):
+    """sim_knn_topk must not materialize the n^2 pair space through a
+    join: one Python scorer stage over the spread corpus, no join nodes."""
+    plan = explain_str(SPECS["sim_knn_topk"].fn(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
+
+
 def test_approx_distinct_within_5pct(spark):
     o = load_table(spark, SF_DIR, "orders")
     rows = (
