@@ -102,6 +102,76 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# transformWithStateInPandas speaks protobuf to the JVM state server; the
+# module is importable without it, but any run crashes the driver worker.
+# Gate registration on the runtime dependency (environment rule: no pip).
+try:
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAS_TWS_RUNTIME = True
+except ImportError:  # pragma: no cover - depends on environment
+    HAS_TWS_RUNTIME = False
+
+
+def _register_tws(fn):
+    if HAS_TWS_RUNTIME:
+        return register("stream_stateful_tws", oracle=None, tags=("streaming", "gvcf"))(fn)
+    return fn
+
+
+@_register_tws
+def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same A9-descended per-user carry-forward as stream_stateful, on the
+    Spark 4 ``transformWithStateInPandas`` StatefulProcessor API (the
+    successor to applyInPandasWithState: typed value/list/map state in the
+    executor state store, timers, TTL). Rows-only; tests assert equality
+    with the applyInPandasWithState twin. Registered only when the
+    protobuf runtime TWS needs is importable."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", F.expr("ts div 1000").alias("ts_us_long"), "event_id", "event_type", "value"
+    )
+    out_schema = "event_id bigint, user_id bigint, last_purchase_value double"
+
+    class CarryForward(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last", "last double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            last = self._last.get()[0] if self._last.exists() else None
+            pdf = pd.concat(list(rows)).sort_values(["ts_us_long", "event_id"])
+            out_ids, out_vals = [], []
+            for _, r in pdf.iterrows():
+                if r["event_type"] == "purchase":
+                    last = float(r["value"])
+                out_ids.append(int(r["event_id"]))
+                out_vals.append(last)
+            self._last.update((last,))
+            yield pd.DataFrame(
+                {
+                    "event_id": out_ids,
+                    "user_id": user_id,
+                    "last_purchase_value": pd.array(out_vals, dtype="float64"),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    result = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=CarryForward(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="None",
+    )
+    return run_available_now(result, "append")
+
+
 @register("stream_stateful", oracle=None, tags=("streaming", "gvcf"))
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9-descended custom stateful operator: per-user carry-forward of

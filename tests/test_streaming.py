@@ -41,6 +41,22 @@ def test_session_batch_equals_stream(spark):
     _assert_same(batch, stream, "session")
 
 
+def test_stateful_apis_agree(spark):
+    """The applyInPandasWithState and transformWithStateInPandas
+    implementations of the per-user carry-forward must produce identical
+    results (same semantics, two state APIs). Skipped where the TWS
+    protobuf runtime is unavailable (this container lacks protobuf)."""
+    import pytest
+
+    from gvcf_hbase_spark.streaming.stream_ops import HAS_TWS_RUNTIME, stream_stateful_tws
+
+    if not HAS_TWS_RUNTIME:
+        pytest.skip("transformWithStateInPandas needs google.protobuf at runtime")
+    a = SPECS["stream_stateful"].fn(spark, SF_DIR)
+    b = stream_stateful_tws(spark, SF_DIR)
+    _assert_same(a, b, "stateful APIs")
+
+
 def test_watermark_output_is_subset_of_batch(spark):
     batch = {
         (r.window_start, r.event_type): r.cnt
