@@ -1,0 +1,349 @@
+"""Subqueries, HAVING, unpivot, and composite multi-join analytics.
+
+Reference parity: none of this exists upstream — tomwhite/gvcf-hbase is a
+storage/scan PoC with no query language (SURVEY §2A, recollection; local
+reference checkout was empty). This module is north-star surface: the SQL
+shapes an analytics user of the engine expects, each expressed the way
+Catalyst wants it (decorrelated joins/windows, not nested loops).
+
+Scale notes (100 TB):
+- Scalar subqueries become a broadcast of a 1-row aggregate — no shuffle of
+  the probe side, the filter stays in the scan stage.
+- IN-subqueries become left-semi joins; small build sides broadcast, so the
+  fact table is never shuffled.
+- Correlated scalar subqueries decorrelate into a window over the
+  correlation key — ONE shuffle by key instead of a per-row rescan
+  (the classic O(n^2) correlated-subquery trap).
+- The composite queries follow the TPC-H pattern: filter early (pushed
+  scans), broadcast the dimension chain, let partial aggregation shrink the
+  fact stream before its single shuffle, TakeOrdered for top-k.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast
+
+from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.sources.tables import load_table
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp_ntz")
+
+
+# ---------------------------------------------------------------------------
+# Subquery family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice FROM part
+    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part) + 5.0
+    """,
+    tags=("subquery",),
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: parts priced 5 units above the mean.
+    Additive margin (not multiplicative): fixture price ranges vary by SF
+    (900..919.9 at sf0.001, 900..999.9 at sf0.01+), and +5 selects a real
+    subset at every SF. Prices have 0.1 granularity, so every row sits
+    >=0.05 from the threshold — cross-engine avg drift (~1e-10) can't
+    flip the predicate (SURVEY §5.4 rule 4).
+
+    Spark plan: the 1-row aggregate broadcasts and the comparison runs
+    inside the probe-side scan stage — the big table is never shuffled.
+    """
+    p = load_table(spark, sf_dir, "part")
+    threshold = p.agg((F.avg("p_retailprice") + 5.0).alias("thr"))
+    return (
+        p.join(broadcast(threshold))
+        .filter(F.col("p_retailprice") > F.col("thr"))
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@register(
+    "subquery_in",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type LIKE 'PROMO%')
+    """,
+    tags=("subquery",),
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery -> left-semi join against the filtered dimension.
+
+    The PROMO subset of part is small -> broadcast semi join: each lineitem
+    partition probes a local hash set, zero fact-table shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    promo = load_table(spark, sf_dir, "part").filter(F.col("p_type").like("PROMO%"))
+    return li.join(
+        broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi"
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+
+@register(
+    "subquery_corr_scalar",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE o_totalprice > 1.05 * (
+        SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    tags=("subquery",),
+)
+def subquery_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated: orders >5% above their own
+    customer's average order value.
+
+    Spark plan: window avg over the correlation key — one shuffle by
+    o_custkey total, vs. the naive per-row rescan. (DuckDB's optimizer does
+    the equivalent rewrite on the oracle side.) The 5% margin keeps rows
+    off the float-equality boundary; output columns are raw (no computed
+    floats), so no rounding is needed.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 1.05 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS order_cnt, round(sum(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 15
+    """,
+    tags=("subquery", "agg"),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING): frequent customers.
+
+    In Spark, HAVING is just filter-after-agg; Catalyst keeps it above the
+    final aggregate (it references the aggregate output, so it cannot and
+    must not push below).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .filter(F.col("order_cnt") >= 15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+    """,
+    tags=("reshape",),
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long reshape (inverse of agg_pivot) via DataFrame.unpivot.
+
+    Narrow-scale note: unpivot multiplies rows by the number of value
+    columns but is a pure map-side op — no shuffle at any scale.
+    """
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "p_size", F.col("p_size").cast("double")
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite multi-join analytics (TPC-H-shaped, adapted to the reduced
+# fixture columns — FIXTURES.md is the schema source of truth)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1996-03-15'
+      AND l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("composite", "sql"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog (shipping priority), run through the SQL front end —
+    demonstrates spark.sql() over temp views is first-class alongside the
+    DataFrame API (same Catalyst plan either way).
+
+    Plan at scale: both filters push into the scans, the filtered customer
+    segment broadcasts onto orders, orders⋈lineitem is the one real
+    shuffle, partial agg shrinks it, TakeOrdered caps driver results at 10.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM v_customer
+        JOIN v_orders   ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP_NTZ '1996-03-15'
+          AND l_shipdate  > TIMESTAMP_NTZ '1996-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        LIMIT 10
+        """
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    tags=("composite",),
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog (local-supplier revenue by nation): the six-table
+    join with the c_nationkey = s_nationkey locality condition.
+
+    Plan at scale: region->nation->supplier/customer dimension chain all
+    broadcasts; orders⋈lineitem sort-merge/shuffle-hash on orderkey is the
+    single big shuffle; the locality predicate applies as a post-join
+    filter on two broadcast-joined columns. Group-by on 25 nations is a
+    near-free partial+final agg.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= _ts("1996-01-01"))
+            & (F.col("o_orderdate") < _ts("1997-01-01"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
+           round(c_acctbal, 2) AS acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    tags=("composite",),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog (returned-item reporting): top-20 customers by
+    revenue lost to returns in a quarter.
+
+    Plan at scale: returnflag + date filters push into both fact scans,
+    customer/nation broadcast, one orderkey shuffle, partial agg, then
+    TakeOrdered(20) with c_custkey as the deterministic tiebreaker.
+    Revenue is rounded to whole units: per-customer sums here are small
+    enough that cross-engine summation-order drift (~1e-10 relative) was
+    observed to land exactly on a cent-rounding boundary at sf0.01 —
+    integer granularity makes the boundary-hit probability negligible
+    (SURVEY §5.4 rule 4: keep rounding coarse enough).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= _ts("1996-01-01"))
+                & (F.col("o_orderdate") < _ts("1996-04-01"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )

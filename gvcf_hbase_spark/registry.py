@@ -38,6 +38,7 @@ _MODULES = [
     "gvcf_hbase_spark.operators.joins",
     "gvcf_hbase_spark.operators.windows",
     "gvcf_hbase_spark.operators.setops",
+    "gvcf_hbase_spark.operators.subqueries",
     "gvcf_hbase_spark.operators.scalar_fns",
     "gvcf_hbase_spark.operators.dedup",
     "gvcf_hbase_spark.operators.similarity",

@@ -133,3 +133,34 @@ def test_bulk_write_range_sorted_roundtrip(spark, tmp_path):
     # per-partition sortedness via a window-free spot check.
     sample = back.select("l_shipdate").limit(1).collect()
     assert sample
+
+
+def test_subquery_in_is_broadcast_semi(spark):
+    """IN-subquery must land as a broadcast semi join: the fact table is
+    probed in place, never shuffled."""
+    plan = explain_str(SPECS["subquery_in"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_subquery_corr_scalar_decorrelates_to_window(spark):
+    """Correlated scalar subquery must decorrelate: one window over the
+    correlation key, zero joins (the naive plan rescans orders per row)."""
+    plan = explain_str(SPECS["subquery_corr_scalar"].fn(spark, SF_DIR))
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_q5_dims_stay_broadcast_when_threshold_disabled(spark):
+    """The 100 TB shape of the six-table composite: explicit broadcast()
+    on the dimension chain survives autoBroadcastJoinThreshold=-1, so the
+    only shuffle join left is the orders⋈lineitem fact join (SMJ)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = explain_str(SPECS["q5_nation_revenue"].fn(spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") >= 4
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
