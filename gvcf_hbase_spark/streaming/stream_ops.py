@@ -102,6 +102,113 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _signup_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static dimension: each user's first signup time, computed batch-side.
+    At scale this is the offline-maintained dim table a stream enriches
+    against; small by construction -> broadcast into every micro-batch."""
+    from gvcf_hbase_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("signup_ts"))
+    )
+
+
+@register(
+    "stream_join_static",
+    oracle="""
+    SELECT e.event_id, e.user_id, s.signup_ts,
+           CAST(CAST(e.ts AS TIMESTAMP) AS DATE) AS purchase_day
+    FROM events e
+    JOIN (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ) s ON e.user_id = s.user_id
+    WHERE e.event_type = 'purchase'
+    """,
+    tags=("streaming", "join"),
+)
+def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the purchase stream with a broadcast
+    static dimension (per-user first signup). The static side is re-read
+    per micro-batch; no state store involved, so this is watermark-free
+    and the output is exactly the batch join — hence a full oracle (the
+    one streaming entry where that's sound)."""
+    dim = F.broadcast(_signup_dim(spark, sf_dir))
+    ev = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = ev.join(dim, "user_id").select(
+        "event_id",
+        "user_id",
+        "signup_ts",
+        F.to_date("ts_us").alias("purchase_day"),
+    )
+    return run_available_now(joined, "append")
+
+
+@register("stream_join_stream", oracle=None, tags=("streaming", "join"))
+def stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: purchases
+    within 1 hour after a click by the same user. Both sides carry
+    watermarks so the state store can evict rows once the range condition
+    can no longer match (click state lives <=1h + watermark). Rows-only
+    (join-state semantics aren't batch-SQL-expressible); the test asserts
+    equality with the batch theta-join twin."""
+    base = read_events_stream(spark, sf_dir).withColumn(
+        "ts_evt", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts_evt").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts_evt").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+    return run_available_now(joined, "append")
+
+
+def batch_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of stream_join_stream (same predicate on the batch
+    DataFrame) — the equivalence check lives in tests."""
+    from gvcf_hbase_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_us").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_us").alias("purchase_ts"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+
+
 # transformWithStateInPandas speaks protobuf to the JVM state server; the
 # module is importable without it, but any run crashes the driver worker.
 # Gate registration on the runtime dependency (environment rule: no pip).

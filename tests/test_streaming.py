@@ -87,3 +87,14 @@ def test_stateful_carry_forward_equals_batch_twin(spark):
     b = {(r.event_id): r.last_purchase_value for r in batch.collect()}
     assert len(s) == len(b)
     assert s == b
+
+
+def test_stream_stream_join_equals_batch_theta(spark):
+    """Stream-stream time-range join must equal the batch theta join with
+    the identical predicate (availableNow drains everything, so no rows
+    are lost to watermark eviction in this run)."""
+    from gvcf_hbase_spark.streaming.stream_ops import batch_click_purchase_join
+
+    batch = batch_click_purchase_join(spark, SF_DIR)
+    stream = SPECS["stream_join_stream"].fn(spark, SF_DIR)
+    _assert_same(batch, stream, "stream-stream join")
