@@ -1,0 +1,296 @@
+"""Training-data curation operators (beyond-reference mandate, SURVEY §2B.9
+family): the operations a large-scale LLM data pipeline runs after dedup —
+deterministic train/val splitting, per-source caps, scrubbing, token-budget
+batch packing, mixture weighting, and near-dup *clustering* (connected
+components over the verified pair graph).
+
+Scale notes (100 TB):
+- Every op here is a pure DataFrame composition — hash splits and scrubbing
+  are embarrassingly parallel map work; caps are a bounded per-key window;
+  packing uses the two-phase distributed prefix-sum (below) instead of a
+  single-partition global window; components is the iterative min-label
+  join, the standard Spark formulation (GraphFrames' connectedComponents
+  is the same idea with large-star/small-star optimizations that cut
+  rounds from O(diameter) to O(log n) — swap in beyond ~10^9 edges).
+- Determinism: splits and packs key on md5/doc_id, never on RNG or
+  partition ids (SURVEY §5.4 rule 6).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from gvcf_hbase_spark.functions.textfns import normalize_text
+from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.sources.tables import load_table
+
+# 12 of 16 first-hex-char buckets => deterministic ~75/25 split.
+_TRAIN_BUCKETS = list("0123456789ab")
+
+_PACK_BUDGET = 4096  # tokens per training batch
+_PACK_BUCKET_WIDTH = 100  # docs per prefix-sum bucket (tune to ~1 task each)
+
+_DOMAIN_CAP = 5
+
+
+@register(
+    "curate_hash_split",
+    oracle=f"""
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN ({",".join(f"'{b}'" for b in _TRAIN_BUCKETS)})
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents
+    """,
+    tags=("curation",),
+)
+def curate_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val split by hashing the stable document key:
+    first hex char of md5(doc_id) -> 16 buckets, 12 train / 4 val (~75/25).
+    Hash-based splits survive re-runs, repartitions, and incremental
+    appends (a new doc always lands in the same split) — unlike
+    ``df.randomSplit``, which is seed- and partitioning-dependent.
+    Embarrassingly parallel: no shuffle, pure map stage."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket.isin(_TRAIN_BUCKETS), "train").otherwise("val").alias("split"),
+    )
+
+
+@register(
+    "curate_domain_cap",
+    oracle=f"""
+    SELECT doc_id, source, n_chars, rn
+    FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= {_DOMAIN_CAP}
+    """,
+    tags=("curation", "window"),
+)
+def curate_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (web-data curation: no domain may dominate
+    the corpus): keep the top-N docs per source by length, deterministic
+    tiebreak on doc_id. One shuffle on ``source``; rank state per key is
+    O(1). Skewed domains (one source = half the corpus) are exactly the
+    rows this op deletes, so the skew reduces itself as it runs; for the
+    scan-side skew use AQE skew-join handling or pre-aggregate counts."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _DOMAIN_CAP)
+    )
+
+
+@register(
+    "curate_pii_scrub",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_hits
+    FROM events
+    """,
+    tags=("curation", "text"),
+)
+def curate_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern scrubbing (the PII-redaction shape: emails/phones/ids ->
+    placeholder tokens), demonstrated on the digit runs in ``events.props``
+    since the synthetic corpus carries no PII. JVM-side regex, no UDF; at
+    100 TB this is the map stage fused into whatever scan precedes it.
+    Keep patterns POSIX-simple — both engines must agree (SURVEY §2B.8)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("scrubbed"),
+        F.regexp_count("props", F.lit("[0-9]+")).cast("long").alias("n_hits"),
+    )
+
+
+@register(
+    "curate_pack_batches",
+    oracle=f"""
+    SELECT doc_id, n_tokens,
+           CAST(floor(CAST(cum - n_tokens AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
+             AS batch_id
+    FROM (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM (
+        SELECT doc_id,
+               CAST(len(string_split(lower(trim(regexp_replace(text, ' +', ' ', 'g'))), ' '))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+      )
+    )
+    """,
+    tags=("curation", "window"),
+)
+def curate_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget batch packing: lay documents out in doc_id order and
+    assign each to the training batch in which its token span *begins*
+    (budget is a soft cap — a straddling doc stays with the batch it
+    started in).
+
+    The naive formulation is ``sum() OVER (ORDER BY doc_id)`` — a single-
+    partition window, dead at scale. This is the distributed two-phase
+    prefix sum instead: bucket docs by ``doc_id div W``, cumsum within
+    each bucket (parallel, one window partition per bucket), then add the
+    bucket-prefix offsets (a window over ONE ROW PER BUCKET — thousands of
+    rows at 100 TB, trivially cheap). Result is bit-identical to the
+    global window; the oracle uses the naive form to prove it."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(normalize_text(F.col("text")), " ")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / _PACK_BUCKET_WIDTH).cast("long").alias("bkt"),
+    )
+    in_bkt = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = toks.withColumn("local_cum", F.sum("n_tokens").over(in_bkt))
+    # one row per bucket -> exclusive running offset of everything before it
+    bkt_tot = toks.groupBy("bkt").agg(F.sum("n_tokens").alias("bkt_sum"))
+    off_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bkt_tot.select(
+        "bkt", F.coalesce(F.sum("bkt_sum").over(off_w), F.lit(0)).alias("bkt_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "bkt")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(
+                (F.col("bkt_off") + F.col("local_cum") - F.col("n_tokens"))
+                .cast("double") / _PACK_BUDGET
+            ).cast("long").alias("batch_id"),
+        )
+    )
+
+
+@register(
+    "curate_mix_weights",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           round((CAST(t.total AS DOUBLE) / t.n_langs) / count(*), 6) AS weight
+    FROM documents
+    CROSS JOIN (SELECT count(*) AS total, count(DISTINCT lang) AS n_langs
+                FROM documents) t
+    GROUP BY lang, t.total, t.n_langs
+    """,
+    tags=("curation", "agg"),
+)
+def curate_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture re-weighting: per-language sampling weight that would flatten
+    the corpus to a uniform language mix (weight = target share / actual
+    share). Two tiny aggregates + a broadcast cross join — the per-group
+    counts are the only shuffle, and the totals row is one row."""
+    d = load_table(spark, sf_dir, "documents")
+    totals = d.agg(
+        F.count("*").alias("total"), F.countDistinct("lang").alias("n_langs")
+    )
+    return (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(
+                (F.col("total").cast("double") / F.col("n_langs")) / F.col("n_docs"), 6
+            ).alias("weight"),
+        )
+    )
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(l) - 1, 0) + 1),
+               i -> l[i] || ' ' || l[i+1])) AS grams
+      FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, ' +', ' ', 'g'))), ' ') AS l
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.6
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+    tags=("curation", "dedup", "iterative"),
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate *clustering*: connected components over the verified
+    ngram-Jaccard pair graph (dedup gives pairs; curation needs whole
+    groups so exactly one representative per group survives). cluster_id
+    = min doc_id in the component.
+
+    Spark-first iterative algorithm: min-label propagation. label(u)
+    starts as u; each round label(u) := min(label(u), min over neighbors'
+    labels); labels are monotone non-increasing, so sum(labels) strictly
+    decreases until the fixpoint — that single scalar agg is the
+    convergence test (no join-and-compare pass). Converges in O(graph
+    diameter) rounds; near-dup components are tiny and star-like, so 2–4
+    rounds in practice. localCheckpoint per round truncates the lineage
+    that would otherwise double each iteration. At ~10^9+ edges swap the
+    body for large-star/small-star (O(log n) rounds, same fixpoint). The
+    DuckDB oracle is the recursive-CTE transitive closure — brute force,
+    viable only at test SF, but an exact independent check."""
+    from gvcf_hbase_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .localCheckpoint()  # pairs come from the SSJoin plan — cut it once
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    prev_sum = None
+    for _ in range(20):
+        nb_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        labels = (
+            labels.join(nb_min, labels.node == nb_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
