@@ -164,3 +164,56 @@ def test_q5_dims_stay_broadcast_when_threshold_disabled(spark):
         assert "CartesianProduct" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_hive_partition_pruning(spark, tmp_path):
+    """A filter on a hive partition column must prune at plan time:
+    PartitionFilters in the scan and only the matching directory's files
+    actually read."""
+    from gvcf_hbase_spark.plans.layout import write_hive_partitioned
+
+    d = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_hive_partitioned(d, path, ["lang"], sort_keys=["doc_id"])
+    back = spark.read.parquet(path)
+    one = back.filter(F.col("lang") == "en")
+    plan = explain_str(one)
+    assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:80]
+    # the predicate must be a partition filter, not a data (pushed) filter
+    if "PushedFilters" in plan:
+        assert "lang" not in plan.split("PushedFilters")[1][:60]
+    # hive layout on disk: one directory per lang value
+    langs = {r.lang for r in d.select("lang").distinct().collect()}
+    assert {f"lang={l}" for l in langs} <= {
+        p.name for p in (tmp_path / "docs_by_lang").iterdir() if p.is_dir()
+    }
+    # pruned read still returns exactly the partition's rows
+    assert one.count() == d.filter(F.col("lang") == "en").count()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key must join with ZERO
+    Exchange (and zero Sort beyond what the bucket sort provides): the
+    write-once shuffle is amortized across every later join."""
+    from gvcf_hbase_spark.plans.layout import write_bucketed
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(spark, o, "t_orders_b", str(tmp_path / "ob"), ["o_orderkey"], 8)
+    write_bucketed(spark, li, "t_lineitem_b", str(tmp_path / "lb"), ["l_orderkey"], 8)
+    try:
+        ob, lb = spark.table("t_orders_b"), spark.table("t_lineitem_b")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+            plan = explain_str(j)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            # and it computes the same thing as the shuffle join
+            assert j.count() == o.join(li, o.o_orderkey == li.l_orderkey).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
