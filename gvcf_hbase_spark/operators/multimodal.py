@@ -119,3 +119,63 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).alias("n_tokens"),
         F.round(norm(as_double("embedding")), 6).alias("emb_norm"),
     )
+
+
+_FRAME_W = 32  # bytes per fake frame
+_FRAME_STRIDE = 4  # sample every 4th frame
+
+_FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, frame_md5 string, frame_len long"
+)
+
+
+def sample_frames(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas frame sampler over a binary column: chunk each payload
+    into fixed-width frames and keep every k-th (the video frame-sampling
+    shape — a real codec would replace the byte-slicing line only; the
+    Spark plumbing is identical). Emits one row per sampled frame with a
+    content fingerprint. Arrow batches stream executor→Python; nothing
+    per-row crosses the driver, and output fan-out (rows > input rows)
+    is natural to mapInPandas."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_md5": [], "frame_len": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(payload)
+                n_frames = -(-len(b) // _FRAME_W)  # ceil
+                for i in range(0, n_frames, _FRAME_STRIDE):
+                    frame = b[i * _FRAME_W : (i + 1) * _FRAME_W]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+                    out["frame_len"].append(len(frame))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, schema=_FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text, CAST(ceil(len(text) / {_FRAME_W}.0) AS BIGINT) AS nf
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+           md5(substr(text, CAST(i * {_FRAME_W} + 1 AS INT), {_FRAME_W})) AS frame_md5,
+           CAST(len(substr(text, CAST(i * {_FRAME_W} + 1 AS INT), {_FRAME_W})) AS BIGINT)
+             AS frame_len
+    FROM f, unnest(range(0, nf, {_FRAME_STRIDE})) AS t(i)
+    """,
+    tags=("multimodal", "udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling end-to-end on the fake-media payload (UTF-8 bytes of
+    ``text``): fixed 32-byte frames, every 4th kept. The oracle replays the
+    chunking with substr arithmetic — exact because the fixture is ASCII
+    (byte == char) and md5(utf8 bytes) is engine-portable."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return sample_frames(with_payload)
