@@ -103,9 +103,68 @@ _GVCF_ORACLE = r"""
 """
 
 
-def _register_source_query() -> None:
-    from gvcf_hbase_spark.registry import register
+def _fixture_lines(spark: SparkSession, sf_dir: str, span: int) -> DataFrame:
+    """Deterministic gVCF text lines derived from the orders fixture: every
+    third orderkey is a reference block spanning ``span`` positions past its
+    start (``END=``/``<NON_REF>`` in the line), the rest are single-position
+    variants. ``span=2`` keeps same-sample records non-overlapping (samples
+    are 4 apart on the key axis), which is the real-gVCF invariant the
+    per-position combine (A9) relies on."""
     from gvcf_hbase_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    pos = F.col("o_orderkey")
+    is_block = (pos % 3) == 0
+    line = F.concat_ws(
+        "\t",
+        F.concat(F.lit("chr"), (pos % 2 + 1).cast("string")),
+        pos.cast("string"),
+        F.lit("."),
+        F.lit("A"),
+        F.when(is_block, F.lit("<NON_REF>")).otherwise(F.lit("T,<NON_REF>")),
+        F.lit("50"),
+        F.lit("PASS"),
+        F.when(is_block, F.concat(F.lit("END="), (pos + span).cast("string"))).otherwise(
+            F.lit("DP=10")
+        ),
+        F.lit("GT:DP"),
+        F.when(is_block, F.lit("0/0:12")).otherwise(F.lit("0/1:15")),
+    )
+    return o.select(
+        F.concat(F.lit("s"), (pos % 4).cast("string")).alias("sample_id"),
+        line.alias("line"),
+    )
+
+
+_GVCF_COMBINE_ORACLE = r"""
+    WITH lines AS (
+      SELECT concat('s', o_orderkey % 4) AS sample_id,
+             concat('chr', 1 + o_orderkey % 2) AS contig,
+             o_orderkey AS start,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey + 2
+                  ELSE o_orderkey END AS fin,
+             CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE 1 END AS is_var,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'ref:0/0'
+                  ELSE 'A>T:0/1' END AS value
+      FROM orders
+    ),
+    expanded AS (
+      SELECT sample_id, contig, CAST(p AS BIGINT) AS pos, value, is_var
+      FROM lines, unnest(range(start, fin + 1)) AS t(p)
+    )
+    SELECT contig, pos,
+           string_agg(sample_id || '=' || value, '|' ORDER BY sample_id)
+             AS samples_flat,
+           COUNT(*) AS n_samples
+    FROM expanded
+    GROUP BY contig, pos
+    HAVING max(is_var) = 1
+"""
+
+
+def _register_source_queries() -> None:
+    from gvcf_hbase_spark.operators.gvcf import combine_positions
+    from gvcf_hbase_spark.registry import register
 
     @register("source_gvcf_lines", oracle=_GVCF_ORACLE, tags=("gvcf", "source"))
     def source_gvcf_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,32 +173,36 @@ def _register_source_query() -> None:
         then run them through the real line parser. The DuckDB oracle
         constructs and parses the same lines with independent string SQL,
         so the parser's field/END/allele semantics are cross-checked."""
-        o = load_table(spark, sf_dir, "orders").select("o_orderkey")
-        pos = F.col("o_orderkey")
-        is_block = (pos % 3) == 0
-        line = F.concat_ws(
-            "\t",
-            F.concat(F.lit("chr"), (pos % 2 + 1).cast("string")),
-            pos.cast("string"),
-            F.lit("."),
-            F.lit("A"),
-            F.when(is_block, F.lit("<NON_REF>")).otherwise(F.lit("T,<NON_REF>")),
-            F.lit("50"),
-            F.lit("PASS"),
-            F.when(is_block, F.concat(F.lit("END="), (pos + 9).cast("string"))).otherwise(
-                F.lit("DP=10")
-            ),
-            F.lit("GT:DP"),
-            F.when(is_block, F.lit("0/0:12")).otherwise(F.lit("0/1:15")),
+        return parse_gvcf_lines(_fixture_lines(spark, sf_dir, span=9))
+
+    @register("gvcf_combine", oracle=_GVCF_COMBINE_ORACLE, tags=("gvcf",))
+    def gvcf_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The reference's flagship query end-to-end (A1 -> A9 + A8): gVCF
+        text lines -> line parser -> per-position combine across samples,
+        variant-sites-only. The sample->value map is flattened to a sorted
+        'sample=value|...' string so the DuckDB oracle (which replays the
+        expansion with unnest(range) + string_agg) can hash-match it.
+
+        Scale shape: parse is codegen'd string ops over text splits; the
+        combine is one shuffle on (contig, pos) with partial aggregation —
+        the same plan at 100 TB, parallelized by range-partitioned input
+        instead of the reference's HBase region-aligned block splits (A4).
+        """
+        recs = parse_gvcf_lines(_fixture_lines(spark, sf_dir, span=2))
+        combined = combine_positions(recs, variant_col="is_variant", only_variant_sites=True)
+        entries = F.map_entries("samples")
+        flat = F.array_join(
+            F.transform(entries, lambda e: F.concat_ws("=", e["key"], e["value"])), "|"
         )
-        lines = o.select(
-            F.concat(F.lit("s"), (pos % 4).cast("string")).alias("sample_id"),
-            line.alias("line"),
+        return combined.select(
+            "contig",
+            "pos",
+            flat.alias("samples_flat"),
+            F.col("n_samples").cast("long").alias("n_samples"),
         )
-        return parse_gvcf_lines(lines)
 
 
-_register_source_query()
+_register_source_queries()
 
 
 def read_gvcf(spark: SparkSession, path: str, sample_id: str) -> DataFrame:
