@@ -21,6 +21,7 @@ from gvcf_hbase_spark.session import get_spark
 # Headline set: one representative per operator family; filtered to what
 # the registry currently implements so bench stays runnable mid-build.
 HEADLINE = [
+    "gvcf_combine",
     "scan_range_key",
     "agg_group",
     "agg_grouping_sets",

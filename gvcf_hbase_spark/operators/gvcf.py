@@ -65,6 +65,7 @@ def combine_positions(
     value_col: str = "value",
     variant_col: str | None = None,
     only_variant_sites: bool = False,
+    flat: bool = False,
 ) -> DataFrame:
     """A9: per-position combine across samples.
 
@@ -78,6 +79,13 @@ def combine_positions(
     one sample's covering record is a variant — but still report *all*
     samples' records at those positions, which is exactly the per-position
     alignment the reference scans for.
+
+    With ``flat``, emit ``samples_flat: string`` — the sorted
+    ``sample=value|...`` join — instead of the map. This path is all
+    native JVM expressions (concat_ws/sort_array/array_join, no
+    higher-order lambdas, no map build), so it codegens tighter; prefer
+    it when the consumer wants a fingerprintable/printable row anyway
+    (A10's stringify user function is exactly that).
     """
     pos = expand_blocks(intervals, start=start, end=end)
     is_var = (
@@ -85,12 +93,20 @@ def combine_positions(
         if variant_col
         else F.lit(None).alias("__any_variant")
     )
+    samples = (
+        F.array_join(
+            F.sort_array(F.collect_list(F.concat_ws("=", F.col(sample_col), F.col(value_col)))),
+            "|",
+        ).alias("samples_flat")
+        if flat
+        else F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(F.col(sample_col), F.col(value_col))))
+        ).alias("samples")
+    )
     combined = (
         pos.groupBy(contig_col, "pos")
         .agg(
-            F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct(F.col(sample_col), F.col(value_col))))
-            ).alias("samples"),
+            samples,
             F.count(sample_col).alias("n_samples"),
             is_var,
         )

@@ -153,8 +153,8 @@ _GVCF_COMBINE_ORACLE = r"""
       FROM lines, unnest(range(start, fin + 1)) AS t(p)
     )
     SELECT contig, pos,
-           string_agg(sample_id || '=' || value, '|' ORDER BY sample_id)
-             AS samples_flat,
+           string_agg(sample_id || '=' || value, '|'
+                      ORDER BY sample_id || '=' || value) AS samples_flat,
            COUNT(*) AS n_samples
     FROM expanded
     GROUP BY contig, pos
@@ -187,17 +187,17 @@ def _register_source_queries() -> None:
         combine is one shuffle on (contig, pos) with partial aggregation —
         the same plan at 100 TB, parallelized by range-partitioned input
         instead of the reference's HBase region-aligned block splits (A4).
+        ``flat=True`` keeps the whole query in native JVM expressions (no
+        map build, no higher-order lambdas).
         """
         recs = parse_gvcf_lines(_fixture_lines(spark, sf_dir, span=2))
-        combined = combine_positions(recs, variant_col="is_variant", only_variant_sites=True)
-        entries = F.map_entries("samples")
-        flat = F.array_join(
-            F.transform(entries, lambda e: F.concat_ws("=", e["key"], e["value"])), "|"
+        combined = combine_positions(
+            recs, variant_col="is_variant", only_variant_sites=True, flat=True
         )
         return combined.select(
             "contig",
             "pos",
-            flat.alias("samples_flat"),
+            "samples_flat",
             F.col("n_samples").cast("long").alias("n_samples"),
         )
 
