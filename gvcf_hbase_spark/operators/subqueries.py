@@ -347,3 +347,125 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 1) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey
+        AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey
+        AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("composite",),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog (volume shipping): bilateral trade volume between
+    two nations by year. Exercises the same dimension table joined twice
+    under different roles (supplier nation vs customer nation) plus a
+    disjunctive cross-role predicate.
+
+    Plan at scale: both nation roles broadcast (two BroadcastHashJoins on
+    an already-broadcast 25-row dim — zero shuffle added); the
+    orderkey-equi join of the date-pruned lineitem scan against orders is
+    the single shuffle; the OR predicate evaluates post-broadcast in the
+    same codegen stage, so no fact row is shuffled twice.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.filter(F.col("l_shipdate").between(_ts("1995-01-01"), _ts("1996-12-31")))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 1).alias("revenue"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS totalprice, sum(l_quantity) AS qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+      )
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 100
+    """,
+    tags=("composite",),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog (large-volume customers): orders whose total line
+    quantity exceeds a threshold — a HAVING-subquery semi-join back onto
+    the same fact table.
+
+    Plan at scale: the HAVING aggregate and the outer per-order aggregate
+    both key on l_orderkey, so with AQE the two aggregations reuse one
+    shuffle of lineitem; the qualifying-orderkey set is tiny (top ~0.1%)
+    and broadcasts as a left-semi build side; customer broadcasts onto the
+    filtered orders. Nothing shuffles twice.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(broadcast(big), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
