@@ -294,3 +294,49 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# lang -> how many of the 16 md5 first-hex-char buckets to keep.
+# Downsamples the dominant language toward a more uniform mixture while
+# keeping every decision a pure function of (lang, doc_id).
+_STRATA_BUCKETS = {"en": 4, "zh": 8}
+_STRATA_DEFAULT = 16
+_HEX = "0123456789abcdef"
+
+
+def _keep_chars(n: int) -> list[str]:
+    return list(_HEX[:n])
+
+
+@register(
+    "curate_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+    FROM documents
+    WHERE CASE
+            WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                 IN ({",".join(f"'{b}'" for b in _keep_chars(_STRATA_BUCKETS["en"]))})
+            WHEN lang = 'zh' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                 IN ({",".join(f"'{b}'" for b in _keep_chars(_STRATA_BUCKETS["zh"]))})
+            ELSE TRUE
+          END
+    """,
+    tags=("curation",),
+)
+def curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language: keep the first
+    ``rate``/16 md5 buckets per stratum (en -> 4/16, zh -> 8/16, rest
+    kept whole). The sampling decision is a pure function of the stable
+    doc key, so re-runs and incremental appends sample consistently —
+    the property ``df.sampleBy`` (seeded RNG over partition order) does
+    not give you. Pure map stage, no shuffle; at 100 TB this fuses into
+    the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = F.when(
+        F.col("lang") == "en", bucket.isin(_keep_chars(_STRATA_BUCKETS["en"]))
+    ).when(
+        F.col("lang") == "zh", bucket.isin(_keep_chars(_STRATA_BUCKETS["zh"]))
+    ).otherwise(F.lit(True))
+    return d.select("doc_id", "lang", bucket.alias("bucket")).filter(keep)

@@ -309,3 +309,68 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.ts_us_long").alias("purchase_ts_us"),
         F.col("r.ts_us_long").alias("signup_ts_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reusable operator: salted join for skewed keys
+# ---------------------------------------------------------------------------
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    skewed_key: str,
+    other_key: str,
+    salt_from: list[str],
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed`` has hot keys: spread each key over
+    ``buckets`` sub-keys by salting the skewed side with a deterministic
+    hash of ``salt_from`` columns, and replicating ``other`` once per salt
+    value. Join runs on (key, salt), so one hot key's rows land in
+    ``buckets`` different shuffle partitions instead of one straggler.
+
+    Result is row-identical to the plain join (salt only routes rows).
+    Cost: ``other`` is shuffled ``buckets``x — use for medium-sized right
+    sides that are too big to broadcast; for broadcast-able dims use
+    F.broadcast, and for sort-merge joins prefer AQE's runtime skew split
+    (spark.sql.adaptive.skewJoin.*), which needs no replication. Salting
+    is the pre-planned, engine-portable fallback — and the only option
+    when the skew is in a groupBy (salt, partial-agg, final-agg).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_from]), F.lit(buckets)).cast("int")
+    left = skewed.withColumn("__salt", salt)
+    right = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    cond = (left[skewed_key] == right[other_key]) & (left["__salt"] == right["__salt"])
+    return left.join(right, cond, how).drop("__salt")
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, round(o_totalprice, 2) AS totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient orders⋈customer via salting: per-row deterministic
+    salt on the fact side (xxhash64 of the unique orderkey), customer
+    replicated 8x with a generated salt column. The oracle is the PLAIN
+    join — salting must not change a single row, which is exactly what
+    the hash-match proves. At 100 TB this pattern de-stragglers a join
+    against a power-law customer distribution when the dim side is too
+    large to broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return salted_join(
+        o, c, "o_custkey", "c_custkey", salt_from=["o_orderkey"], buckets=8
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "c_name",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
