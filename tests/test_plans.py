@@ -63,7 +63,7 @@ def test_relational_paths_are_jvm_only(spark):
     python_ok = {
         "sim_cosine_pairs", "sim_knn_topk", "sim_ann_lsh", "sim_ann_ivf",
         "dedup_embedding_cosine", "udf_scalar", "udaf_grouped", "udtf_shingles",
-        "multimodal_features", "stream_stateful",
+        "multimodal_features", "multimodal_frame_sample", "stream_stateful",
     }
     for key, spec in SPECS.items():
         if key in python_ok or "streaming" in spec.tags:
@@ -217,3 +217,47 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_gvcf_combine_aggregates_partially(spark):
+    """The flagship A9 combine must map-side combine before its single
+    (contig, pos) shuffle, and stay JVM-only end to end."""
+    plan = explain_str(SPECS["gvcf_combine"].fn(spark, SF_DIR))
+    assert "ObjectHashAggregate" in plan or plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange (") == 1, plan  # tree line only, not detail header
+
+
+def test_q18_having_semi_join_broadcasts(spark):
+    """Q18's qualifying-orderkey set (top ~0.1% of orders) must probe the
+    fact table as a broadcast left-semi join, never shuffle it."""
+    plan = explain_str(SPECS["q18_large_orders"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_q7_dims_stay_broadcast_when_threshold_disabled(spark):
+    """Q7 joins nation twice under two roles plus supplier/customer — all
+    four must stay broadcast under threshold=-1 (explicit broadcast());
+    the one shuffle join left is lineitem⋈orders."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = explain_str(SPECS["q7_volume_shipping"].fn(spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") >= 4
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_shuffles_on_salt(spark):
+    """With broadcast disabled, the salted join must (a) replicate the dim
+    via a Generate (explode) and (b) include __salt in both shuffle keys —
+    that routing is the whole point of the operator."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = explain_str(SPECS["join_skew_salted"].fn(spark, SF_DIR))
+        assert "Generate" in plan
+        assert plan.count("__salt") >= 2
+        assert "hashpartitioning" in plan and "__salt" in plan.split("hashpartitioning", 1)[1]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
