@@ -51,8 +51,11 @@ def main() -> None:
     keys = [k for k in HEADLINE if k in specs]
 
     spark = get_spark("gvcf-hbase-spark-bench")
-    # Warm up the JVM / parquet footer caches off the clock.
-    specs["agg_group"].fn(spark, sf_dir).count()
+    # Warm up off the clock: run every headline query once so JIT, parquet
+    # footer caches, and file listings don't land in the first timed run
+    # (best-of-2 then measures steady state, not cold start).
+    for k in keys:
+        run_once(specs[k].fn(spark, sf_dir))
 
     times: dict[str, float] = {}
     for k in keys:

@@ -289,6 +289,40 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_percentile", oracle=None, tags=("agg", "approx"))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quartiles (KLL-style t-digest/GK summary): the
+    bounded-memory, mergeable alternative to exact F.percentile — at
+    100 TB the exact sort-based percentile shuffles the whole column,
+    while the approx summary is O(1/accuracy) per partition and merges
+    map-side. No oracle (summaries differ across engines — SURVEY §5.4
+    rule 7); tests bound the error against the exact quartiles."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_percentile(
+            "o_totalprice", F.lit([0.25, 0.5, 0.75]), F.lit(10_000)
+        ).alias("quartiles_approx")
+    )
+
+
+@register("agg_hll_sketch_merge", oracle=None, tags=("agg", "approx"))
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable-sketch rollup — the 100 TB cardinality
+    pattern: build HLL sketches at fine grain (status, priority), then
+    hll_union_agg them to the coarse grain WITHOUT rescanning the fact
+    table. This is what approx_count_distinct can't do (its sketch is
+    consumed by its own query); persisted fine-grain sketches answer any
+    coarser rollup later. Rows-only (binary sketches are engine-specific);
+    tests bound the estimate against exact countDistinct."""
+    o = load_table(spark, sf_dir, "orders")
+    fine = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    return fine.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_cust_cnt")
+    )
+
+
 @register(
     "agg_grouping_sets",
     oracle="""

@@ -261,3 +261,36 @@ def test_salted_join_shuffles_on_salt(spark):
         assert "hashpartitioning" in plan and "__salt" in plan.split("hashpartitioning", 1)[1]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_approx_percentile_close_to_exact(spark):
+    rows = (
+        SPECS["agg_approx_percentile"].fn(spark, SF_DIR)
+        .join(
+            load_table(spark, SF_DIR, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.percentile("o_totalprice", F.lit([0.25, 0.5, 0.75])).alias("exact")),
+            "o_orderstatus",
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        for a, e in zip(r.quartiles_approx, r.exact):
+            assert abs(a - e) / e < 0.02, r
+
+
+def test_hll_sketch_merge_close_to_exact(spark):
+    rows = (
+        SPECS["agg_hll_sketch_merge"].fn(spark, SF_DIR)
+        .join(
+            load_table(spark, SF_DIR, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.countDistinct("o_custkey").alias("exact")),
+            "o_orderstatus",
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx_cust_cnt - r.exact) / r.exact < 0.05, r
