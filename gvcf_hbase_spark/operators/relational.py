@@ -105,6 +105,45 @@ def source_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_csv_inline",
+    oracle="""
+    WITH lines AS (
+      SELECT c_custkey,
+             concat_ws(',', CAST(c_custkey AS VARCHAR), c_mktsegment,
+                       CAST(round(c_acctbal, 2) AS VARCHAR)) AS line
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(split_part(line, ',', 1) AS BIGINT) AS k,
+           split_part(line, ',', 2) AS segment,
+           CAST(split_part(line, ',', 3) AS DOUBLE) AS balance
+    FROM lines
+    """,
+    tags=("scan", "source"),
+)
+def source_csv_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited-text ingestion via from_csv (the schema-on-read twin of
+    source_json_props; same machinery as spark.read.csv over files, run
+    column-side so the oracle can rebuild identical lines). Single parse
+    per row into a struct, JVM-side, no UDF; at 100 TB this is the map
+    stage of a CSV data lake ingest, fused into the scan."""
+    c = load_table(spark, sf_dir, "customer")
+    line = F.concat_ws(
+        ",",
+        F.col("c_custkey").cast("string"),
+        F.col("c_mktsegment"),
+        F.round("c_acctbal", 2).cast("string"),
+    )
+    parsed = F.from_csv(line, "k BIGINT, segment STRING, balance DOUBLE")
+    return c.select(
+        "c_custkey",
+        parsed.getField("k").alias("k"),
+        parsed.getField("segment").alias("segment"),
+        parsed.getField("balance").alias("balance"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 2B.2 Projections / filters / predicates
 # ---------------------------------------------------------------------------
