@@ -323,3 +323,60 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_available_now(result, "append")
+
+
+_TUMBLING_ORACLE = """
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*) AS cnt,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+@register("stream_foreach_batch_upsert", oracle=_TUMBLING_ORACLE, tags=("streaming",))
+def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert sink — the production pattern for streaming
+    into a keyed table: the tumbling aggregation runs in update mode, and
+    each micro-batch OVERWRITES exactly the partitions of the keys it
+    updated (dynamic partition overwrite, partition = update key). Batch
+    replay is idempotent — rewriting a key's partition with its new total
+    is a no-op on retry — which is what makes the sink exactly-once
+    end-to-end on top of at-least-once batch delivery.
+
+    Unusually for a streaming-only entry this one IS oracle-checked: the
+    final upserted table must equal the batch tumbling aggregation,
+    whatever the micro-batching was.
+
+    At 100 TB: swap the parquet dir for a transactional table format's
+    MERGE (the partition-overwrite trick is the format-free equivalent);
+    state store holds one running agg per (window, type) key.
+    """
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="gvcf_upsert_sink_")
+    ckpt_dir = tempfile.mkdtemp(prefix="gvcf_upsert_ckpt_")
+
+    agg = tumbling_agg(read_events_stream(spark, sf_dir)).withColumn(
+        "wpart", F.date_format("window_start", "yyyy-MM-dd-HH")
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("wpart", "event_type")
+            .parquet(out_dir)
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "window_start", "event_type", "cnt", "total_value"
+    )
