@@ -225,3 +225,60 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.sha2(F.col("text"), 256).alias("text_sha256"),
     )
+
+
+@register(
+    "fn_map_ops",
+    oracle="""
+    WITH ks AS (
+      SELECT doc_id,
+             list_sort(list_distinct(string_split(text, ' ')))[1:3] AS keys3
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(keys3) AS INT) AS n_entries,
+           keys3 AS keys_sorted,
+           CAST(length(keys3[1]) AS INT) AS first_key_len
+    FROM ks
+    """,
+    tags=("fn", "map"),
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a token->length map per document
+    (map_from_arrays), then size / map_keys / element_at lookups — the
+    dynamic-schema cell model the reference gets from HBase qualifiers
+    (SURVEY §1.1), expressed as a first-class Spark type. The oracle
+    recomputes the flattened outputs independently (DuckDB's map
+    extraction returns lists, so the check targets values, not the map
+    mechanism). All JVM-side; maps stay inside Tungsten rows — no
+    shuffle added."""
+    d = load_table(spark, sf_dir, "documents")
+    keys3 = F.slice(F.sort_array(F.array_distinct(F.split("text", " "))), 1, 3)
+    m = F.map_from_arrays(keys3, F.transform(keys3, lambda t: F.length(t)))
+    return d.select(
+        "doc_id",
+        F.size(m).alias("n_entries"),
+        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.element_at(m, F.element_at(F.sort_array(F.map_keys(m)), 1)).alias("first_key_len"),
+    )
+
+
+@register(
+    "fn_explode_pos",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS pos, string_split(text, ' ')[i] AS tok
+    FROM documents,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS u(i)
+    """,
+    tags=("fn", "array"),
+)
+def fn_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal expansion (posexplode): one row per token with its
+    1-based position — the row-generator the gVCF block expansion
+    (win_expand_blocks) and the shingle UDTF are built on. Generate is
+    pipelined inside the scan stage: no shuffle, output fan-out scales
+    with data not with driver memory."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "tok")
