@@ -383,6 +383,31 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+             AS gid
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (all 2^k grouping sets) + grouping_id to disambiguate which
+    dimensions each subtotal row aggregates away. One Expand node fans
+    each input row into its 4 grouping sets before one partial+final
+    aggregate — no extra shuffles versus a plain group-by."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+@register(
     "agg_stats",
     oracle="""
     SELECT l_returnflag,

@@ -85,3 +85,22 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_orderpriority").alias("prio"))
     b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("prio"))
     return a.exceptAll(b)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_orderpriority AS prio FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_orderpriority AS prio FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("setop",),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection (min of multiplicities) — intersectAll; the
+    multiplicity bookkeeping plans as an aggregate of per-side counts,
+    one shuffle per side on the full row key."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_orderpriority").alias("prio"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("prio"))
+    return a.intersectAll(b)

@@ -232,3 +232,33 @@ def win_expand_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", F.explode(F.sequence(start, end)).alias("pos")
     )
+
+
+@register(
+    "win_nth_value",
+    oracle="""
+    SELECT event_id, user_id,
+           nth_value(value, 2) OVER w AS second_value,
+           last_value(event_type) OVER w AS last_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value / last_value over the WHOLE partition (explicit unbounded
+    frame — the default frame stops at CURRENT ROW, which is the classic
+    last_value trap on both engines)."""
+    ev = _events_us(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us_long", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.nth_value("value", 2).over(w).alias("second_value"),
+        F.last("event_type").over(w).alias("last_type"),
+    )
