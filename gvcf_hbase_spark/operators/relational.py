@@ -556,3 +556,58 @@ def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pagination over a total order (o_orderkey is unique)."""
     o = load_table(spark, sf_dir, "orders")
     return o.select("o_orderkey", "o_totalprice").orderBy("o_orderkey").offset(100).limit(50)
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_totalprice > 300000) AS n_big,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+             AS urgent_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates (count_if / bool_and / bool_or / filtered
+    sum) — one pass, no self-joins: each predicate evaluates inside the
+    same partial+final hash aggregate, so N conditions cost one scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 300000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.round(
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))),
+            2,
+        ).alias("urgent_total"),
+    )
+
+
+@register(
+    "topk_keyset_page",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_orderkey > 5000
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+    tags=("sort",),
+)
+def topk_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination: resume from the last seen key instead of
+    OFFSET. The predicate pushes into the parquet scan (row groups below
+    the key skip entirely), then TakeOrdered caps at page size — O(page)
+    work per page, where limit_offset's OFFSET must still sort-and-skip
+    all preceding rows. The scalable pager at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") > 5000)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
