@@ -340,3 +340,113 @@ def curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang") == "zh", bucket.isin(_keep_chars(_STRATA_BUCKETS["zh"]))
     ).otherwise(F.lit(True))
     return d.select("doc_id", "lang", bucket.alias("bucket")).filter(keep)
+
+
+@register(
+    "agg_skew_salted",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           round(sum(value), 1) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("curation", "agg", "skew"),
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed group keys (the groupBy
+    face of joins.salted_join): phase 1 aggregates by (key, salt-of-16)
+    so one hot key's rows spread over 16 reducers, phase 2 merges the 16
+    partials per key. The oracle is the PLAIN single-phase aggregate —
+    salting must be algebraically invisible, which the hash-match proves.
+    Only needed when a single group key dominates (power-law event types);
+    sums/counts re-aggregate losslessly, and mergeable sketches
+    (agg_hll_sketch_merge) extend the same trick to distinct-counts."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("__salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count("*").alias("c"), F.sum("value").alias("v")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("c").alias("cnt"),
+        F.round(F.sum("v"), 1).alias("total_value"),
+    )
+
+
+@register(
+    "curate_pipeline_e2e",
+    oracle=f"""
+    WITH surv AS (
+      SELECT doc_id, lang, source, n_chars
+      FROM (
+        SELECT doc_id, lang, source, n_chars,
+               min(doc_id) OVER (
+                 PARTITION BY md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
+               ) AS keep_id
+        FROM documents
+      ) WHERE doc_id = keep_id
+    ),
+    capped AS (
+      SELECT doc_id, lang, source
+      FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM surv
+      ) WHERE rn <= {_DOMAIN_CAP}
+    ),
+    sampled AS (
+      SELECT doc_id, lang, source
+      FROM capped
+      WHERE CASE
+              WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3')
+              WHEN lang = 'zh' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              ELSE TRUE
+            END
+    )
+    SELECT doc_id, lang, source,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                THEN 'train' ELSE 'val' END AS split
+    FROM sampled
+    """,
+    tags=("curation", "composite"),
+)
+def curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE declarative plan: exact-dedup
+    survivors → per-source cap → stratified language sample → hash split.
+    Catalyst fuses the four stages into two window shuffles (fingerprint,
+    source) plus map-side filters — no intermediate materialization, no
+    driver round-trips; the oracle replays all four stages in one SQL
+    statement. This is the shape a 100 TB curation run actually executes:
+    each stage is a pure function of the row and its window, so the plan
+    streams."""
+    from gvcf_hbase_spark.functions.textfns import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    w_fp = Window.partitionBy(F.md5(normalize_text(F.col("text"))))
+    surv = (
+        d.withColumn("keep_id", F.min("doc_id").over(w_fp))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+    w_cap = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    capped = (
+        surv.withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= _DOMAIN_CAP)
+        .select("doc_id", "lang", "source")
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = F.when(
+        F.col("lang") == "en", bucket.isin(_keep_chars(_STRATA_BUCKETS["en"]))
+    ).when(
+        F.col("lang") == "zh", bucket.isin(_keep_chars(_STRATA_BUCKETS["zh"]))
+    ).otherwise(F.lit(True))
+    sampled = capped.filter(keep)
+    return sampled.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(bucket.isin(_TRAIN_BUCKETS), "train").otherwise("val").alias("split"),
+    )
