@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_near_minhash",
     "sim_knn_topk",
     "text_tfidf",
+    "curate_pipeline_e2e",
     "stream_tumbling",
 ]
 
