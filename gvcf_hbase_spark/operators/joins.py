@@ -374,3 +374,38 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         F.round("o_totalprice", 2).alias("totalprice"),
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH e AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'view' THEN NULL ELSE event_type END AS et
+      FROM events
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.et
+    FROM e a JOIN e b
+      ON a.et IS NOT DISTINCT FROM b.et
+     AND a.event_id < b.event_id
+     AND a.event_id % 97 = 0 AND b.event_id % 89 = 0
+    """,
+    tags=("join",),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics needed when
+    NULL is a real category (here: 'view' events nulled out). Planned as
+    a hash join on the null-safe key like any equi-join; the sampling
+    predicates keep the demo's NULL×NULL fan-out bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "view", None).otherwise(F.col("event_type")).alias("et"),
+    )
+    a = e.filter(F.col("event_id") % 97 == 0).alias("a")
+    b = e.filter(F.col("event_id") % 89 == 0).alias("b")
+    return (
+        a.join(b, F.col("a.et").eqNullSafe(F.col("b.et")) & (F.col("a.event_id") < F.col("b.event_id")))
+        .select(F.col("a.event_id").alias("id_a"), F.col("b.event_id").alias("id_b"), F.col("a.et").alias("et"))
+    )

@@ -282,3 +282,39 @@ def fn_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "tok")
+
+
+@register(
+    "fn_struct_ops",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           round(o_totalprice, 2) AS price,
+           o_orderstatus || ':' || CAST(round(o_totalprice, 2) AS VARCHAR) AS packed
+    FROM orders
+    WHERE o_totalprice > 350000
+    """,
+    tags=("fn", "struct"),
+)
+def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StructType surface: pack columns into a struct (the engine's A3
+    'encoded record' — SURVEY §2A: schema replaces byte encoding), access
+    fields back out, and serialize deterministically. The struct lives
+    inside the Tungsten row; packing/unpacking is free projection, which
+    is exactly why the Spark data model needs no HBase-style cell
+    encoder."""
+    o = load_table(spark, sf_dir, "orders")
+    rec = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    return (
+        o.filter(F.col("o_totalprice") > 350000)
+        .withColumn("rec", rec)
+        .select(
+            "o_orderkey",
+            F.col("rec.status").alias("status"),
+            F.col("rec.price").alias("price"),
+            F.concat_ws(":", F.col("rec.status"), F.col("rec.price").cast("string")).alias("packed"),
+        )
+    )
