@@ -574,3 +574,344 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_pct")
         )
     )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("composite",),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog (customer distribution): how many customers placed
+    0, 1, 2, ... non-urgent orders. The double aggregation after a left
+    outer join: the outer join preserves order-less customers (c_count=0
+    via count of the null-extended key), the first groupBy shuffles on
+    c_custkey, the second is tiny (distinct counts only). At 100 TB the
+    first agg dominates; the orders-side predicate prunes before the join
+    so the shuffle carries only surviving orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))
+    """,
+    tags=("composite",),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog (discounted revenue): OR-of-ANDs across BOTH join
+    sides. The disjunction cannot be pushed below the join as-is; Catalyst
+    instead derives the implied per-side filters (brand IN the 3 brands,
+    size <= 15, quantity <= 30) and pushes THOSE, keeping the full
+    residual on the join. part broadcasts; one conditional aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    disj = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#24") & s.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(disj)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    tags=("composite",),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog (top supplier): the supplier(s) with max quarterly
+    revenue. The max-of-aggregate is a 1-row broadcast back onto the same
+    aggregate — Spark computes `revenue` once per branch but both branches
+    share the scan stage; the equality compares the ROUNDED sums on both
+    sides identically (SURVEY §5.4 rule 4), so cross-engine ulp drift in
+    the unrounded double cannot flip the argmax."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("composite",),
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog (part/supplier relationship): distinct supplier
+    count per surviving (brand, type, size). No partsupp table in the
+    fixture corpus, so lineitem is the part-supplier bridge (same plan
+    shape, bigger fact). The NOT IN over negative-balance suppliers is a
+    broadcast anti join (keys are non-null, so NOT IN == anti); the part
+    predicate prunes before its broadcast; count(DISTINCT) expands to the
+    two-level agg Spark plans automatically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name,
+           l_extendedprice AS min_price
+    FROM lineitem l
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_type = 'ECONOMY' AND p_size = 15
+      AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+                             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    tags=("composite",),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog (minimum cost supplier): for each part in a
+    type/size subset, the supplier(s) selling it at the minimum price
+    (lineitem stands in for partsupp). The correlated min decorrelates to
+    a window min over l_partkey — ONE shuffle by partkey instead of a
+    per-row rescan; the equality compares a raw stored double against the
+    min picked from the same set (no arithmetic), so it is drift-free.
+    DISTINCT collapses a supplier hitting the min price repeatedly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") == 15)
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .withColumn("min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .join(broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "min_price")
+        .distinct()
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS part_value
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+    WHERE s_nationkey IN (1, 2, 3)
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * l_quantity) >
+           (SELECT sum(l_extendedprice * l_quantity) * 0.001
+            FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+            WHERE s_nationkey IN (1, 2, 3))
+    """,
+    tags=("composite",),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (important stock): parts whose traded value within
+    a nation group exceeds a fraction of the group total. Share-of-total
+    HAVING: the grand total is a 1-row broadcast onto the per-part
+    aggregate, so the fact stream shuffles once (by partkey) and the
+    HAVING evaluates post-agg with no second pass. The filter compares
+    unrounded sums on both engines; the displayed value rounds to 2."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin(1, 2, 3))
+        .select("s_suppkey")
+    )
+    base = li.join(broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey")).select(
+        "l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("val")
+    )
+    per_part = base.groupBy("l_partkey").agg(F.sum("val").alias("raw_value"))
+    total = base.agg((F.sum("val") * 0.001).alias("thr"))
+    return (
+        per_part.join(broadcast(total))
+        .filter(F.col("raw_value") > F.col("thr"))
+        .select("l_partkey", F.round("raw_value", 2).alias("part_value"))
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > CAST(o_orderdate AS TIMESTAMP) + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > CAST(o3.o_orderdate AS TIMESTAMP) + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 100
+    """,
+    tags=("composite",),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog (suppliers who kept orders waiting): in finished
+    multi-supplier orders, the supplier whose lineitem shipped >90 days
+    after the order date while every OTHER supplier shipped on time
+    (l_shipdate stands in for the missing commit/receipt dates). The
+    EXISTS / NOT EXISTS pair compiles to a semi join then an anti join on
+    the same orderkey — all three legs shuffle on l_orderkey, so AQE can
+    reuse the exchange; s_name arrives via broadcast at the end. The
+    top-100 carries a full tiebreaker (numwait DESC, s_name) per
+    SURVEY §5.4 rule 2."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    return (
+        late.join(
+            others,
+            (F.col("ok2") == F.col("l_orderkey")) & (F.col("sk2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("ok3") == F.col("l_orderkey")) & (F.col("sk3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .join(broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+    SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c_acctbal > (SELECT avg(c_acctbal) + 0.005 FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+    tags=("composite",),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog (global sales opportunity): well-funded customers
+    in a nation subset who never placed an urgent order (every fixture
+    customer has SOME order, so "no urgent order" keeps the anti join
+    non-degenerate). Plan: 1-row avg broadcast onto the pruned customer
+    scan, anti join against the urgent-orders key set, tiny final agg.
+    The +0.005 margin keeps every 0.01-granular balance >= half a cent
+    from the threshold, so cross-engine avg drift (~1e-10) cannot flip
+    membership (same trick as subquery_scalar, SURVEY §5.4 rule 4)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    )
+    thr = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg((F.avg("c_acctbal") + 0.005).alias("thr"))
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+    )

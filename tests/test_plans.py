@@ -294,3 +294,35 @@ def test_hll_sketch_merge_close_to_exact(spark):
     assert rows
     for r in rows:
         assert abs(r.approx_cust_cnt - r.exact) / r.exact < 0.05, r
+
+
+def test_q19_derives_per_side_pushdown(spark):
+    """Q19's OR-of-ANDs spans both join sides; Catalyst must still derive
+    the implied single-side predicates and push them into BOTH scans
+    (lineitem: quantity bounds; part: brand/size bounds), leaving the
+    disjunction as the join residual."""
+    plan = explain_str(SPECS["q19_disjunctive_revenue"].fn(spark, SF_DIR))
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters: ")[1:]]
+    assert any("l_quantity" in s for s in pushed), pushed
+    assert any("p_brand" in s or "p_size" in s for s in pushed), pushed
+
+
+def test_q21_semi_anti_no_cartesian_and_broadcast_name(spark):
+    """Q21's EXISTS/NOT-EXISTS legs must be proper equi joins on the
+    orderkey (never nested-loop over the inequality), with supplier
+    arriving by broadcast."""
+    plan = explain_str(SPECS["q21_waiting_suppliers"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q13_outer_join_preserves_customers(spark):
+    """Q13 must report a zero-orders bucket path: the left outer join keeps
+    every customer, and count(o_orderkey) (not count(*)) makes the
+    null-extension countable. Row total == distinct c_count coverage of
+    ALL customers."""
+    df = SPECS["q13_customer_distribution"].fn(spark, SF_DIR)
+    total = df.agg(F.sum("custdist").alias("s")).collect()[0].s
+    ncust = load_table(spark, SF_DIR, "customer").count()
+    assert total == ncust
