@@ -109,10 +109,17 @@ def _fixture_lines(spark: SparkSession, sf_dir: str, span: int) -> DataFrame:
     start (``END=``/``<NON_REF>`` in the line), the rest are single-position
     variants. ``span=2`` keeps same-sample records non-overlapping (samples
     are 4 apart on the key axis), which is the real-gVCF invariant the
-    per-position combine (A9) relies on."""
-    from gvcf_hbase_spark.sources.tables import load_table
+    per-position combine (A9) relies on.
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    The bare key column is spread() BEFORE line construction: the orders
+    fixture arrives as one input split, and shuffling 8 bytes/row here is
+    far cheaper than running concat_ws + the downstream regex parse on a
+    single core (measured ~1.5 s -> ~1.0 s warm for gvcf_combine at
+    sf0.1). A real deployment reads many gVCF files/splits and skips
+    this."""
+    from gvcf_hbase_spark.sources.tables import load_table, spread
+
+    o = spread(load_table(spark, sf_dir, "orders").select("o_orderkey"))
     pos = F.col("o_orderkey")
     is_block = (pos % 3) == 0
     line = F.concat_ws(

@@ -221,10 +221,15 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
 
 def test_gvcf_combine_aggregates_partially(spark):
     """The flagship A9 combine must map-side combine before its single
-    (contig, pos) shuffle, and stay JVM-only end to end."""
+    (contig, pos) data shuffle. Exactly one OTHER exchange is allowed: the
+    deliberate roundrobin spread() of the single-split fixture key column
+    (sources/gvcf_text._fixture_lines) — and it must be roundrobin, i.e.
+    placed BEFORE the parse, not a second data shuffle."""
     plan = explain_str(SPECS["gvcf_combine"].fn(spark, SF_DIR))
     assert "ObjectHashAggregate" in plan or plan.count("HashAggregate") >= 2
-    assert plan.count("Exchange (") == 1, plan  # tree line only, not detail header
+    assert plan.count("Exchange (") == 2, plan  # tree line only, not detail header
+    assert plan.count("REPARTITION_BY_NUM") == 1, plan  # the spread
+    assert plan.count("hashpartitioning(contig") == 1, plan  # the combine
 
 
 def test_q18_having_semi_join_broadcasts(spark):
