@@ -450,3 +450,57 @@ def curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.when(bucket.isin(_TRAIN_BUCKETS), "train").otherwise("val").alias("split"),
     )
+
+
+_DECON_N = 13  # industry-standard n-gram length for benchmark decontamination
+
+
+@register(
+    "curate_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, ' +', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, list_aggregate(t[i:i+{_DECON_N - 1}], 'string_agg', ' ') AS g
+      FROM toks, unnest(range(1, len(t) - {_DECON_N - 1} + 1)) AS u(i)
+    ),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 19 = 0),
+    train_grams AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 19 <> 0)
+    SELECT doc_id, count(*) AS n_hits
+    FROM train_grams JOIN eval_grams USING (g)
+    GROUP BY doc_id
+    """,
+    tags=("curation",),
+)
+def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    13-gram with the held-out eval set (the GPT-3/PaLM-style overlap rule;
+    doc_id % 19 == 0 stands in for the eval corpus). Unlike dedup this is
+    ASYMMETRIC — eval n-grams are a lookup set, not a join of the corpus
+    against itself. Plan: eval grams deduplicate into a small build side
+    that BROADCASTS onto the train-gram stream, so the 100 TB train corpus
+    is never shuffled — the only aggregation shuffle carries surviving
+    (doc, gram) hits, which contamination makes rare by construction.
+    (Eval suites are ~1e5 docs; their distinct-gram set stays easily
+    broadcastable. Were it not, the same plan degrades gracefully to a
+    shuffle hash join on the gram.)"""
+    from pyspark.sql.functions import broadcast
+
+    from gvcf_hbase_spark.functions.textfns import normalize_text, shingles, tokens
+    from gvcf_hbase_spark.sources.tables import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    grams = (
+        d.select("doc_id", tokens(normalize_text(F.col("text"))).alias("t"))
+        .select("doc_id", F.explode(shingles(F.col("t"), k=_DECON_N)).alias("g"))
+    )
+    eval_grams = grams.filter(F.col("doc_id") % 19 == 0).select("g").distinct()
+    train_grams = grams.filter(F.col("doc_id") % 19 != 0).dropDuplicates(["doc_id", "g"])
+    return (
+        train_grams.join(broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )

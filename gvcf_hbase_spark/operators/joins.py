@@ -409,3 +409,65 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("a.et").eqNullSafe(F.col("b.et")) & (F.col("a.event_id") < F.col("b.event_id")))
         .select(F.col("a.event_id").alias("id_a"), F.col("b.event_id").alias("id_b"), F.col("a.et").alias("et"))
     )
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+    SELECT o_orderkey, count(*) AS n_shipments
+    FROM orders JOIN lineitem
+      ON l_shipdate >= o_orderdate
+     AND l_shipdate < CAST(o_orderdate AS TIMESTAMP) + INTERVAL 7 DAY
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'
+    GROUP BY o_orderkey
+    """,
+    tags=("join", "range"),
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join with NO equi key — corpus-wide shipping activity in
+    the week after each January-1996 order, regardless of which order a
+    lineitem belongs to. Naive Spark plans this as BroadcastNestedLoop
+    (every probe row scans every build row: dead at 100 TB when neither
+    side broadcasts). The scalable rewrite manufactures an equi key by
+    time-bucketing: points land in ONE 7-day bucket, each 7-day interval
+    overlaps at most TWO, so intervals explode to <=2 rows, the join runs
+    as a hash/sort-merge join on the bucket id, and the true range
+    predicate evaluates as the join residual. Work is proportional to
+    co-bucketed pairs, shuffles on bucket, and both sides stay
+    partition-parallel at any scale (the same trick behind Databricks'
+    range-join hint and KV interval indexes; bucket width should match
+    the interval span so each interval spans <=2 buckets).
+    The January filter keeps the fixture result compact — the plan shape
+    is identical without it."""
+    day0 = F.lit("1995-01-01").cast("timestamp_ntz")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    odays = F.datediff(F.col("o_orderdate"), day0)
+    # interval [d, d+7) covers day buckets floor(d/7) and floor((d+6)/7)
+    o_bucketed = o.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(F.floor(odays / 7), F.floor((odays + F.lit(6)) / 7))
+            )
+        ),
+    )
+    li_bucketed = li.withColumn(
+        "bucket", F.floor(F.datediff(F.col("l_shipdate"), day0) / 7)
+    )
+    return (
+        o_bucketed.join(li_bucketed, "bucket")
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_shipments"))
+    )

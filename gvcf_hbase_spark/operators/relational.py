@@ -611,3 +611,31 @@ def topk_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "agg_arg_minmax",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_custkey, o_orderkey) AS last_custkey,
+           arg_min(o_custkey, o_orderkey) AS first_custkey,
+           arg_max(o_totalprice, o_orderkey) AS last_totalprice
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argument-of-extremum aggregates (max_by/min_by ↔ arg_max/arg_min):
+    attributes of the newest/oldest order per status in ONE pass — the
+    idiomatic replacement for the self-join-on-groupwise-max anti-pattern
+    (which costs a second scan + join) and for a window + filter (which
+    costs a full sort). Partial aggregation keeps each map task's state at
+    one (value, key) pair per group. Determinism: the ordering key
+    o_orderkey is unique, so ties are impossible (SURVEY §5.4 rule 2)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_custkey", "o_orderkey").alias("last_custkey"),
+        F.min_by("o_custkey", "o_orderkey").alias("first_custkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("last_totalprice"),
+    )

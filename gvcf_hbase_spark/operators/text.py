@@ -255,3 +255,62 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("weighted").alias("poly_fingerprint"),
         F.md5(F.first("norm")).alias("md5_fingerprint"),
     )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, ' +', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, concat(t[i], ' ', t[i+1]) AS g
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ),
+    stats AS (
+      SELECT doc_id, sum(cnt) AS total,
+             count(*) AS distinct_grams,
+             max(cnt) AS top_cnt
+      FROM (SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY doc_id, g)
+      GROUP BY doc_id
+    )
+    SELECT doc_id,
+           round(1.0 - CAST(distinct_grams AS DOUBLE) / total, 4) AS dup_gram_frac,
+           round(CAST(top_cnt AS DOUBLE) / total, 4) AS top_gram_frac
+    FROM stats
+    """,
+    tags=("text",),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of word
+    bigrams that are repeats (1 - distinct/total) and the share taken by
+    the single most frequent bigram. High values mark boilerplate/spam for
+    the quality filter. Plan: one explode, then a (doc, gram) partial+final
+    count and a per-doc rollup — both shuffles key on doc_id so the second
+    is a cheap re-aggregation of the first's output; no window, no sort.
+    (The inner GROUP BY output is ~distinct grams per doc, so the rollup
+    input is already shrunk map-side at 100 TB.)"""
+    from gvcf_hbase_spark.functions.textfns import normalize_text, tokens
+    from gvcf_hbase_spark.sources.tables import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens(normalize_text(F.col("text"))).alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("g"),
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+    return per_gram.groupBy("doc_id").agg(
+        F.round(
+            1.0 - F.countDistinct("g").cast("double") / F.sum("cnt"), 4
+        ).alias("dup_gram_frac"),
+        F.round(F.max("cnt").cast("double") / F.sum("cnt"), 4).alias("top_gram_frac"),
+    )

@@ -331,3 +331,26 @@ def test_q13_outer_join_preserves_customers(spark):
     total = df.agg(F.sum("custdist").alias("s")).collect()[0].s
     ncust = load_table(spark, SF_DIR, "customer").count()
     assert total == ncust
+
+
+def test_range_join_is_equi_on_bucket_not_nested_loop(spark):
+    """The whole point of join_range_bucketed: a pure range predicate must
+    run as a hash/sort-merge join on the manufactured bucket key, never as
+    BroadcastNestedLoop/Cartesian — even with broadcast disabled (at scale
+    neither side fits in memory)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = explain_str(SPECS["join_range_bucketed"].fn(spark, SF_DIR))
+        assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "bucket" in plan.split("hashpartitioning", 1)[1][:80]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_decontaminate_eval_set_broadcasts(spark):
+    """The eval gram set must be the broadcast build side so the train
+    corpus is never shuffled for the probe."""
+    plan = explain_str(SPECS["curate_decontaminate"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
