@@ -915,3 +915,253 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
     )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nat = 'NATION_2' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nat
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND s_nationkey = n2.n_nationkey
+        AND r_name = 'ASIA' AND p_type LIKE 'ECONOMY%'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    tags=("composite",),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog (national market share): within ASIA's market for
+    ECONOMY parts, the share of revenue supplied by NATION_2, by order
+    year. The share is a conditional-sum / total-sum ratio computed in ONE
+    aggregation pass (no second query for the denominator).
+
+    Plan at scale: part/supplier/customer/nation/region all broadcast onto
+    the date-pruned lineitem scan; the only shuffle is lineitem-orders on
+    orderkey, then a tiny per-year agg. Ratio of two same-pass double sums
+    rounds to 4 — relative drift across engines is ~1e-12, far inside the
+    rounding guard (SURVEY §5.4 rule 4)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type").like("ECONOMY%"))
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nat"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(broadcast(r), F.col("n1_rkey") == F.col("r_regionkey"))
+        .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "nat",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nat") == "NATION_2", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 1) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             EXTRACT(year FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.1 * p_retailprice * l_quantity AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    tags=("composite",),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog (product type profit): profit on 'red' parts by
+    supplier nation and order year. The fixture has no partsupp table, so
+    supply cost is modeled as 10% of p_retailprice per unit — the plan
+    shape (largest multi-join in TPC-H, name-substring part filter that
+    CANNOT push to parquet stats) is what matters.
+
+    Plan at scale: the LIKE '%red%' filter still prunes the part dim
+    before broadcast (evaluated in the dim scan, not on the fact), so the
+    fact side only ever broadcast-joins; lineitem-orders on orderkey is
+    the single shuffle. Money sums round to 1 decimal per §5.4 rule 4."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 1).alias("sum_profit"))
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l_returnflag AS shipmode,
+           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= CAST(o_orderdate AS TIMESTAMP) + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+    tags=("composite",),
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog (shipping modes and order priority): did
+    slow-shipping lineitems carry critical orders? The fixture lacks
+    l_shipmode/commitdate/receiptdate, so l_returnflag stands in for the
+    mode and 'shipped >=60 days after order' stands in for late receipt.
+    The CASE-sum pair computes both priority classes in one pass — the
+    canonical conditional-aggregation shape.
+
+    Plan at scale: year filter prunes the lineitem scan via parquet
+    stats; one orderkey shuffle joins the two facts; the non-equi
+    late-ship predicate runs as a join residual (both columns are in
+    hand post-join, no extra pass); 3-group agg is map-side collapsed."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("shipmode"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 1) AS avg_yearly
+    FROM lineitem l
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    tags=("composite",),
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog (small-quantity-order revenue): revenue lost if
+    small orders (below 20% of the part's average quantity) were not
+    filled, for one brand. The correlated per-part average decorrelates to
+    a window avg over l_partkey — one shuffle by partkey, no per-row
+    rescan. Joining the brand-filtered part dim FIRST is semantics-safe
+    (partkey determines brand, so the window still sees every lineitem of
+    each surviving part) and shrinks the window input ~brand-fold.
+
+    Determinism: quantities are integer-valued doubles (probe-verified),
+    so sum/count — and hence 0.2*avg — are exact in both engines; the
+    threshold comparison cannot drift (§5.4 rule 4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .withColumn("qty_thr", F.lit(0.2) * F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 1).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(l_quantity) > 60
+    )
+    """,
+    tags=("composite",),
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog (potential part promotion): suppliers who moved
+    heavy volume (>60 units of one 'red' part in two years — availqty
+    stand-in, no partsupp in the fixture). The IN-subquery-over-aggregate
+    compiles to: pruned fact scan -> broadcast part filter -> partial+final
+    agg on (suppkey, partkey) -> HAVING -> left-semi join into supplier.
+
+    Plan at scale: the aggregate output is at most |supplier|x|red parts|
+    rows regardless of fact size, so the semi-join build side stays tiny
+    and broadcasts; the fact table shuffles once, on the composite group
+    key. Integer-valued quantities make the HAVING threshold exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    sup = load_table(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+    )
+    return sup.join(
+        broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
