@@ -41,33 +41,69 @@ def asof_join(
     right_ts: str,
     direction: str = "backward",
     strict: bool = False,
+    how: str = "inner",
 ) -> DataFrame:
     """For each left row, attach the single right row with the greatest
     ``right_ts`` <= ``left_ts`` (direction='backward'; 'forward' mirrors).
+    Output: every left column unchanged, plus right's non-key columns
+    (matched values, or NULL + row dropped under how='inner').
 
-    Implementation: equi-join on ``on`` + range predicate, then a window
-    ``row_number() == 1`` per left row. The shuffle is on the equi keys, so
-    the plan scales with the number of keys; within a key the window sort
-    is the per-key event count. For very hot keys, pre-bucketing both
-    sides on ``on`` removes the shuffle entirely.
+    Implementation — union-tag + one carry-forward window, NOT a join:
+    tag right rows side=0 / left rows side=1, union, then per key in
+    (ts, side) order carry forward the last-seen right payload with
+    ``last(..., ignorenulls)``. One shuffle on the ``on`` keys, O(n log n)
+    sort per key, O(1) state per row — no (left × earlier-right) pair
+    materialization, so a hot key costs its row count, not its row count
+    squared. The side tiebreaker encodes strictness: at equal timestamps
+    the right row sorts before the left iff same-instant matches count.
+
+    This is the scalable form of the reference's 'which block is open at
+    this position' lookup (SURVEY §2A A9): the open record is carried as
+    window state instead of re-joined per position. Ties among right rows
+    at the same (key, ts) are broken by payload for determinism.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    lcol, rcol = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    payload_cols = [c for c in right.columns if c not in keys]
+    if not payload_cols:
+        raise ValueError("right side needs at least one non-key column")
+    overlap = set(payload_cols) & (set(left.columns) - set(keys))
+    if overlap:
+        raise ValueError(f"rename right columns colliding with left: {sorted(overlap)}")
+
+    r2 = right.select(
+        *keys,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.struct(*payload_cols).alias("__r"),
+    )
+    l2 = left.select(*left.columns, F.col(left_ts).alias("__t"), F.lit(1).alias("__side"))
+    u = l2.unionByName(r2, allowMissingColumns=True)
+
     if direction == "backward":
-        cond = rcol < lcol if strict else rcol <= lcol
-        order = rcol.desc()
+        t_order = F.col("__t").asc()
+        # non-strict: right row at t ties BEFORE the left row at t (visible)
+        side_order = F.col("__side").asc() if not strict else F.col("__side").desc()
     elif direction == "forward":
-        cond = rcol > lcol if strict else rcol >= lcol
-        order = rcol.asc()
+        t_order = F.col("__t").desc()
+        side_order = F.col("__side").asc() if not strict else F.col("__side").desc()
     else:
         raise ValueError(f"unknown direction: {direction}")
-    for k in keys:
-        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
 
-    l, r = left.alias("l"), right.alias("r")
-    joined = l.join(r, cond, "inner")
-    w = Window.partitionBy(*[F.col(f"l.{c}") for c in left.columns]).orderBy(order)
-    return joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(t_order, side_order, F.col("__r").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).filter(
+        F.col("__side") == 1
+    )
+    if how == "inner":
+        matched = matched.filter(F.col("__m").isNotNull())
+    elif how != "left":
+        raise ValueError(f"unsupported how: {how}")
+    return matched.select(
+        *left.columns, *[F.col("__m").getField(c).alias(c) for c in payload_cols]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -238,9 +274,9 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band (theta) join: purchases within 1h after a click, same user.
     The equi component (user_id) keeps this a hash/SMJ join with a range
     residual — NOT a nested-loop — so it scales with per-user density.
-    Comparisons at µs granularity on both engines (DuckDB reads the ns
-    parquet column µs-truncated — probe-verified)."""
-    ev = load_table(spark, sf_dir, "events").withColumn("ts_us_long", F.expr("ts div 1000"))
+    Comparisons at µs granularity on both engines (``ts_us_long`` is the
+    loader-derived epoch-µs column; DuckDB's epoch_us matches exactly)."""
+    ev = load_table(spark, sf_dir, "events")
     e1 = ev.filter(F.col("event_type") == "click").alias("e1")
     e2 = ev.filter(F.col("event_type") == "purchase").alias("e2")
     hour_us = 3_600_000_000
@@ -296,18 +332,23 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9-descended as-of join: each purchase matched to the latest prior
     (or same-instant) signup of the same user — exactly the reference's
     'which block is open at this position' lookup, per sample. Built on
-    the generic :func:`asof_join` operator."""
-    ev = load_table(spark, sf_dir, "events").withColumn("ts_us_long", F.expr("ts div 1000"))
+    the generic :func:`asof_join` operator (union-tag + carry-forward
+    window: one shuffle on user_id, no pair explosion on hot users)."""
+    ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts_us_long"
     )
-    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts_us_long")
-    out = asof_join(purchases, signups, on="user_id", left_ts="ts_us_long", right_ts="ts_us_long")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts_us_long").alias("signup_ts_us")
+    )
+    out = asof_join(
+        purchases, signups, on="user_id", left_ts="ts_us_long", right_ts="signup_ts_us"
+    )
     return out.select(
-        F.col("l.event_id").alias("purchase_id"),
-        F.col("l.user_id").alias("user_id"),
-        F.col("l.ts_us_long").alias("purchase_ts_us"),
-        F.col("r.ts_us_long").alias("signup_ts_us"),
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us_long").alias("purchase_ts_us"),
+        "signup_ts_us",
     )
 
 

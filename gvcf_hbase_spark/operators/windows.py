@@ -31,7 +31,9 @@ from gvcf_hbase_spark.sources.tables import load_table
 
 
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events").withColumn("ts_us_long", F.expr("ts div 1000"))
+    # ts_us_long (bigint epoch µs) is derived centrally by the events
+    # loader from the actual physical ts type — see sources.tables.
+    return load_table(spark, sf_dir, "events")
 
 
 @register(

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType
 
 from gvcf_hbase_spark.session import apply_runtime_confs
 
@@ -35,32 +36,36 @@ TABLES = [
 ]
 
 
-def _read_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS); Spark 4.1.2 rejects it
-    unless ``spark.sql.legacy.parquet.nanosAsLong=true`` (SURVEY §1.2,
-    probe-verified). With the flag, ``ts`` arrives as long nanoseconds; we
-    add ``ts_us`` (µs-truncated timestamp — matches DuckDB's ns→µs cast) and
-    keep the raw ``ts`` long for exact arithmetic.
+def with_event_time(df: DataFrame) -> DataFrame:
+    """Derive the engine's canonical event-time columns from whatever
+    physical type ``ts`` arrived as:
 
-    Fallback (driver session where the conf could not be applied): read via
-    pyarrow and cast ns→µs before handing to Spark. Only viable at test SFs;
-    the conf path is the scale path.
+    - ``ts_us_long``: bigint epoch microseconds (exact arithmetic column —
+      every band/as-of/window predicate runs on this);
+    - ``ts_us``: µs TIMESTAMP_NTZ (window/session grouping, date math).
+
+    Two physical sources exist in the wild: the fixtures carry
+    ``timestamp[us]`` (arrives as TIMESTAMP_NTZ; the ntz→ltz cast under the
+    UTC session timezone makes ``unix_micros`` exact), and legacy writers
+    emit TIMESTAMP(NANOS), which under ``nanosAsLong=true`` arrives as long
+    nanoseconds (``div 1000`` is exact integer math — a double round trip
+    would lose precision at 1.7e18). Branching on the actual dtype keeps one
+    distributed scan path for both; there is deliberately NO driver-side
+    fallback — at 100 TB a pyarrow/pandas materialization is not slow, it is
+    impossible.
     """
-    try:
-        df = spark.read.parquet(path)
-        # long ns -> µs timestamp. Integer division: exact (a double round
-        # trip would lose ns precision at 1.7e18).
-        return df.withColumn(
-            "ts_us", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
-    except Exception:
-        import pyarrow.parquet as pq
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        us = F.expr("ts div 1000")
+    else:
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return df.withColumn("ts_us_long", us).withColumn(
+        "ts_us", F.timestamp_micros(F.col("ts_us_long")).cast("timestamp_ntz")
+    )
 
-        tbl = pq.read_table(path)
-        pdf = tbl.to_pandas()
-        pdf["ts_us"] = pdf["ts"].astype("datetime64[us]")
-        pdf["ts"] = pdf["ts"].astype("int64")
-        return spark.createDataFrame(pdf)
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    return with_event_time(spark.read.parquet(path))
 
 
 def spread(df: DataFrame, n: int | None = None) -> DataFrame:

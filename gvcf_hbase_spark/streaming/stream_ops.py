@@ -40,13 +40,18 @@ def _events_stream_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming source over the events parquet (ns recipe applies —
-    nanosAsLong conf + derived µs timestamp column)."""
+    """Streaming source over the events parquet. Event-time columns come
+    from the same dtype-branching helper as the batch loader
+    (sources.tables.with_event_time), plus ``ts_evt`` — the µs TIMESTAMP
+    (with timezone) form watermarks require (session tz is UTC, so its
+    wall values equal the NTZ twin's)."""
+    from gvcf_hbase_spark.sources.tables import with_event_time
+
     apply_runtime_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(schema).parquet(_events_stream_dir(sf_dir))
-    return raw.withColumn(
-        "ts_us", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    return with_event_time(raw).withColumn(
+        "ts_evt", F.timestamp_micros(F.col("ts_us_long"))
     )
 
 
@@ -73,12 +78,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark is dropped. Rows-only (watermark semantics are not
     batch-SQL-expressible); tests assert the output is a subset of the
     batch windows and that injected late rows are dropped."""
-    ev = read_events_stream(spark, sf_dir).withColumn(
-        # watermarks require TIMESTAMP (not NTZ); session tz is UTC so the
-        # window bounds equal the batch twin's NTZ values
-        "ts_evt",
-        F.timestamp_micros(F.expr("ts div 1000")),
-    )
+    ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts_evt", "10 minutes")
         .groupBy(F.window("ts_evt", "1 hour").alias("w"), "event_type")
@@ -93,9 +93,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup on event_id within the watermark horizon
     (dropDuplicatesWithinWatermark) — the streaming face of dedup_exact.
     State holds one key per id inside the horizon, then ages out."""
-    ev = read_events_stream(spark, sf_dir).withColumn(
-        "ts_evt", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = read_events_stream(spark, sf_dir)
     dedup = ev.withWatermark("ts_evt", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
     return run_available_now(
         dedup.select("event_id", "user_id", "event_type", "value"), "append"
@@ -155,9 +153,7 @@ def stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     can no longer match (click state lives <=1h + watermark). Rows-only
     (join-state semantics aren't batch-SQL-expressible); the test asserts
     equality with the batch theta-join twin."""
-    base = read_events_stream(spark, sf_dir).withColumn(
-        "ts_evt", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    base = read_events_stream(spark, sf_dir)
     clicks = (
         base.filter(F.col("event_type") == "click")
         .select(
@@ -240,7 +236,7 @@ def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = read_events_stream(spark, sf_dir).select(
-        "user_id", F.expr("ts div 1000").alias("ts_us_long"), "event_id", "event_type", "value"
+        "user_id", "ts_us_long", "event_id", "event_type", "value"
     )
     out_schema = "event_id bigint, user_id bigint, last_purchase_value double"
 
@@ -290,7 +286,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     ev = read_events_stream(spark, sf_dir).select(
-        "user_id", F.expr("ts div 1000").alias("ts_us_long"), "event_id", "event_type", "value"
+        "user_id", "ts_us_long", "event_id", "event_type", "value"
     )
 
     out_schema = "event_id bigint, user_id bigint, last_purchase_value double"
