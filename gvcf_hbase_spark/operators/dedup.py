@@ -43,6 +43,38 @@ _MINHASH_B = _rng.randint(0, 2**31 - 1, size=_N_HASHES).tolist()
 
 _JACCARD_THRESHOLD = 0.8
 
+# Pre-mix constant (2-round multiply-xorshift avalanche). The linear family
+# (a*h + b) mod p alone degenerates when h is small: a*h + b < p never wraps,
+# every permutation is monotone in h, and all 32 minima collapse onto the
+# same element — fully correlated estimators. Mixing h to full 32-bit spread
+# first restores pairwise-independence in practice. Production inputs are
+# md5-prefix hashes (already well spread), so this guards the family itself,
+# not just the fixture path.
+_MIX_C = 0x45D9F3B
+_MASK32 = 0xFFFFFFFF
+
+
+def minhash_premix(h: "F.Column") -> "F.Column":
+    """JVM-side 32-bit avalanche mix: stays in [0, 2^32), exact in BIGINT
+    (max intermediate product < 2^58)."""
+    x = h.bitwiseXOR(F.shiftright(h, 16))
+    x = (x * F.lit(_MIX_C)).bitwiseAND(F.lit(_MASK32))
+    x = x.bitwiseXOR(F.shiftright(x, 16))
+    x = (x * F.lit(_MIX_C)).bitwiseAND(F.lit(_MASK32))
+    return x.bitwiseXOR(F.shiftright(x, 16))
+
+
+def minhash_premix_np(h: np.ndarray) -> np.ndarray:
+    """Exact numpy twin of :func:`minhash_premix` (uint64 arithmetic; the
+    property tests re-execute the production family through this)."""
+    h = h.astype(np.uint64)
+    c, m = np.uint64(_MIX_C), np.uint64(_MASK32)
+    x = h ^ (h >> np.uint64(16))
+    x = (x * c) & m
+    x = x ^ (x >> np.uint64(16))
+    x = (x * c) & m
+    return x ^ (x >> np.uint64(16))
+
 
 def _shingle_sets(d: DataFrame) -> DataFrame:
     """doc_id + distinct 3-token shingle set of the normalized text.
@@ -69,7 +101,7 @@ def minhash_signatures(d: DataFrame, sets: DataFrame | None = None) -> DataFrame
     ex = (sets if sets is not None else _shingle_sets(d)).select(
         "doc_id", F.explode("sh").alias("s")
     )
-    h = stable_hash32(F.col("s"))
+    h = minhash_premix(stable_hash32(F.col("s")))
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(_P)).alias(f"m{j}")
         for j, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))

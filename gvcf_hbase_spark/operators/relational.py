@@ -337,10 +337,14 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side. No oracle (summaries differ across engines — SURVEY §5.4
     rule 7); tests bound the error against the exact quartiles."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_percentile(
-            "o_totalprice", F.lit([0.25, 0.5, 0.75]), F.lit(10_000)
-        ).alias("quartiles_approx")
+    q = F.approx_percentile("o_totalprice", F.lit([0.25, 0.5, 0.75]), F.lit(10_000))
+    # scalar columns, not an array: keeps the result hashable by any
+    # row-canonicalizing comparator (arrays are unhashable in pandas)
+    return o.groupBy("o_orderstatus").agg(q.alias("qa")).select(
+        "o_orderstatus",
+        F.col("qa")[0].alias("p25_approx"),
+        F.col("qa")[1].alias("p50_approx"),
+        F.col("qa")[2].alias("p75_approx"),
     )
 
 
@@ -455,18 +459,19 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT o_orderstatus,
-           list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS prios,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prios,
            count(*) AS cnt
     FROM orders GROUP BY o_orderstatus
     """,
     tags=("agg",),
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """List/set aggregation. Always sorted (sort_array) so the
-    order-insensitive-but-hashable contract holds (SURVEY §5.4 rule 3)."""
+    """List/set aggregation. Sorted then joined to one string per group:
+    order-insensitive AND hashable by any comparator (raw array columns
+    are unhashable in pandas-side canonicalizers — SURVEY §5.4 rule 3)."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.sort_array(F.collect_set("o_orderpriority")).alias("prios"),
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias("prios"),
         F.count("*").alias("cnt"),
     )
 

@@ -19,7 +19,85 @@ contract here, not a correctness one.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+
+class HBaseTarget:
+    """Connector facade for the reference's A5 bulk-load sink.
+
+    The reference's write path is: sort records by row key → write HFiles →
+    hand them to the region servers (bulk load, no WAL). A user porting this
+    engine onto a live HBase cluster plugs a connector here (e.g. the
+    hbase-spark ``org.apache.hadoop.hbase.spark`` DataSource, or
+    ``shc-core``) by passing a ``writer`` callable; everything upstream —
+    key composition, salting, range partitioning, per-partition key order —
+    is connector-independent and stays exactly as :func:`bulk_put` builds
+    it. The offline backend (this sandbox, and any lake-first deployment)
+    is the range-sorted Parquet layout, which preserves the two properties
+    bulk load exists for: sequential sorted writes and scan parallelism
+    aligned with key ranges.
+
+    Parameters
+    ----------
+    path: output directory for the offline backend.
+    writer: optional ``(df, table) -> None`` override that ships the
+        key-sorted DataFrame through a real connector. When provided, the
+        parquet path is ignored.
+    """
+
+    def __init__(self, path: str, writer: Callable[[DataFrame, str], None] | None = None):
+        self.path = path
+        self.writer = writer
+
+    def write(self, df: DataFrame, table: str) -> None:
+        if self.writer is not None:
+            self.writer(df, table)
+        else:
+            df.write.mode("overwrite").parquet(f"{self.path}/{table}")
+
+
+def bulk_put(
+    df: DataFrame,
+    target: HBaseTarget,
+    table: str,
+    key_cols: list[str],
+    num_regions: int | None = None,
+    salt_buckets: int = 0,
+) -> None:
+    """A5 bulk load, connector-shaped: compose the row key, pre-split into
+    ``num_regions`` contiguous key ranges, sort within each, and hand the
+    result to the target's writer.
+
+    - ``key_cols`` compose the row key in order (the reference's
+      sample/contig/position key — SURVEY §2A A3); a ``__rowkey``
+      hex-padded string column is added so lexicographic HBase order equals
+      the logical key order.
+    - ``salt_buckets > 0`` prepends a deterministic hash-salt byte — the
+      standard HBase hot-spotting fix for monotonically increasing keys
+      (sequential writes otherwise all land on one region). Scans fan out
+      over the buckets; range scans within a salt bucket stay contiguous.
+    - ``repartitionByRange`` + ``sortWithinPartitions`` is exactly the
+      HFile contract: each output partition owns a contiguous key range and
+      is written in key order, so a real connector can stream HFiles with
+      zero re-sorting.
+    """
+    parts = [F.lpad(F.hex(F.col(c).cast("bigint")), 16, "0") if t.startswith(("bigint", "int", "long"))
+             else F.col(c).cast("string")
+             for c, t in ((c, dict(df.dtypes)[c]) for c in key_cols)]
+    key = F.concat_ws("#", *parts)
+    if salt_buckets > 0:
+        salt = F.lpad(F.pmod(F.xxhash64(*key_cols), F.lit(salt_buckets)).cast("string"), 2, "0")
+        key = F.concat_ws("#", salt, key)
+    keyed = df.withColumn("__rowkey", key)
+    out = (
+        keyed.repartitionByRange(num_regions, "__rowkey")
+        if num_regions
+        else keyed.repartitionByRange("__rowkey")
+    )
+    target.write(out.sortWithinPartitions("__rowkey"), table)
 
 
 def bulk_write_range_sorted(

@@ -175,18 +175,21 @@ def test_asof_join_directions(spark):
         [("x", 5), ("x", 15), ("x", 25)], "k string, rt long"
     )
     back = asof_join(left, right, on="k", left_ts="t", right_ts="rt")
-    got = {(r["t"]): r["rt"] for r in back.select(F.col("l.t"), F.col("r.rt")).collect()}
+    got = {r.t: r.rt for r in back.collect()}
     assert got == {10: 5, 20: 15}  # y has no match -> dropped (inner)
 
     fwd = asof_join(left, right, on="k", left_ts="t", right_ts="rt", direction="forward")
-    got = {(r["t"]): r["rt"] for r in fwd.select(F.col("l.t"), F.col("r.rt")).collect()}
+    got = {r.t: r.rt for r in fwd.collect()}
     assert got == {10: 15, 20: 25}
 
     # boundary: equal timestamps match unless strict
     eq = spark.createDataFrame([("x", 15)], "k string, t long")
-    got = asof_join(eq, right, on="k", left_ts="t", right_ts="rt").select(F.col("r.rt")).collect()
+    got = asof_join(eq, right, on="k", left_ts="t", right_ts="rt").collect()
     assert [r.rt for r in got] == [15]
-    got = asof_join(eq, right, on="k", left_ts="t", right_ts="rt", strict=True).select(
-        F.col("r.rt")
-    ).collect()
+    got = asof_join(eq, right, on="k", left_ts="t", right_ts="rt", strict=True).collect()
     assert [r.rt for r in got] == [5]
+
+    # left outer: unmatched left rows survive with NULL right payload
+    lo = asof_join(left, right, on="k", left_ts="t", right_ts="rt", how="left")
+    got = {(r.k, r.t): r.rt for r in lo.collect()}
+    assert got == {("x", 10): 5, ("x", 20): 15, ("y", 10): None}

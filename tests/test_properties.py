@@ -14,7 +14,12 @@ import numpy as np
 import pyspark.sql.functions as F
 from hypothesis import given, settings, strategies as st
 
-from gvcf_hbase_spark.operators.dedup import _MINHASH_A, _MINHASH_B, _P
+from gvcf_hbase_spark.operators.dedup import (
+    _MINHASH_A,
+    _MINHASH_B,
+    _P,
+    minhash_premix_np,
+)
 from gvcf_hbase_spark.registry import load_all
 from gvcf_hbase_spark.sources.tables import load_table
 from tests.conftest import SF_DIR
@@ -26,7 +31,7 @@ _B = np.array(_MINHASH_B, dtype=np.uint64)
 
 
 def _sig(hashes: set[int]) -> np.ndarray:
-    h = np.array(sorted(hashes), dtype=np.uint64)[:, None]
+    h = minhash_premix_np(np.array(sorted(hashes), dtype=np.uint64))[:, None]
     return ((_A[None, :] * h + _B[None, :]) % np.uint64(_P)).min(axis=0)
 
 
