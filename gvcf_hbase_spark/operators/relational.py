@@ -78,8 +78,9 @@ def scan_range_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scan", "events"),
 )
 def scan_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ns-timestamp ingestion (SURVEY §1.2): nanosAsLong + integer div 1000.
-    Both sides truncate ns->µs (DuckDB CAST probe-verified to truncate)."""
+    """Event-time ingestion (SURVEY §1.2): the loader branches on the
+    actual physical ts type (fixtures: timestamp[us]; legacy: long ns) and
+    derives a canonical µs ts_us on either path."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select("event_id", "ts_us", "user_id", "event_type", "value")
 

@@ -89,6 +89,7 @@ _PRIORITY = [
     "dedup_embedding_cosine",
     "sim_ann_lsh",
     "sim_ann_ivf",
+    "sim_knn_ivf",
     "text_tokenize_tf",
     "text_tfidf",
     "text_lang_stats",

@@ -2,10 +2,11 @@
 
 Centralizes the configs every query in this engine depends on:
 
-- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the ``events`` fixture has
-  a TIMESTAMP(NANOS) column that Spark 4.1.2 rejects by default
-  ([PARQUET_TYPE_ILLEGAL]); with this flag it reads as ``long`` nanoseconds
-  and ``sources.tables`` converts to a µs timestamp column (SURVEY §1.2).
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — legacy-writer compat: a
+  TIMESTAMP(NANOS) events file (rejected by Spark 4.1.2 by default with
+  [PARQUET_TYPE_ILLEGAL]) reads as ``long`` nanoseconds under this flag,
+  and ``sources.tables.with_event_time`` branches on that dtype. The
+  actual fixtures carry timestamp[us], which needs no flag (SURVEY §1.2).
 - UTC session timezone — deterministic timestamp arithmetic vs the DuckDB
   oracle.
 - AQE on (skew-join splitting, partition coalescing, broadcast switch) —

@@ -22,6 +22,26 @@ def test_ann_ivf_subset_and_recall(spark):
     assert len(ann) / max(len(exact), 1) >= 0.7
 
 
+def test_knn_ivf_shape_and_recall(spark):
+    """The broadcast-free IVF top-k path: every emitted (query, neighbor)
+    must carry the same cosine the exact scorer computed; ranks per query
+    are contiguous from 1; and recall@k against the exact top-k is ≥ 0.6
+    (16 cells / probe 2 on the fixture — deterministic)."""
+    exact = SPECS["sim_knn_topk"].fn(spark, SF_DIR).collect()
+    approx = SPECS["sim_knn_ivf"].fn(spark, SF_DIR).collect()
+    exact_scores = {(r.vec_id, r.neighbor_id): r.cos_sim for r in exact}
+    hit = sum(1 for r in approx if (r.vec_id, r.neighbor_id) in exact_scores)
+    for r in approx:
+        if (r.vec_id, r.neighbor_id) in exact_scores:
+            assert abs(r.cos_sim - exact_scores[(r.vec_id, r.neighbor_id)]) < 1e-9
+    assert hit / max(len(exact), 1) >= 0.6
+    per = {}
+    for r in approx:
+        per.setdefault(r.vec_id, []).append(r.rn)
+    for rns in per.values():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
+
+
 def test_ann_subset_and_recall(spark):
     """ANN output must be a subset of the exact pairs; recall on the
     fixture is deterministic (measured 0.95) — assert a safe floor."""

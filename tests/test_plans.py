@@ -62,8 +62,9 @@ def test_relational_paths_are_jvm_only(spark):
     scorers, UDF-surface queries, multimodal feature extraction)."""
     python_ok = {
         "sim_cosine_pairs", "sim_knn_topk", "sim_ann_lsh", "sim_ann_ivf",
-        "dedup_embedding_cosine", "udf_scalar", "udaf_grouped", "udtf_shingles",
-        "multimodal_features", "multimodal_frame_sample", "stream_stateful",
+        "sim_knn_ivf", "dedup_embedding_cosine", "udf_scalar", "udaf_grouped",
+        "udtf_shingles", "multimodal_features", "multimodal_frame_sample",
+        "stream_stateful",
     }
     for key, spec in SPECS.items():
         if key in python_ok or "streaming" in spec.tags:
