@@ -3,8 +3,11 @@ exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard.
 
 Determinism contract (SURVEY §5.4): no runtime RNG anywhere — MinHash
 permutation constants come from a fixed-seed numpy RandomState evaluated
-at import, and every hash is the engine-portable md5-prefix 32-bit hash so
-DuckDB oracles reproduce signatures exactly.
+at import. Hash choice per path: SimHash signatures use the engine-portable
+md5-prefix 32-bit hash (the signature TABLE is oracle-compared, so DuckDB
+must reproduce it bit-for-bit); MinHash signatures use codegen-native
+xxhash64 (the oracle verifies via brute-force shingle Jaccard, so the only
+contract is Spark-side determinism — measured 2x cheaper at sf0.1).
 
 Scale notes (100 TB):
 - ``dedup_exact`` is one hash aggregate on a 16-byte fingerprint — the
@@ -101,12 +104,23 @@ def minhash_signatures(d: DataFrame, sets: DataFrame | None = None) -> DataFrame
     ex = (sets if sets is not None else _shingle_sets(d)).select(
         "doc_id", F.explode("sh").alias("s")
     )
-    h = minhash_premix(stable_hash32(F.col("s")))
+    # Signature-path hash: xxhash64 mod 2^32, NOT the md5-prefix portable
+    # hash. The signatures never face a cross-engine comparison (the
+    # oracle verifies via brute-force Jaccard on the shingle STRINGS), so
+    # the only contract is Spark-side determinism — and xxhash64 is
+    # codegen-native while md5+conv(hex,16,10) costs ~0.6 s at sf0.1
+    # (measured, cached shingles). Materialize the mixed hash in its OWN
+    # projection before the 32 min-aggs: an expression passed into
+    # aggregate functions is inlined into each of them (no CSE across
+    # aggregateExpressions), so the hash would otherwise run 32x per row.
+    # A Project below an Aggregate is NOT collapsed into it.
+    h32 = F.pmod(F.xxhash64(F.col("s")), F.lit(2**32))
+    hashed = ex.select("doc_id", minhash_premix(h32).alias("h"))
     aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(_P)).alias(f"m{j}")
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"m{j}")
         for j, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
     ]
-    return ex.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
@@ -114,12 +128,14 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     sharing any band bucket. The self-join is per (band, bucket) — an
     equi-join, never a cross join."""
     n_bands = _N_HASHES // _BAND_ROWS
+    # bucket id = xxhash64 of the band's rows: a long, not a 32-char md5
+    # string — cheaper to compute and 4x less shuffle bytes per band row
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(",", *[F.col(f"m{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)])
+                F.xxhash64(
+                    *[F.col(f"m{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
                 ).alias("bucket"),
             )
             for b in range(n_bands)
