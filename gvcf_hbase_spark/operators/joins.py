@@ -14,10 +14,11 @@ Scale notes (100 TB):
 - Fact-fact joins are shuffle (sort-merge) joins on the join key; AQE
   handles skew splitting and converts to broadcast when a runtime side
   turns out small.
-- The as-of join is a composition: equi-join on the partition key +
-  per-key window top-1. The shuffle is on the equi key (user), so it
-  scales horizontally; no cross-partition state is needed — the same
-  property the reference engineered with fixed-boundary block splits.
+- The as-of join is NOT a join at the physical level: union-tag both
+  sides, one shuffle on the equi key, one carry-forward window. Linear
+  in per-key rows (a pair-materializing join is quadratic on hot keys);
+  no cross-partition state is needed — the same property the reference
+  engineered with fixed-boundary block splits.
 """
 
 from __future__ import annotations

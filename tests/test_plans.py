@@ -136,6 +136,19 @@ def test_bulk_write_range_sorted_roundtrip(spark, tmp_path):
     assert sample
 
 
+def test_asof_join_single_shuffle_no_join_nodes(spark):
+    """The as-of operator's 100 TB contract: filters pushed to both event
+    scans, exactly ONE exchange (hash on the equi key), one window, and
+    ZERO join nodes — a hot key costs its row count, never its square."""
+    plan = explain_str(SPECS["join_asof"].fn(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange (") == 1, plan
+    assert "hashpartitioning(user_id" in plan
+    assert plan.count("Window (") == 1
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters: ")[1:]]
+    assert sum("event_type" in s for s in pushed) >= 2, pushed
+
+
 def test_bulk_put_facade_roundtrip(spark, tmp_path):
     """The A5 connector facade: bulk_put must (a) deliver every row, (b)
     compose a rowkey whose lexicographic order equals the logical key
