@@ -69,18 +69,25 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
 
 
 def spread(df: DataFrame, n: int | None = None) -> DataFrame:
-    """Fan a small single-file table out across the cluster before
-    compute-heavy per-row work.
+    """Fan a table out across the cluster before compute-heavy per-row
+    work — but ONLY when it actually arrives under-parallel.
 
     A small parquet table arrives as ONE input split, so an expensive
     per-row pipeline (shingling, hashing, vector math) would run on a
     single core no matter how many are available — measured 12.6 s → 1.7 s
-    on the sf0.1 shingle explode by spreading first. The shuffle this
-    costs is trivial (the table is small by definition); do NOT use on
-    large fact tables, which already arrive as many splits at scale.
-    """
+    on the sf0.1 shingle explode by spreading first.
+
+    The guard is the 100 TB half of the contract: at scale the same table
+    arrives as thousands of splits, and an unconditional repartition would
+    be a full shuffle of raw text/vectors for nothing. If the scan already
+    yields >= the target parallelism, the input passes through untouched —
+    so operators can call spread() unconditionally and stay correct at
+    both ends of the scale."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(n or sc.defaultParallelism)
+    target = n or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

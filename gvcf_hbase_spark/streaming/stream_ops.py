@@ -275,19 +275,16 @@ def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(result, "append")
 
 
-@register("stream_stateful", oracle=None, tags=("streaming", "gvcf"))
-def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9-descended custom stateful operator: per-user carry-forward of
-    the last purchase value, via applyInPandasWithState. The state value
-    (last purchase seen) persists across micro-batches in the state store
-    — the direct streaming analog of the reference's open-record state.
-    Rows-only; tests assert equality with the batch twin win_carry_forward.
-    """
+def carry_forward_stateful(ev: DataFrame) -> DataFrame:
+    """The A9 carry-forward as an applyInPandasWithState pipeline over any
+    (user_id, ts_us_long, event_id, event_type, value) stream. The state
+    value (last purchase seen per user) persists across micro-batches in
+    the executor state store — correctness does NOT depend on all of a
+    user's events arriving in one batch, only on batches arriving in
+    event-time order per key (guaranteed here by time-ordered source
+    files; at scale by the upstream log's per-key ordering). The
+    multi-batch equivalence test drives this with maxFilesPerTrigger=1."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    ev = read_events_stream(spark, sf_dir).select(
-        "user_id", "ts_us_long", "event_id", "event_type", "value"
-    )
 
     out_schema = "event_id bigint, user_id bigint, last_purchase_value double"
     state_schema = "last double"
@@ -311,13 +308,25 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    result = ev.groupBy("user_id").applyInPandasWithState(
+    return ev.select(
+        "user_id", "ts_us_long", "event_id", "event_type", "value"
+    ).groupBy("user_id").applyInPandasWithState(
         carry,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+@register("stream_stateful", oracle=None, tags=("streaming", "gvcf"))
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9-descended custom stateful operator: per-user carry-forward of
+    the last purchase value, via applyInPandasWithState (see
+    :func:`carry_forward_stateful`). Rows-only; tests assert equality
+    with the batch twin win_carry_forward, including under forced
+    multi-micro-batch execution."""
+    result = carry_forward_stateful(read_events_stream(spark, sf_dir))
     return run_available_now(result, "append")
 
 

@@ -77,13 +77,20 @@ def test_relational_paths_are_jvm_only(spark):
 
 def test_no_cartesian_products_anywhere(spark):
     """Every join in the inventory must be equi/broadcast/range — a
-    CartesianProduct at 100 TB is a bug. join_cross is the one deliberate
-    exception (tiny dims, explicit crossJoin)."""
+    CartesianProduct OR BroadcastNestedLoopJoin at 100 TB is a bug
+    (both scan every build row per probe row). join_cross is the one
+    deliberate exception (tiny dims, explicit crossJoin); text ops that
+    cross-join a broadcast ONE-ROW aggregate (corpus totals) are flagged
+    allowed explicitly."""
+    one_row_cross_ok = {"text_tfidf", "curate_mix_weights", "subquery_scalar",
+                        "q11_important_parts", "q22_idle_customers"}
     for key, spec in SPECS.items():
         if key == "join_cross" or "streaming" in spec.tags:
             continue
         plan = explain_str(spec.fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"{key}: cartesian product in plan"
+        if key not in one_row_cross_ok:
+            assert "BroadcastNestedLoop" not in plan, f"{key}: BNLJ in plan"
 
 
 def test_ssjoin_aggregates_partially(spark):

@@ -89,6 +89,79 @@ def test_stateful_carry_forward_equals_batch_twin(spark):
     assert s == b
 
 
+def test_stateful_state_survives_micro_batches(spark, tmp_path):
+    """The claim that per-key state persists across micro-batches is only
+    tested if there ARE multiple micro-batches — availableNow over the
+    single fixture file runs exactly one. Split events into 4 time-ordered
+    files, force maxFilesPerTrigger=1 (4 real batches through the state
+    store), and the carry-forward must still equal the batch window twin;
+    the tumbling agg in complete mode must also merge across batches."""
+    import uuid
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gvcf_hbase_spark.sources.tables import load_table, with_event_time
+    from gvcf_hbase_spark.streaming.stream_ops import carry_forward_stateful
+
+    ev = load_table(spark, SF_DIR, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    pdf = ev.select(*cols).orderBy("ts_us_long", "event_id").toPandas()
+    d = tmp_path / "events_4files"
+    d.mkdir()
+    for i, q in enumerate(np.array_split(pdf, 4)):
+        pq.write_table(
+            pa.Table.from_pandas(q.reset_index(drop=True), preserve_index=False),
+            str(d / f"{i:02d}.parquet"),
+        )
+
+    schema = spark.read.parquet(str(d)).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    result = carry_forward_stateful(with_event_time(raw))
+    name = f"mb_{uuid.uuid4().hex[:10]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+
+    stream = {r.event_id: r.last_purchase_value for r in spark.table(name).collect()}
+    batch = {
+        r.event_id: r.last_purchase_value
+        for r in SPECS["win_carry_forward"].fn(spark, SF_DIR).collect()
+    }
+    assert len(stream) == len(batch)
+    assert stream == batch
+
+    # windowed agg state must merge across the same 4 batches
+    agg = tumbling_agg(with_event_time(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    ))
+    name2 = f"mb_{uuid.uuid4().hex[:10]}"
+    q2 = (
+        agg.writeStream.format("memory")
+        .queryName(name2)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    _assert_same(
+        SPECS["stream_tumbling"].fn(spark, SF_DIR), spark.table(name2), "tumbling-4batch"
+    )
+
+
 def test_stream_stream_join_equals_batch_theta(spark):
     """Stream-stream time-range join must equal the batch theta join with
     the identical predicate (availableNow drains everything, so no rows
