@@ -71,28 +71,58 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> Data
     return spark.table(name)
 
 
-@register("stream_watermark_late", oracle=None, tags=("streaming",))
+_WATERMARK_ORACLE = """
+    WITH wm AS (
+      SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '10 minutes' AS w FROM events
+    )
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    HAVING window_start + INTERVAL '1 hour' <= (SELECT w FROM wm)
+"""
+
+
+@register("stream_watermark_late", oracle=_WATERMARK_ORACLE, tags=("streaming",))
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark + tumbling window in append mode: a window emits only
     once the 10-minute watermark passes its end; data later than the
-    watermark is dropped. Rows-only (watermark semantics are not
-    batch-SQL-expressible); tests assert the output is a subset of the
-    batch windows and that injected late rows are dropped."""
+    watermark is dropped.
+
+    Oracle-checked even though watermarking is stateful: under
+    availableNow over a finite source the final watermark is exactly
+    max(ts) - 10min, so the emitted set is precisely the windows whose
+    END <= that bound — expressible as a HAVING against the batch
+    aggregate. Late-row dropping is additionally asserted in tests."""
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts_evt", "10 minutes")
         .groupBy(F.window("ts_evt", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("cnt"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+        # ltz->ntz cast is exact under the UTC session tz and makes the
+        # column comparable with the oracle's naive timestamps
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
     )
     return run_available_now(agg, "append")
 
 
-@register("stream_dedup", oracle=None, tags=("streaming",))
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+    tags=("streaming",),
+)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup on event_id within the watermark horizon
     (dropDuplicatesWithinWatermark) — the streaming face of dedup_exact.
-    State holds one key per id inside the horizon, then ages out."""
+    State holds one key per id inside the horizon, then ages out.
+    Oracle-checked: event_id is unique in the fixture, so the exact
+    contract is 'every event passes through exactly once' — any dropped
+    or duplicated row hash-fails against the plain batch scan."""
     ev = read_events_stream(spark, sf_dir)
     dedup = ev.withWatermark("ts_evt", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
     return run_available_now(
@@ -145,14 +175,27 @@ def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(joined, "append")
 
 
-@register("stream_join_stream", oracle=None, tags=("streaming", "join"))
+@register(
+    "stream_join_stream",
+    oracle="""
+    SELECT e1.event_id AS click_id, e2.event_id AS purchase_id, e1.user_id
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e1.event_type = 'click' AND e2.event_type = 'purchase'
+     AND epoch_us(e2.ts) >= epoch_us(e1.ts)
+     AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 3600000000
+    """,
+    tags=("streaming", "join"),
+)
 def stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with a time-range condition: purchases
     within 1 hour after a click by the same user. Both sides carry
     watermarks so the state store can evict rows once the range condition
-    can no longer match (click state lives <=1h + watermark). Rows-only
-    (join-state semantics aren't batch-SQL-expressible); the test asserts
-    equality with the batch theta-join twin."""
+    can no longer match (click state lives <=1h + watermark).
+    Oracle-checked: an INNER stream-stream join emits exactly the
+    predicate's matches — the watermark governs state eviction, not the
+    result set — so under availableNow the output equals the batch
+    theta join with the identical (inclusive) band predicate."""
     base = read_events_stream(spark, sf_dir)
     clicks = (
         base.filter(F.col("event_type") == "click")
@@ -319,13 +362,24 @@ def carry_forward_stateful(ev: DataFrame) -> DataFrame:
     )
 
 
-@register("stream_stateful", oracle=None, tags=("streaming", "gvcf"))
+_CARRY_ORACLE = """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+    FROM events
+"""
+
+
+@register("stream_stateful", oracle=_CARRY_ORACLE, tags=("streaming", "gvcf"))
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9-descended custom stateful operator: per-user carry-forward of
     the last purchase value, via applyInPandasWithState (see
-    :func:`carry_forward_stateful`). Rows-only; tests assert equality
-    with the batch twin win_carry_forward, including under forced
-    multi-micro-batch execution."""
+    :func:`carry_forward_stateful`). Oracle-checked against the batch
+    window form of the same semantics: the stateful pass is deterministic
+    for any batching that respects per-key time order (proven across 4
+    forced micro-batches in tests), so its output must equal the window
+    twin row for row."""
     result = carry_forward_stateful(read_events_stream(spark, sf_dir))
     return run_available_now(result, "append")
 
