@@ -7,7 +7,16 @@ harness does), then:
       (row-count + sorted-column schema + order-insensitive values)
 
 Prints one JSON line per query plus a summary. Exit 0 iff everything
-matches. Usage:  python scripts/driver_mirror.py [sf_dir]
+matches. Usage:  python scripts/driver_mirror.py [sf_dir] [skip_oracle_keys]
+
+``skip_oracle_keys`` (comma-separated) demotes those queries to the
+rows-only check for THIS run — the Spark side still executes at full
+scale. Use it at sf0.1+, where the brute-force n-squared ORACLES (not the
+engine) become the bottleneck: e.g.
+  python scripts/driver_mirror.py /root/testdata/sf0.1 \
+      dedup_near_minhash,dedup_ngram_jaccard,sim_cosine_pairs,sim_knn_topk,dedup_embedding_cosine
+Those five stay fully oracle-checked at sf0.001/sf0.01 (default runs and
+tests/test_llm_ops.py cross-SF assertions).
 """
 
 from __future__ import annotations
@@ -23,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    skip_oracle = {k for k in (sys.argv[2] if len(sys.argv) > 2 else "").split(",") if k}
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -58,7 +68,7 @@ def main() -> int:
     for key in sorted(qs):
         try:
             df = qs[key](spark, sf_dir)
-            if key not in oracles:
+            if key not in oracles or key in skip_oracle:
                 cnt = df.count()
                 results[key] = f"rows-only: {cnt}"
                 continue

@@ -169,6 +169,57 @@ def test_gvcf_text_to_combine_end_to_end(spark, tmp_path):
     assert got == expect
 
 
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Cross-library check: on randomized (key, ts) data, the union-tag
+    window implementation must agree with pandas.merge_asof for every
+    (direction, strict) combination — an independent reference
+    implementation, not our own oracle SQL."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(1234)
+    for trial in range(3):
+        nl, nr = 120, 80
+        left_pd = pd.DataFrame(
+            {
+                "k": rng.randint(0, 5, nl).astype("int64"),
+                "lid": np.arange(nl, dtype="int64"),
+                "t": rng.randint(0, 1000, nl).astype("int64"),
+            }
+        )
+        right_pd = pd.DataFrame(
+            {
+                "k": rng.randint(0, 5, nr).astype("int64"),
+                # unique rt per key so the expected match is unambiguous
+                "rt": (rng.permutation(5000)[:nr] * 7).astype("int64"),
+            }
+        )
+        left = spark.createDataFrame(left_pd)
+        right = spark.createDataFrame(right_pd)
+        for direction in ("backward", "forward"):
+            for strict in (False, True):
+                got = asof_join(
+                    left, right, on="k", left_ts="t", right_ts="rt",
+                    direction=direction, strict=strict, how="left",
+                ).toPandas().set_index("lid")["rt"].to_dict()
+                exp = pd.merge_asof(
+                    left_pd.sort_values("t"),
+                    right_pd.sort_values("rt"),
+                    left_on="t",
+                    right_on="rt",
+                    by="k",
+                    direction=direction,
+                    allow_exact_matches=not strict,
+                ).set_index("lid")["rt"].to_dict()
+                for lid in left_pd["lid"]:
+                    g, e = got.get(lid), exp.get(lid)
+                    both_nan = pd.isna(g) and pd.isna(e)
+                    assert both_nan or g == e, (
+                        f"trial={trial} dir={direction} strict={strict} "
+                        f"lid={lid}: spark={g} pandas={e}"
+                    )
+
+
 def test_asof_join_directions(spark):
     left = spark.createDataFrame([("x", 10), ("x", 20), ("y", 10)], "k string, t long")
     right = spark.createDataFrame(
