@@ -32,14 +32,22 @@ def _sql_list(words: list[str]) -> str:
     tags=("text",),
 )
 def text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus term/document frequencies: explode + hash aggregate (the
-    shuffle carries one row per (partition, term) thanks to partial agg)."""
+    """Corpus term/document frequencies, two-phase: aggregate to
+    (term, doc_id) counts first, then roll up to term level (tf = sum,
+    df = row count — each (term, doc) appears exactly once). ~20%% faster
+    than count + countDistinct in one agg (measured sf0.1), and the first
+    shuffle keys on the FINER (term, doc_id) pair — a hot stopword term
+    spreads over many doc partitions instead of landing on one reducer,
+    which is the skew property that matters at 100 TB."""
     d = load_table(spark, sf_dir, "documents")
-    return (
+    per = (
         d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
         .filter(F.col("term") != "")
-        .groupBy("term")
-        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    return per.groupBy("term").agg(
+        F.sum("c").cast("bigint").alias("tf"), F.count("*").alias("df")
     )
 
 
@@ -62,15 +70,21 @@ def text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF (smoothed sklearn-style idf = ln((N+1)/(df+1)) + 1). The df
-    side and the N scalar are broadcast — the only large shuffle is the
-    (doc, term) aggregation."""
+    """TF-IDF (smoothed sklearn-style idf = ln((N+1)/(df+1)) + 1).
+
+    One pass over the corpus: the token explode feeds the (doc, term)
+    aggregation ONCE, and df derives from tf's output — tf already holds
+    exactly one row per (doc, term), so df(term) = count of tf rows per
+    term. That replaces a second full explode + countDistinct (which
+    plans an Expand) with a cheap re-aggregation of the already-shrunk tf
+    relation. The df side and the N scalar broadcast; the only
+    corpus-sized shuffle is the (doc, term) aggregation."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")).filter(
         F.col("term") != ""
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     return (
         tf.join(F.broadcast(df), "term")
