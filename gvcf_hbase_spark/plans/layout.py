@@ -100,6 +100,46 @@ def bulk_put(
     target.write(out.sortWithinPartitions("__rowkey"), table)
 
 
+def _register_sink_queries() -> None:
+    from gvcf_hbase_spark.registry import register
+    from gvcf_hbase_spark.sources.tables import load_table
+
+    @register(
+        "sink_bulk_put",
+        oracle="""
+        SELECT concat(lpad(upper(to_hex(user_id)), 16, '0'), '#',
+                      lpad(upper(to_hex(epoch_us(CAST(ts AS TIMESTAMP)))), 16, '0'))
+                 AS __rowkey,
+               event_id, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us_long, value
+        FROM events
+        """,
+        tags=("sink", "gvcf"),
+    )
+    def sink_bulk_put(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """A5 bulk load, oracle-checked end-to-end: bulk_put the events
+        table keyed on (user_id, ts_us_long) into the offline backend,
+        then read the written layout back. The oracle recomputes the
+        rowkey with independent string SQL, so key composition (zero-pad
+        hex concat — lexicographic == logical order), pre-split delivery,
+        and losslessness are all hash-verified. The physical contract
+        (range partitioning + in-partition key order) is asserted in
+        tests/test_plans.py."""
+        import tempfile
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts_us_long", "value"
+        )
+        target = HBaseTarget(tempfile.mkdtemp(prefix="gvcf_bulk_put_"))
+        bulk_put(ev, target, "events_by_user_time", ["user_id", "ts_us_long"], num_regions=4)
+        return spark.read.parquet(f"{target.path}/events_by_user_time").select(
+            "__rowkey", "event_id", "user_id", "ts_us_long", "value"
+        )
+
+
+_register_sink_queries()
+
+
 def bulk_write_range_sorted(
     df: DataFrame, path: str, keys: list[str], num_partitions: int | None = None
 ) -> None:

@@ -49,6 +49,7 @@ _MODULES = [
     "gvcf_hbase_spark.streaming.batch_twins",
     "gvcf_hbase_spark.streaming.stream_ops",
     "gvcf_hbase_spark.sources.gvcf_text",
+    "gvcf_hbase_spark.plans.layout",
 ]
 
 
@@ -74,6 +75,7 @@ _PRIORITY = [
     # gvcf core (never driver-verified)
     "source_gvcf_lines",
     "gvcf_combine",
+    "sink_bulk_put",
     # fixed since round 1 — need fresh verdicts
     "join_theta",
     "join_asof",
