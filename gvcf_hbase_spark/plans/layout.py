@@ -136,6 +136,37 @@ def _register_sink_queries() -> None:
             "__rowkey", "event_id", "user_id", "ts_us_long", "value"
         )
 
+    @register(
+        "sink_hive_partitioned",
+        oracle="""
+        SELECT lang, min(doc_id) AS min_id, max(doc_id) AS max_id,
+               count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE lang IN ('en', 'de')
+        GROUP BY lang
+        """,
+        tags=("sink", "layout"),
+    )
+    def sink_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """A12 partition pruning end-to-end: write documents hive-
+        partitioned by lang (the coarse pruning axis), read back with a
+        partition filter, and aggregate — losslessness of the partitioned
+        write AND the pruned read are hash-verified against the plain
+        table. Plan-level proof that the filter lands as PartitionFilters
+        (zero I/O on other langs) is in tests/test_plans.py."""
+        import tempfile
+
+        d = load_table(spark, sf_dir, "documents")
+        out = tempfile.mkdtemp(prefix="gvcf_hive_part_") + "/docs"
+        write_hive_partitioned(d, out, ["lang"], sort_keys=["doc_id"])
+        back = spark.read.parquet(out).filter(F.col("lang").isin("en", "de"))
+        return back.groupBy("lang").agg(
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+
 
 _register_sink_queries()
 

@@ -76,6 +76,7 @@ _PRIORITY = [
     "source_gvcf_lines",
     "gvcf_combine",
     "sink_bulk_put",
+    "sink_hive_partitioned",
     # fixed since round 1 — need fresh verdicts
     "join_theta",
     "join_asof",
