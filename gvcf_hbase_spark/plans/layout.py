@@ -167,6 +167,41 @@ def _register_sink_queries() -> None:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
 
+    @register(
+        "sink_bucketed_join",
+        oracle="""
+        SELECT o_orderpriority, count(*) AS n_items,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+        """,
+        tags=("sink", "join", "layout"),
+    )
+    def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """A4/A5 co-located join end-to-end: bucket both fact tables on
+        the join key at write time, then join the bucketed tables — the
+        write-once shuffle amortized across every later join. The oracle
+        is the PLAIN join aggregate: bucketing must not change a row,
+        which is what the hash-match proves. Zero-Exchange planning of
+        the bucketed join is asserted in tests/test_plans.py."""
+        import tempfile
+
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        base = tempfile.mkdtemp(prefix="gvcf_bucketed_")
+        write_bucketed(spark, o, "gq_orders_bucketed", f"{base}/o", ["o_orderkey"], 8)
+        write_bucketed(spark, li, "gq_lineitem_bucketed", f"{base}/li", ["l_orderkey"], 8)
+        ob = spark.table("gq_orders_bucketed")
+        lb = spark.table("gq_lineitem_bucketed")
+        return (
+            ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            )
+        )
+
 
 _register_sink_queries()
 

@@ -77,6 +77,7 @@ _PRIORITY = [
     "gvcf_combine",
     "sink_bulk_put",
     "sink_hive_partitioned",
+    "sink_bucketed_join",
     # fixed since round 1 — need fresh verdicts
     "join_theta",
     "join_asof",

@@ -42,6 +42,24 @@ def test_knn_ivf_shape_and_recall(spark):
         assert sorted(rns) == list(range(1, len(rns) + 1))
 
 
+def test_knn_dispatch_threshold(spark, monkeypatch):
+    """Above _BRUTE_FORCE_MAX vectors, sim_knn_topk must route to the
+    broadcast-free IVF path — force the threshold to 0 and the output
+    must match sim_knn_ivf (same centroids, same ranking)."""
+    from gvcf_hbase_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "_BRUTE_FORCE_MAX", 0)
+    routed = {
+        (r.vec_id, r.neighbor_id, r.rn)
+        for r in SPECS["sim_knn_topk"].fn(spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r.vec_id, r.neighbor_id, r.rn)
+        for r in SPECS["sim_knn_ivf"].fn(spark, SF_DIR).collect()
+    }
+    assert routed == ivf
+
+
 def test_ann_subset_and_recall(spark):
     """ANN output must be a subset of the exact pairs; recall on the
     fixture is deterministic (measured 0.95) — assert a safe floor."""
