@@ -329,6 +329,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hot grams (stopword bigrams) are the skew hazard — AQE skew splitting
     locally; at 100 TB add a max-df cutoff on the index side paired with a
     candidate pass for the dropped grams, or go dedup_near_minhash.
+
+    Measured negative result (sf0.1, this corpus): a PPJoin-style prefix
+    filter (index only each doc's ``sz - ceil(t*sz) + 1`` globally-rarest
+    grams, then candidate-verify with array_intersect) produced identical
+    output but ran 15× SLOWER (65 s vs 4.2 s). The fixture vocabulary is
+    ~931 grams, so even "rare" prefix grams are dense — candidates barely
+    shrink, and materializing pairs + per-pair array intersections loses
+    to this count-based aggregation, which never materializes a pair
+    below threshold. Prefix filtering pays off on Zipfian
+    natural-language vocabularies (most grams near-unique), not here.
     """
     t = 0.6
     d = load_table(spark, sf_dir, "documents")

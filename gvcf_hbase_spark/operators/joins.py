@@ -353,6 +353,45 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us, epoch_us(s.ts) AS next_click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') s
+      ON p.user_id = s.user_id AND p.ts <= s.ts
+    """,
+    tags=("join", "gvcf"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase matched to the EARLIEST same-or-later
+    click of the same user (the 'next event' lookup — A9's mirror
+    direction). Same union-tag + carry window plan as join_asof, ordered
+    descending; oracle is DuckDB's native forward ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us_long"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us_long").alias("next_click_ts_us")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts_us_long",
+        right_ts="next_click_ts_us",
+        direction="forward",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us_long").alias("purchase_ts_us"),
+        "next_click_ts_us",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reusable operator: salted join for skewed keys
 # ---------------------------------------------------------------------------

@@ -81,6 +81,7 @@ _PRIORITY = [
     # fixed since round 1 — need fresh verdicts
     "join_theta",
     "join_asof",
+    "join_asof_forward",
     "agg_collect",
     "agg_approx_percentile",
     # LLM-pipeline families (never driver-verified)
