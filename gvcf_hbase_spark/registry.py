@@ -75,6 +75,7 @@ _PRIORITY = [
     # gvcf core (never driver-verified)
     "source_gvcf_lines",
     "gvcf_combine",
+    "gvcf_encode_roundtrip",
     "sink_bulk_put",
     "sink_hive_partitioned",
     "sink_bucketed_join",

@@ -182,6 +182,45 @@ def _register_source_queries() -> None:
         so the parser's field/END/allele semantics are cross-checked."""
         return parse_gvcf_lines(_fixture_lines(spark, sf_dir, span=9))
 
+    @register("gvcf_encode_roundtrip", oracle=_GVCF_ORACLE, tags=("gvcf", "source"))
+    def gvcf_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """A11 parity, oracle-checked: the reference encodes each variant
+        record into HBase cell BYTES and decodes on scan (its
+        HBaseVariantEncoder round-trip). Spark needs no byte layout — the
+        struct is columnar — but the capability must exist for a cell-
+        value-compatible migration, so this query proves a lossless
+        encode→binary→decode cycle: parsed records → to_json → UTF-8
+        binary cell value → decode → from_json(schema) back to columns.
+        The oracle is the PARSER oracle unchanged: the round trip must be
+        an exact identity, which the hash-match certifies. All JVM
+        expressions (to_json/encode/decode/from_json) — at 100 TB this is
+        a map stage fused into the scan on both directions."""
+        recs = parse_gvcf_lines(_fixture_lines(spark, sf_dir, span=9))
+        schema = (
+            "contig string, start bigint, end bigint, ref string, alt string,"
+            " gt string, is_variant boolean, value string"
+        )
+        payload = F.struct(
+            "contig", "start", F.col("end"), "ref", "alt", "gt", "is_variant", "value"
+        )
+        cells = recs.select(
+            "sample_id", F.encode(F.to_json(payload), "UTF-8").alias("cell")
+        )
+        decoded = cells.select(
+            "sample_id", F.from_json(F.decode("cell", "UTF-8"), schema).alias("r")
+        )
+        return decoded.select(
+            "sample_id",
+            F.col("r.contig").alias("contig"),
+            F.col("r.start").alias("start"),
+            F.col("r.end").alias("end"),
+            F.col("r.ref").alias("ref"),
+            F.col("r.alt").alias("alt"),
+            F.col("r.gt").alias("gt"),
+            F.col("r.is_variant").alias("is_variant"),
+            F.col("r.value").alias("value"),
+        )
+
     @register("gvcf_combine", oracle=_GVCF_COMBINE_ORACLE, tags=("gvcf",))
     def gvcf_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
         """The reference's flagship query end-to-end (A1 -> A9 + A8): gVCF
