@@ -296,6 +296,125 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def connected_components_lss(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round algorithm for graphs where min-label propagation's
+    O(diameter) rounds would dominate (chains, 10⁹+-edge near-dup graphs).
+
+    Each round:
+    - large-star: per node u with m = min(Γ(u) ∪ {u}), re-point every
+      LARGER neighbor at m — long chains collapse geometrically;
+    - small-star: per node u, re-point every smaller-or-equal neighbor
+      (and u) at m — flattens the remaining two-level trees into stars.
+
+    Both steps are one groupBy + one join over the edge list; the edge
+    set shrinks toward (node → component-min) star edges, detected via a
+    commutative xxhash fingerprint (one scalar per round crosses the
+    driver). Returns (node, cluster_id = component min) for every node
+    incident to an edge — the same contract as the min-label version,
+    which remains the simple path for small-diameter graphs.
+    """
+    e = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )  # stored as (bigger u, smaller v) — already the star orientation
+
+    def _sym(edges: DataFrame) -> DataFrame:
+        # unionByName: plain union is POSITIONAL and would silently no-op
+        # the column swap
+        return edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    prev_fp = None
+    for _ in range(max_rounds):
+        both = _sym(e)
+        nb = both.groupBy("u").agg(F.min("v").alias("nmin"))
+        m = F.least(F.col("u"), F.col("nmin"))
+        ls = (
+            both.join(nb, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("nu"), m.alias("nv"))
+            .filter(F.col("nu") != F.col("nv"))
+            .select(F.col("nu").alias("u"), F.col("nv").alias("v"))
+            .distinct()
+        )
+        nb2 = ls.groupBy("u").agg(F.min("v").alias("nmin"))
+        m2 = F.least(F.col("u"), F.col("nmin"))
+        part1 = (
+            ls.join(nb2, "u")
+            .filter((F.col("v") <= F.col("u")) & (F.col("v") != m2))
+            .select(F.col("v").alias("nu"), m2.alias("nv"))
+            .filter(F.col("nu") != F.col("nv"))
+            .select(F.col("nu").alias("u"), F.col("nv").alias("v"))
+        )
+        part2 = nb2.select("u", F.least(F.col("u"), F.col("nmin")).alias("v")).filter(
+            F.col("u") != F.col("v")
+        )
+        e = part1.union(part2).distinct().localCheckpoint()
+        # commutative fingerprint; per-row hash bounded to 2^30 so the sum
+        # stays in BIGINT for up to ~2^33 edges (ANSI overflow otherwise)
+        fp_row = e.agg(
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 30))).alias("fp"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        fp = (fp_row.fp, fp_row.n)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    both = _sym(e)
+    return both.groupBy("u").agg(F.min("v").alias("mn")).select(
+        F.col("u").alias("doc_id"), F.least("u", "mn").alias("cluster_id")
+    )
+
+
+@register(
+    "dedup_cluster_cc_lss",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(l) - 1, 0) + 1),
+               i -> l[i] || ' ' || l[i+1])) AS grams
+      FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, ' +', ' ', 'g'))), ' ') AS l
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.6
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+    tags=("curation", "dedup", "iterative"),
+)
+def dedup_cluster_cc_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract as dedup_cluster_cc (same recursive-CTE
+    oracle — both algorithms must reach the identical fixpoint), computed
+    by large-star/small-star: the O(log n)-round scale path for 10⁹+-edge
+    graphs where O(diameter) label propagation stalls on chains."""
+    from gvcf_hbase_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return connected_components_lss(pairs)
+
+
 # lang -> how many of the 16 md5 first-hex-char buckets to keep.
 # Downsamples the dominant language toward a more uniform mixture while
 # keeping every decision a pure function of (lang, doc_id).

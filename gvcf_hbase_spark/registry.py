@@ -113,6 +113,7 @@ _PRIORITY = [
     "curate_pack_batches",
     "curate_mix_weights",
     "dedup_cluster_cc",
+    "dedup_cluster_cc_lss",
     "curate_stratified_sample",
     "agg_skew_salted",
     "curate_pipeline_e2e",

@@ -105,3 +105,35 @@ def test_cluster_cc_equals_union_find(spark):
     )
     assert got == expected
     assert len(got) > 0
+
+
+def test_cc_lss_equals_label_propagation(spark):
+    """Both CC algorithms must reach the identical fixpoint on the real
+    near-dup graph — and LSS must also collapse a 200-edge chain (the
+    label-propagation worst case, O(n) rounds) and a multi-component
+    forest exactly."""
+    from gvcf_hbase_spark.operators.curation import connected_components_lss
+
+    a = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in SPECS["dedup_cluster_cc"].fn(spark, SF_DIR).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in SPECS["dedup_cluster_cc_lss"].fn(spark, SF_DIR).collect()
+    )
+    assert a == b and len(a) > 0
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 200)], "id_a long, id_b long"
+    )
+    rows = connected_components_lss(chain).collect()
+    assert len(rows) == 201
+    assert all(r.cluster_id == 0 for r in rows)
+
+    forest = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (10, 13), (5, 4)],
+        "id_a long, id_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components_lss(forest).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 4: 4, 5: 4}
