@@ -121,6 +121,62 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESIZE_TARGET = 64  # bytes in the "resized" payload
+
+
+def resize_media(df: DataFrame, payload_col: str = "payload", target: int = _RESIZE_TARGET) -> DataFrame:
+    """mapInPandas resize over a binary column: nearest-neighbor
+    downsample to ``target`` bytes (src index = floor(i*len/target)) —
+    the deterministic stand-in for an image resize kernel; a real
+    implementation swaps the sampling line for PIL's resize and nothing
+    else (schema, batching, partitioning identical). Emits the resized
+    payload plus its fingerprint so a lossless pipeline downstream can
+    dedup on resized content."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {"doc_id": [], "orig_len": [], "resized": [], "resized_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(payload)
+                n = len(b)
+                r = bytes(b[(i * n) // target] for i in range(target)) if n else b""
+                out["doc_id"].append(doc_id)
+                out["orig_len"].append(n)
+                out["resized"].append(r)
+                out["resized_md5"].append(hashlib.md5(r).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        gen, schema="doc_id long, orig_len long, resized binary, resized_md5 string"
+    )
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS orig_len,
+           md5(array_to_string(list_transform(range(0, {_RESIZE_TARGET}),
+                 i -> substr(text, CAST(i * length(text) // {_RESIZE_TARGET} + 1 AS INT), 1)),
+               '')) AS resized_md5
+    FROM documents
+    """,
+    tags=("multimodal", "udf"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize end-to-end on the fake-media payload (UTF-8 text bytes):
+    nearest-neighbor downsample to {target} bytes inside the Arrow-batched
+    resizer, fingerprint the result. The oracle replays the identical
+    sampling arithmetic with substr — exact because the fixture is ASCII.
+    The binary column itself is dropped from the comparison (hashes
+    stand in for payload equality)."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return resize_media(with_payload).select("doc_id", "orig_len", "resized_md5")
+
+
 _FRAME_W = 32  # bytes per fake frame
 _FRAME_STRIDE = 4  # sample every 4th frame
 

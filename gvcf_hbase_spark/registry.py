@@ -107,6 +107,7 @@ _PRIORITY = [
     "multimodal_features",
     "multimodal_join",
     "multimodal_frame_sample",
+    "multimodal_resize",
     "curate_hash_split",
     "curate_domain_cap",
     "curate_pii_scrub",

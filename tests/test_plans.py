@@ -64,7 +64,7 @@ def test_relational_paths_are_jvm_only(spark):
         "sim_cosine_pairs", "sim_knn_topk", "sim_ann_lsh", "sim_ann_ivf",
         "sim_knn_ivf", "dedup_embedding_cosine", "udf_scalar", "udaf_grouped",
         "udtf_shingles", "multimodal_features", "multimodal_frame_sample",
-        "stream_stateful",
+        "multimodal_resize", "stream_stateful",
     }
     for key, spec in SPECS.items():
         if key in python_ok or "streaming" in spec.tags:
