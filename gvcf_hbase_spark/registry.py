@@ -72,20 +72,31 @@ def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # key whose behavior changed since the last verified round. Keys absent
 # from this list keep registration order, after these.
 _PRIORITY = [
-    # gvcf core (never driver-verified)
+    # gvcf core (never driver-verified in r01)
     "source_gvcf_lines",
     "gvcf_combine",
     "gvcf_encode_roundtrip",
+    # r01 wrong answers / comparator crashes — need fresh verdicts first
+    "join_theta",
+    "join_asof",
+    "agg_collect",
+    "agg_approx_percentile",
+    # r01 crashes (events AnalysisException) — all fixed
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_watermark_late",
+    "stream_dedup",
+    "stream_join_static",
+    "stream_join_stream",
+    "stream_stateful",
+    "stream_foreach_batch_upsert",
+    # round-2 additions
+    "join_asof_forward",
     "sink_bulk_put",
     "sink_hive_partitioned",
     "sink_bucketed_join",
-    # fixed since round 1 — need fresh verdicts
-    "join_theta",
-    "join_asof",
-    "join_asof_forward",
-    "agg_collect",
-    "agg_approx_percentile",
-    # LLM-pipeline families (never driver-verified)
+    # LLM-pipeline families (never driver-verified in r01)
     "dedup_exact",
     "dedup_near_minhash",
     "dedup_simhash",
@@ -108,33 +119,24 @@ _PRIORITY = [
     "multimodal_join",
     "multimodal_frame_sample",
     "multimodal_resize",
+    "curate_pipeline_e2e",
+    "dedup_cluster_cc",
+    "dedup_cluster_cc_lss",
+    "curate_pack_batches",
+    "udf_scalar",
+    "udtf_shingles",
+    # family representatives: set ops / subqueries  (— position 50 —)
+    "set_union_all",
+    "subquery_corr_scalar",
+    # remaining never-driver-verified keys, ahead of round-1-verified ones
+    "udaf_grouped",
     "curate_hash_split",
     "curate_domain_cap",
     "curate_pii_scrub",
-    "curate_pack_batches",
     "curate_mix_weights",
-    "dedup_cluster_cc",
-    "dedup_cluster_cc_lss",
     "curate_stratified_sample",
     "agg_skew_salted",
-    "curate_pipeline_e2e",
     "curate_decontaminate",
-    "udf_scalar",
-    "udaf_grouped",
-    "udtf_shingles",
-    # streaming (crashed in round 1; all fixed)
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_watermark_late",
-    "stream_dedup",
-    "stream_join_static",
-    "stream_join_stream",
-    "stream_stateful",
-    "stream_foreach_batch_upsert",
-    # family representatives: set ops / subqueries / scalar fns
-    "set_union_all",
-    "subquery_corr_scalar",
     "fn_map_json",
     # remaining never-driver-verified keys, ahead of round-1-verified ones
     "set_union_distinct",
