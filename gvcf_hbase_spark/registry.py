@@ -83,6 +83,7 @@ _PRIORITY = [
     "agg_approx_percentile",
     # r01 crashes (events AnalysisException) — all fixed
     "stream_tumbling",
+    "agg_time_rollup",
     "stream_sliding",
     "stream_session",
     "stream_watermark_late",

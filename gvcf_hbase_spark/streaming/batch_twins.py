@@ -91,6 +91,48 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_time_rollup",
+    oracle="""
+    WITH fine AS (
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w5,
+             event_type, count(*) AS cnt, sum(value) AS sv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT time_bucket(INTERVAL '1 hour', w5) AS window_start, event_type,
+           CAST(sum(cnt) AS BIGINT) AS cnt,
+           round(sum(sv), 4) AS total_value
+    FROM fine GROUP BY 1, 2
+    """,
+    tags=("streaming", "agg", "rollup"),
+)
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: maintain the
+    5-minute fine-grain aggregate (the materialized tier a streaming job
+    keeps current), then answer the 1-hour query by RE-AGGREGATING the
+    fine tier — never rescanning the raw events. Works because count/sum
+    are mergeable; the oracle re-aggregates the same fine tier, and the
+    1h result must equal stream_tumbling's direct aggregation (asserted
+    in tests). At 100 TB the fine tier is ~raw/300 rows, so every coarser
+    rollup (hour/day/month) costs a scan of the tier above it, not the
+    fact table — the same persisted-sketch pattern as
+    agg_hll_sketch_merge, for time."""
+    ev = load_table(spark, sf_dir, "events")
+    fine = (
+        ev.groupBy(F.window("ts_us", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+        .select(F.col("w.start").alias("w5"), "event_type", "cnt", "sv")
+    )
+    return (
+        fine.groupBy(F.window("w5", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.round(F.sum("sv"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "total_value")
+    )
+
+
+@register(
     "stream_session",
     oracle="""
     WITH ordered AS (

@@ -57,6 +57,17 @@ def test_stateful_apis_agree(spark):
     _assert_same(a, b, "stateful APIs")
 
 
+def test_time_rollup_equals_direct_aggregation(spark):
+    """The hypertable rollup contract: re-aggregating the 5-minute fine
+    tier to 1 hour must equal aggregating the raw events to 1 hour
+    directly (count/sum are mergeable)."""
+    _assert_same(
+        SPECS["stream_tumbling"].fn(spark, SF_DIR),
+        SPECS["agg_time_rollup"].fn(spark, SF_DIR),
+        "rollup",
+    )
+
+
 def test_watermark_output_is_subset_of_batch(spark):
     batch = {
         (r.window_start, r.event_type): r.cnt
