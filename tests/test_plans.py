@@ -182,6 +182,33 @@ def test_bulk_put_facade_roundtrip(spark, tmp_path):
     assert seen["t"] == "live_table" and seen["n"] == ev.count()
 
 
+def test_bulk_put_salted_hotspot_spread(spark, tmp_path):
+    """bulk_put with salt_buckets: every row still delivered, and a
+    monotonically-increasing key (the HBase hot-spotting case) spreads
+    across salt prefixes instead of landing in one region — while rows
+    WITHIN a salt bucket stay in key order."""
+    from gvcf_hbase_spark.plans.layout import HBaseTarget, bulk_put
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts_us_long", "value")
+    target = HBaseTarget(str(tmp_path / "salted"))
+    bulk_put(ev, target, "events_by_time", ["ts_us_long"], num_regions=4, salt_buckets=8)
+    back = spark.read.parquet(str(tmp_path / "salted" / "events_by_time"))
+    assert back.count() == ev.count()
+    prefixes = {
+        r.p for r in back.select(F.split("__rowkey", "#")[0].alias("p")).distinct().collect()
+    }
+    assert len(prefixes) == 8, prefixes
+    rows = back.select("__rowkey", "ts_us_long").collect()
+    per_salt = {}
+    for r in rows:
+        key = r["__rowkey"]
+        per_salt.setdefault(key.split("#")[0], []).append((key, r.ts_us_long))
+    for salt, lst in per_salt.items():
+        lst.sort()
+        ts = [t for _, t in lst]
+        assert ts == sorted(ts), f"salt {salt}: rowkey order != time order"
+
+
 def test_subquery_in_is_broadcast_semi(spark):
     """IN-subquery must land as a broadcast semi join: the fact table is
     probed in place, never shuffled."""
