@@ -137,3 +137,40 @@ def test_cc_lss_equals_label_propagation(spark):
     )
     got = {r.doc_id: r.cluster_id for r in connected_components_lss(forest).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 4: 4, 5: 4}
+
+
+def test_cc_lss_random_graphs_match_union_find(spark):
+    """LSS on randomized graphs (sparse, dense, with isolated-pair mix)
+    must match a Python union-find reference exactly."""
+    import random
+
+    from gvcf_hbase_spark.operators.curation import connected_components_lss
+
+    for seed, n_nodes, n_edges in [(7, 60, 40), (8, 60, 150), (9, 200, 90)]:
+        rng = random.Random(seed)
+        pairs = list(
+            {
+                tuple(sorted((rng.randrange(n_nodes), rng.randrange(n_nodes))))
+                for _ in range(n_edges)
+            }
+        )
+        pairs = [(a, b) for a, b in pairs if a != b]
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = sorted((node, find(node)) for node in parent)
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = sorted(
+            (r.doc_id, r.cluster_id) for r in connected_components_lss(df).collect()
+        )
+        assert got == expected, f"seed={seed}"
