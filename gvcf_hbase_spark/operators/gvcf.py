@@ -29,6 +29,33 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def sample_name_index(
+    df: DataFrame, sample_col: str = "sample_id", idx_col: str = "sample_idx"
+) -> tuple[DataFrame, DataFrame]:
+    """A2: sample-name → dense integer index (upstream `SampleNameIndex`
+    maps names to fixed HBase column qualifiers — upstream recollection).
+
+    Returns ``(dim, enriched)``: ``dim`` is the tiny name→index dimension
+    (index = 0-based dense rank of the name, deterministic), ``enriched``
+    is ``df`` with ``idx_col`` attached via an explicit broadcast join.
+
+    Scale: the dim is one distinct-aggregate over the corpus (sample
+    cardinality is thousands, not billions — it's a biobank's sample list),
+    then the single-partition ``row_number`` window runs over those few
+    thousand rows only, never the fact table. The broadcast join adds no
+    shuffle to the fact side. Unlike the reference, the sample count is
+    NOT fixed at table-creation time: re-deriving the dim on append is one
+    cheap aggregate.
+    """
+    w = Window.orderBy(sample_col)
+    dim = (
+        df.select(sample_col)
+        .distinct()
+        .withColumn(idx_col, (F.row_number().over(w) - 1).cast("int"))
+    )
+    return dim, df.join(F.broadcast(dim), sample_col)
+
+
 def expand_blocks(
     df: DataFrame, start: str = "start", end: str = "end", pos_col: str = "pos"
 ) -> DataFrame:

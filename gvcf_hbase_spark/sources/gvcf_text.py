@@ -169,8 +169,32 @@ _GVCF_COMBINE_ORACLE = r"""
 """
 
 
+_GVCF_SAMPLE_INDEX_ORACLE = r"""
+    WITH lines AS (
+      SELECT concat('s', o_orderkey % 4) AS sample_id,
+             o_orderkey AS start,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey + 2
+                  ELSE o_orderkey END AS fin,
+             CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE 1 END AS is_var
+      FROM orders
+    ),
+    dim AS (
+      SELECT sample_id,
+             CAST(row_number() OVER (ORDER BY sample_id) - 1 AS INT) AS sample_idx
+      FROM (SELECT DISTINCT sample_id FROM lines)
+    )
+    SELECT d.sample_idx, l.sample_id,
+           COUNT(*) AS n_records,
+           CAST(SUM(is_var) AS BIGINT) AS n_variants,
+           MIN(l.start) AS min_start,
+           MAX(l.fin) AS max_end
+    FROM lines l JOIN dim d USING (sample_id)
+    GROUP BY d.sample_idx, l.sample_id
+"""
+
+
 def _register_source_queries() -> None:
-    from gvcf_hbase_spark.operators.gvcf import combine_positions
+    from gvcf_hbase_spark.operators.gvcf import combine_positions, sample_name_index
     from gvcf_hbase_spark.registry import register
 
     @register("source_gvcf_lines", oracle=_GVCF_ORACLE, tags=("gvcf", "source"))
@@ -219,6 +243,25 @@ def _register_source_queries() -> None:
             F.col("r.gt").alias("gt"),
             F.col("r.is_variant").alias("is_variant"),
             F.col("r.value").alias("value"),
+        )
+
+    @register("gvcf_sample_index", oracle=_GVCF_SAMPLE_INDEX_ORACLE, tags=("gvcf",))
+    def gvcf_sample_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """A2 parity, oracle-checked: sample-name → dense index via the
+        `sample_name_index` operator (distinct-aggregate dim + broadcast
+        join back onto the parsed records — the Spark replacement for the
+        reference's fixed-count SampleNameIndex qualifier map). The query
+        proves both halves: the dense indices themselves (0-based rank in
+        name order, hash-matched against DuckDB's row_number dim) and the
+        enrichment join (per-sample record stats computed off the joined
+        fact side)."""
+        recs = parse_gvcf_lines(_fixture_lines(spark, sf_dir, span=2))
+        _dim, enriched = sample_name_index(recs)
+        return enriched.groupBy("sample_idx", "sample_id").agg(
+            F.count("*").alias("n_records"),
+            F.sum(F.col("is_variant").cast("long")).alias("n_variants"),
+            F.min("start").alias("min_start"),
+            F.max("end").alias("max_end"),
         )
 
     @register("gvcf_combine", oracle=_GVCF_COMBINE_ORACLE, tags=("gvcf",))

@@ -244,3 +244,26 @@ def test_asof_join_directions(spark):
     lo = asof_join(left, right, on="k", left_ts="t", right_ts="rt", how="left")
     got = {(r.k, r.t): r.rt for r in lo.collect()}
     assert got == {("x", 10): 5, ("x", 20): 15, ("y", 10): None}
+
+
+def test_sample_name_index(spark):
+    from gvcf_hbase_spark.operators.gvcf import sample_name_index
+
+    df = _variants_lite(spark)
+    dim, enriched = sample_name_index(df)
+    # Dense, 0-based, deterministic by name order.
+    assert {(r.sample_id, r.sample_idx) for r in dim.collect()} == {("A", 0), ("B", 1)}
+    # Enrichment preserves row count and tags every record.
+    assert enriched.count() == df.count()
+    assert enriched.filter("sample_id = 'B' AND sample_idx != 1").count() == 0
+    # Appending a new sample re-derives indices densely (no fixed count).
+    extra = spark.createDataFrame(
+        [("AB", "chr1", 1, 1, "AB:var1", True)],
+        "sample_id string, contig string, start long, end long, value string, is_variant boolean",
+    )
+    dim2, _ = sample_name_index(df.unionByName(extra))
+    assert {(r.sample_id, r.sample_idx) for r in dim2.collect()} == {
+        ("A", 0),
+        ("AB", 1),
+        ("B", 2),
+    }
