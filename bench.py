@@ -36,6 +36,10 @@ HEADLINE = [
     "text_tfidf",
     "curate_pipeline_e2e",
     "stream_tumbling",
+    # round-3 widening: the heaviest previously-unmeasured families —
+    # the largest TPC-H multi-join and the Python-UDTF boundary stress
+    "q9_product_profit",
+    "udtf_shingles",
 ]
 
 

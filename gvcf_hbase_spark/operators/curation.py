@@ -330,7 +330,7 @@ def connected_components_lss(pairs: DataFrame, max_rounds: int = 30) -> DataFram
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
 
-    prev_fp = None
+    prev_fp, prev_e = None, None
     for _ in range(max_rounds):
         both = _sym(e)
         nb = both.groupBy("u").agg(F.min("v").alias("nmin"))
@@ -363,9 +363,25 @@ def connected_components_lss(pairs: DataFrame, max_rounds: int = 30) -> DataFram
             F.count("*").alias("n"),
         ).collect()[0]
         fp = (fp_row.fp, fp_row.n)
-        if fp == prev_fp:
+        # fingerprint match is the fast path; an exceptAll confirm (one
+        # extra job, only on the would-break round) rules out a hash
+        # collision declaring a moving edge set converged
+        if (
+            fp == prev_fp
+            and prev_e is not None
+            and e.exceptAll(prev_e).limit(1).count() == 0
+        ):
             break
-        prev_fp = fp
+        prev_fp, prev_e = fp, e
+    else:
+        # Exhausting max_rounds without a fingerprint fixpoint means the
+        # labeling below may be a PARTIAL (wrong) clustering — 30 rounds
+        # covers any graph the O(log n) bound admits (2^30 nodes), so
+        # reaching here signals a pathological input or a fingerprint
+        # anomaly. Surfacing it beats silently returning wrong clusters.
+        raise RuntimeError(
+            f"connected_components_lss did not converge in {max_rounds} rounds"
+        )
     both = _sym(e)
     return both.groupBy("u").agg(F.min("v").alias("mn")).select(
         F.col("u").alias("doc_id"), F.least("u", "mn").alias("cluster_id")

@@ -70,6 +70,12 @@ def asof_join(
     overlap = set(payload_cols) & (set(left.columns) - set(keys))
     if overlap:
         raise ValueError(f"rename right columns colliding with left: {sorted(overlap)}")
+    reserved = {"__t", "__side", "__r", "__m"}
+    taken = reserved & (set(left.columns) | set(right.columns))
+    if taken:
+        # fail fast: a caller column named e.g. __t would silently corrupt
+        # the union/window bookkeeping below instead of erroring
+        raise ValueError(f"inputs may not use reserved internal columns: {sorted(taken)}")
 
     r2 = right.select(
         *keys,

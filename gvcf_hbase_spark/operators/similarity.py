@@ -1,22 +1,35 @@
 """Similarity search over the ``embeddings`` table (north-star surface):
-exact cosine pairs, top-k nearest neighbors, LSH-bucketed ANN, and
+exact cosine pairs, top-k nearest neighbors, LSH/IVF-bucketed ANN, and
 embedding-based near-dup pruning.
 
-Execution design: the corpus matrix is broadcast once (L2-normalized
-float64), and every scorer is a numpy matmul inside Arrow-batched
-``mapInPandas`` over the spread-out query side — measured ~100× faster
-than JVM higher-order-function folds on the all-pairs workloads (96 s →
-<1 s for sf0.1 knn). Scores are rounded to 6dp *before* thresholding /
-ranking so both engines make identical keep/rank decisions.
+Execution design — every EXACT operator has two physical strategies with
+identical results, chosen by a file-listing size estimate (never a
+``count()`` action):
 
-Scale notes (100 TB / >>10^5 vectors): broadcast brute force holds to
-~10^7×64-dim vectors (~5 GB); past that, ``sim_ann_lsh`` is the scale
-path — random-hyperplane buckets (multi-table) turn the pair space into
-per-bucket equi-joins, trading recall for a ~(bucket_size/n)× cost cut.
-IVF (k-means cells) would slot into the same bucket-join shape.
+- **broadcast brute force** (corpus ≤ ~5M×64-dim vectors): the corpus
+  matrix is broadcast once (L2-normalized float64) and scorers run numpy
+  matmuls inside Arrow-batched ``mapInPandas`` over the spread-out query
+  side — measured ~100× faster than JVM higher-order-function folds
+  (96 s → <1 s for sf0.1 knn).
+- **blocked matmul** (beyond broadcast): vectors are hash-assigned to B
+  blocks sized to task memory; all (i ≤ j) block pairs (for pairs) or
+  (query-block × corpus-block) groups (for top-k) are scored with the
+  same chunked numpy matmul inside ``applyInPandas``. Nothing is ever
+  driver-resident; the only shuffle replicates each vector ~B times.
+  Arithmetic stays quadratic — that is what EXACT all-pairs means — but
+  memory per task is bounded and the job is embarrassingly parallel.
 
-Thresholds are calibrated to the fixture (max pairwise cosine ≈ 0.51,
-probe-verified).
+The APPROXIMATE operators (``sim_ann_lsh``, ``sim_ann_ivf``,
+``sim_knn_ivf``) are separate registered keys so callers opt into
+approximation explicitly — no exact-registered query ever silently
+degrades to approximate output. Their bucketize stages need no corpus
+broadcast (fixed hyperplanes / sample-trained centroids), and candidate
+verification fetches vectors by id-join, so the whole family is
+broadcast-free.
+
+Scores are rounded to 6dp *before* thresholding / ranking so both engines
+make identical keep/rank decisions. Thresholds are calibrated to the
+fixture (max pairwise cosine ≈ 0.51, probe-verified).
 """
 
 from __future__ import annotations
@@ -28,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from gvcf_hbase_spark.functions.vectors import as_double, corpus_broadcast
 from gvcf_hbase_spark.registry import register
-from gvcf_hbase_spark.sources.tables import load_table, spread
+from gvcf_hbase_spark.sources.tables import load_table, scan_size_bytes, spread
 
 _COS_PAIR_THRESHOLD = 0.4
 _NEARDUP_THRESHOLD = 0.45
@@ -44,6 +57,128 @@ _planes = np.random.RandomState(7).normal(size=(_LSH_TABLES * _LSH_PLANES, 64))
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return e.select("vec_id", "label", as_double("embedding").alias("emb"))
+
+
+# Broadcast ceiling for the brute-force strategies, in SCAN bytes (file
+# listing — ~4 ms, no job). 2 GB of parquet float32 ≈ 5M 64-dim vectors
+# ≈ 5 GB broadcast as float64, the practical executor-memory ceiling.
+# Unknown size (non-file source) counts as "large": the blocked path is
+# always correct, only slower on small inputs.
+_BRUTE_FORCE_MAX_BYTES = 2_000_000_000
+
+# Blocked-matmul tuning: ~64 MB of raw vector payload per block keeps one
+# block's matrix comfortably in task memory; queries score against a block
+# in chunks of 256 rows so the transient score matrix stays ~256 MB even
+# at the largest block size.
+_BLOCK_BYTES = 64 << 20
+_SCORE_CHUNK = 256
+
+
+def _fits_broadcast(e: DataFrame) -> bool:
+    sz = scan_size_bytes(e)
+    return sz is not None and sz <= _BRUTE_FORCE_MAX_BYTES
+
+
+def _pick_blocks(e: DataFrame) -> int:
+    """Block count for the blocked strategies: scan bytes ×2 (float32 on
+    disk → float64 in memory), ÷ the per-block budget. Floor 2 so the
+    blocked code path is always exercised when chosen; cap 1024 keeps the
+    block-pair fan-out (B(B+1)/2 groups) within shuffle-partition sanity."""
+    sz = scan_size_bytes(e) or _BRUTE_FORCE_MAX_BYTES
+    return max(2, min(1024, -(-sz * 2 // _BLOCK_BYTES)))
+
+
+def _to_matrix(col: pd.Series) -> np.ndarray:
+    m = np.stack([np.asarray(v, dtype="float64") for v in col])
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def _pairs_above_blocked(e: DataFrame, threshold: float, blocks: int) -> DataFrame:
+    """Exact cosine pairs ≥ threshold WITHOUT any corpus broadcast — the
+    beyond-5M-vectors strategy. Vectors are hash-assigned to ``blocks``
+    blocks; every unordered block pair (i ≤ j) becomes one applyInPandas
+    group scoring block i against block j with chunked numpy matmuls, so
+    per-task memory is bounded by the block size regardless of corpus
+    size. Each vector is shuffled ~B times (its block appears in B pair
+    groups); only surviving pairs leave a task. Results are identical to
+    the broadcast scorer: same 6dp rounding before the threshold."""
+    spark = e.sparkSession
+    b = blocks
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(b) for j in range(i, b)], "bi int, bj int"
+    )
+    tagged = spread(e).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(b)).cast("int")
+    )
+    left = tagged.join(F.broadcast(pairs), F.col("blk") == F.col("bi")).select(
+        "bi", "bj", F.lit("a").alias("side"), "vec_id", "emb"
+    )
+    right = (
+        tagged.join(
+            F.broadcast(pairs.filter(F.col("bi") != F.col("bj"))),
+            F.col("blk") == F.col("bj"),
+        )
+        .select("bi", "bj", F.lit("b").alias("side"), "vec_id", "emb")
+    )
+    both = left.unionByName(right)
+
+    def score(key, pdf):
+        bi, bj = key
+        a = pdf[pdf["side"] == "a"]
+        if a.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        ids_a = a["vec_id"].to_numpy(dtype="int64")
+        ma = _to_matrix(a["emb"])
+        if bi == bj:
+            ids_b, mb = ids_a, ma
+        else:
+            bb = pdf[pdf["side"] == "b"]
+            if bb.empty:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+                )
+            ids_b = bb["vec_id"].to_numpy(dtype="int64")
+            mb = _to_matrix(bb["emb"])
+        lo_all, hi_all, cs_all = [], [], []
+        for s0 in range(0, len(ids_a), _SCORE_CHUNK):
+            s1 = min(s0 + _SCORE_CHUNK, len(ids_a))
+            s = np.round(ma[s0:s1] @ mb.T, 6)
+            mask = s >= threshold
+            if bi == bj:
+                # Diagonal group: both sides are the same block, so the
+                # upper triangle (id_a < id_b) de-duplicates mirrored and
+                # self pairs. Cross-block pairs exist in exactly ONE group
+                # (min_block, max_block) and must NOT be id-filtered here —
+                # id order is independent of block assignment; they are
+                # oriented min/max below instead.
+                mask &= ids_a[s0:s1, None] < ids_b[None, :]
+            ii, jj = np.nonzero(mask)
+            ia, ib = ids_a[s0 + ii], ids_b[jj]
+            lo_all.append(np.minimum(ia, ib))
+            hi_all.append(np.maximum(ia, ib))
+            cs_all.append(s[ii, jj])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(lo_all) if lo_all else np.array([], "int64"),
+                "id_b": np.concatenate(hi_all) if hi_all else np.array([], "int64"),
+                "cos_sim": np.concatenate(cs_all) if cs_all else np.array([], "float64"),
+            }
+        )
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        score, "id_a bigint, id_b bigint, cos_sim double"
+    )
+
+
+def cosine_pairs(e: DataFrame, threshold: float) -> DataFrame:
+    """Exact pairs ≥ threshold with the size-dispatched physical strategy:
+    broadcast matmul when the corpus fits, blocked matmul beyond. Both
+    are exact — dispatch never changes results, only the plan."""
+    if _fits_broadcast(e):
+        return _pairs_above(e, threshold)
+    return _pairs_above_blocked(e, threshold, _pick_blocks(e))
 
 
 def _pairs_above(e: DataFrame, threshold: float) -> DataFrame:
@@ -89,9 +224,11 @@ _PAIR_ORACLE = f"""
 
 @register("sim_cosine_pairs", oracle=_PAIR_ORACLE, tags=("similarity",))
 def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise cosine ≥ 0.4 (broadcast-matmul scorer; quadratic
-    arithmetic but linear shuffle — the baseline the ANN path approximates)."""
-    return _pairs_above(_emb(spark, sf_dir), _COS_PAIR_THRESHOLD)
+    """Exact pairwise cosine ≥ 0.4 — the baseline the ANN paths
+    approximate. Size-dispatched: broadcast matmul while the corpus fits
+    executor memory, blocked matmul (no broadcast, bounded task memory)
+    beyond; both strategies produce identical pairs."""
+    return cosine_pairs(_emb(spark, sf_dir), _COS_PAIR_THRESHOLD)
 
 
 _KNN_ORACLE = f"""
@@ -110,13 +247,6 @@ _KNN_ORACLE = f"""
 """
 
 
-# Above this corpus size the brute-force broadcast scorer stops being the
-# default: ~10^7 64-dim float64 vectors ≈ 5 GB broadcast is the practical
-# ceiling; past it sim_knn_topk dispatches to the IVF candidate path
-# (knn_topk_ivf), which broadcasts nothing and shuffles by cell instead.
-_BRUTE_FORCE_MAX = 5_000_000
-
-
 @register("sim_knn_topk", oracle=_KNN_ORACLE, tags=("similarity",))
 def sim_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 neighbors per vector: one matmul row per query against
@@ -125,13 +255,15 @@ def sim_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking uses the rounded score + neighbor_id tiebreak so both engines
     rank identically.
 
-    Scale guard: above _BRUTE_FORCE_MAX vectors the broadcast is the
-    bottleneck, so the operator dispatches to :func:`knn_topk_ivf` —
-    approximate, broadcast-free, cell-partitioned (registered standalone
-    as ``sim_knn_ivf`` for direct use and its own recall tests)."""
+    Scale guard: beyond the broadcast ceiling (file-listing size estimate,
+    no count() action) the operator dispatches to :func:`knn_topk_blocked`
+    — still EXACT, just broadcast-free with bounded task memory. Callers
+    who want the cheaper approximate search at scale choose
+    ``sim_knn_ivf`` explicitly; an exact-registered query never silently
+    degrades to approximate results."""
     e = _emb(spark, sf_dir)
-    if e.count() > _BRUTE_FORCE_MAX:
-        return knn_topk_ivf(e, k=_KNN_K)
+    if not _fits_broadcast(e):
+        return knn_topk_blocked(e, k=_KNN_K)
     bc = corpus_broadcast(e)
 
     def topk(batches):
@@ -175,10 +307,12 @@ def sim_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pruning: drop any vector that has a lower-id
     neighbor with cosine ≥ 0.45; survivors form the deduplicated corpus
-    (greedy keep-first — deterministic, order-independent)."""
+    (greedy keep-first — deterministic, order-independent). Pair finding
+    rides :func:`cosine_pairs`, so it inherits the broadcast/blocked size
+    dispatch and stays exact at any corpus size."""
     e = _emb(spark, sf_dir)
     dups = (
-        _pairs_above(e, _NEARDUP_THRESHOLD)
+        cosine_pairs(e, _NEARDUP_THRESHOLD)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
@@ -191,16 +325,17 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 tables × 3 fixed hyperplanes → per-table sign-pattern buckets →
     per-bucket equi-join candidates → exact cosine verify ≥ 0.4.
 
-    Bucket signs and the verify cosine both run as numpy over the
-    broadcast corpus; the candidate join itself is a DataFrame equi-join
-    on (table, bucket) — the shape that scales: cost ~ Σ bucket² instead
-    of n², and the join shuffles only (id, t, bucket) ints, never vectors.
+    Fully broadcast-free: bucket signs need only the fixed hyperplane
+    constants, the candidate join is a DataFrame equi-join on (table,
+    bucket) shuffling only (id, t, bucket) ints, and the exact-cosine
+    verify fetches the two vectors per candidate by id-join
+    (:func:`_verify_pairs`) — so cost ~ Σ bucket² instead of n² and no
+    stage holds the corpus in one place at any size.
 
     Rows-only check (candidate recall is probabilistic by design); tests
     assert output ⊆ sim_cosine_pairs and recall ≥ 0.7 on the fixture.
     """
     e = _emb(spark, sf_dir)
-    bc = corpus_broadcast(e)
 
     def bucketize(batches):
         for pdf in batches:
@@ -234,24 +369,41 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    return _verify_pairs(cands, bc)
+    return _verify_pairs(cands, e)
 
 
-def _verify_pairs(cands: DataFrame, bc) -> DataFrame:
-    """Exact-cosine verify for candidate (id_a, id_b) pairs: scores come
-    from the broadcast normalized corpus (id → row lookup), so the verify
-    join ships only int pairs, never vectors."""
+def _pair_cos_np(va: pd.Series, vb: pd.Series) -> pd.Series:
+    a = np.stack([np.asarray(v, dtype="float64") for v in va])
+    b = np.stack([np.asarray(v, dtype="float64") for v in vb])
+    an = a / np.linalg.norm(a, axis=1, keepdims=True)
+    bn = b / np.linalg.norm(b, axis=1, keepdims=True)
+    return pd.Series(np.round((an * bn).sum(axis=1), 6))
 
-    @F.pandas_udf("double")
-    def pair_cos(ia: pd.Series, ib: pd.Series) -> pd.Series:
-        ids_all, mn = bc.value
-        pos = pd.Series(np.arange(len(ids_all)), index=ids_all)
-        va = mn[pos[ia.to_numpy()].to_numpy()]
-        vb = mn[pos[ib.to_numpy()].to_numpy()]
-        return pd.Series(np.round((va * vb).sum(axis=1), 6))
 
-    return cands.withColumn("cos_sim", pair_cos("id_a", "id_b")).filter(
-        F.col("cos_sim") >= _COS_PAIR_THRESHOLD
+def _arr_cos(a, b):
+    """6dp-rounded cosine of two array<double> columns (Arrow-batched,
+    row-aligned numpy — the verify-stage scorer). The pandas UDF is built
+    per call: decorating at module import would require a live
+    SparkSession before one exists."""
+    return F.pandas_udf(_pair_cos_np, "double")(a, b)
+
+
+def _verify_pairs(cands: DataFrame, e: DataFrame) -> DataFrame:
+    """Exact-cosine verify for candidate (id_a, id_b) pairs: the two
+    vectors are fetched by id equi-joins against the corpus, then scored
+    with a vectorized pandas UDF. No corpus broadcast anywhere — the
+    joins shuffle candidate-count × vector-size bytes, which is small by
+    construction (candidates are the bucket-pruned survivors), and AQE
+    still broadcasts the corpus side on its own when it happens to be
+    tiny. This is the same vectors-travel-with-candidates shape as
+    :func:`knn_topk_ivf`'s cell join."""
+    va = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", _arr_cos("emb_a", "emb_b").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _COS_PAIR_THRESHOLD)
     )
 
 
@@ -290,14 +442,15 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned to its 2 nearest cells → per-cell equi-join candidates →
     exact cosine verify ≥ 0.4.
 
-    Same scale shape as sim_ann_lsh (cost ~ Σ cell², join ships only
-    (id, cell) ints) but data-adaptive: cells follow the corpus density
-    instead of fixed random hyperplanes, which typically buys higher
-    recall per candidate at the price of a training pass. Rows-only check;
-    tests assert output ⊆ sim_cosine_pairs and recall ≥ 0.7.
+    Same broadcast-free scale shape as sim_ann_lsh (cost ~ Σ cell², join
+    ships only (id, cell) ints, verify joins vectors by id) but
+    data-adaptive: cells follow the corpus density instead of fixed random
+    hyperplanes, which typically buys higher recall per candidate at the
+    price of a training pass (bounded driver sample — the standard ANN
+    recipe). Rows-only check; tests assert output ⊆ sim_cosine_pairs and
+    recall ≥ 0.7.
     """
     e = _emb(spark, sf_dir)
-    bc = corpus_broadcast(e)
     cent = _ivf_centroids(e)
 
     def assign_cells(batches):
@@ -326,7 +479,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return _verify_pairs(cands, bc)
+    return _verify_pairs(cands, e)
 
 
 def _cell_assigner(cent: np.ndarray, n_probe: int):
@@ -379,14 +532,6 @@ def knn_topk_ivf(
     corpus = spread(e).mapInPandas(_cell_assigner(cent, corpus_probe), schema).alias("c")
     queries = spread(e).mapInPandas(_cell_assigner(cent, probe), schema).alias("q")
 
-    @F.pandas_udf("double")
-    def _arr_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        a = np.stack([np.asarray(v, dtype="float64") for v in va])
-        b = np.stack([np.asarray(v, dtype="float64") for v in vb])
-        an = a / np.linalg.norm(a, axis=1, keepdims=True)
-        bn = b / np.linalg.norm(b, axis=1, keepdims=True)
-        return pd.Series(np.round((an * bn).sum(axis=1), 6))
-
     scored = (
         queries.join(
             corpus,
@@ -409,10 +554,89 @@ def knn_topk_ivf(
     )
 
 
+def knn_topk_blocked(e: DataFrame, k: int, blocks: int | None = None) -> DataFrame:
+    """EXACT top-k neighbors without any corpus broadcast — what
+    ``sim_knn_topk`` dispatches to beyond the broadcast ceiling.
+
+    The corpus is hash-assigned to B blocks; every query is replicated to
+    all B blocks (one broadcast of a B-row block list, then a shuffle of
+    n×B query vectors), each (block) group computes its LOCAL top-k per
+    query with the chunked matmul, and a global window merges the B×k
+    candidates per query down to the true top-k. Exact because the union
+    of blocks covers the whole corpus and top-k selection is a monotone
+    merge under the (score desc, neighbor_id) order the oracle uses.
+
+    Per-task memory is one block's matrix plus a _SCORE_CHUNK-row score
+    slab; intermediate volume is n×B×k rows — linear in the corpus for
+    fixed B, never quadratic."""
+    spark = e.sparkSession
+    b = blocks or _pick_blocks(e)
+    blocks_df = spark.createDataFrame([(i,) for i in range(b)], "tblk int")
+    corpus = spread(e).select(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(b)).cast("int").alias("tblk"),
+        F.lit("c").alias("side"),
+        "vec_id",
+        "emb",
+    )
+    queries = (
+        spread(e)
+        .crossJoin(F.broadcast(blocks_df))
+        .select("tblk", F.lit("q").alias("side"), "vec_id", "emb")
+    )
+
+    def local_topk(pdf):
+        c = pdf[pdf["side"] == "c"]
+        q = pdf[pdf["side"] == "q"]
+        empty = pd.DataFrame(
+            {
+                "vec_id": np.array([], "int64"),
+                "neighbor_id": np.array([], "int64"),
+                "cos_sim": np.array([], "float64"),
+            }
+        )
+        if c.empty or q.empty:
+            return empty
+        ids_c = c["vec_id"].to_numpy(dtype="int64")
+        mc = _to_matrix(c["emb"])
+        ids_q = q["vec_id"].to_numpy(dtype="int64")
+        mq = _to_matrix(q["emb"])
+        frames = []
+        for s0 in range(0, len(ids_q), _SCORE_CHUNK):
+            s1 = min(s0 + _SCORE_CHUNK, len(ids_q))
+            s = np.round(mq[s0:s1] @ mc.T, 6)
+            for i in range(s1 - s0):
+                qid = ids_q[s0 + i]
+                idx = np.flatnonzero(ids_c != qid)
+                best = idx[np.lexsort((ids_c[idx], -s[i][idx]))][:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": np.full(len(best), qid, dtype="int64"),
+                            "neighbor_id": ids_c[best],
+                            "cos_sim": s[i][best],
+                        }
+                    )
+                )
+        return pd.concat(frames) if frames else empty
+
+    local = (
+        corpus.unionByName(queries)
+        .groupBy("tblk")
+        .applyInPandas(local_topk, "vec_id bigint, neighbor_id bigint, cos_sim double")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return local.withColumn("rn", F.row_number().over(w).cast("int")).filter(
+        F.col("rn") <= k
+    )
+
+
 @register("sim_knn_ivf", oracle=None, tags=("similarity", "ann"))
 def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Standalone registration of the broadcast-free IVF top-k path (the
-    plan sim_knn_topk dispatches to beyond _BRUTE_FORCE_MAX vectors).
-    Rows-only (approximate by design); tests assert shape invariants and
-    recall ≥ 0.6 against the exact scorer."""
+    """The approximate broadcast-free top-k path, its own registered key:
+    callers at scale trade exactness for the IVF candidate cut EXPLICITLY
+    by choosing this over ``sim_knn_topk`` (which stays exact at any size
+    via its blocked dispatch). Rows-only (approximate by design); tests
+    assert shape invariants and recall ≥ 0.6 against the exact scorer."""
     return knn_topk_ivf(_emb(spark, sf_dir), k=_KNN_K)

@@ -77,7 +77,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one row per (doc, term), so df(term) = count of tf rows per
     term. That replaces a second full explode + countDistinct (which
     plans an Expand) with a cheap re-aggregation of the already-shrunk tf
-    relation. The df side and the N scalar broadcast; the only
+    relation. The N scalar is an explicit broadcast (always 1 row); the
+    df side is deliberately NOT hinted — df is vocabulary-sized, and a
+    web-scale vocabulary (10^8+ junk tokens) overflows a forced
+    broadcast, while AQE picks broadcast on its own whenever df measures
+    small (asserted by a plan test at fixture scale). The only
     corpus-sized shuffle is the (doc, term) aggregation."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")).filter(
@@ -87,7 +91,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

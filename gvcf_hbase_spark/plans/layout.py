@@ -59,6 +59,20 @@ class HBaseTarget:
             df.write.mode("overwrite").parquet(f"{self.path}/{table}")
 
 
+def _int_key_hex(v) -> F.Column:
+    """Order-preserving hex encoding of a signed 64-bit key: '1' + 16-char
+    hex for v ≥ 0, '0' + 16-char hex of (v + 2^63) for v < 0 (computed as
+    ``v - LONG_MIN`` to stay inside bigint). Lexicographic order of the
+    encoding == numeric order over the FULL signed range — raw
+    ``hex(cast bigint)`` yields two's-complement for negatives, which
+    sorts after positives and breaks the rowkey contract."""
+    v = v.cast("bigint")
+    long_min = F.lit(-(2**63))
+    return F.when(
+        v < 0, F.concat(F.lit("0"), F.lpad(F.hex(v - long_min), 16, "0"))
+    ).otherwise(F.concat(F.lit("1"), F.lpad(F.hex(v), 16, "0")))
+
+
 def bulk_put(
     df: DataFrame,
     target: HBaseTarget,
@@ -74,22 +88,30 @@ def bulk_put(
     - ``key_cols`` compose the row key in order (the reference's
       sample/contig/position key — SURVEY §2A A3); a ``__rowkey``
       hex-padded string column is added so lexicographic HBase order equals
-      the logical key order.
-    - ``salt_buckets > 0`` prepends a deterministic hash-salt byte — the
+      the logical key order. Signed integers are sign-split ('0' prefix +
+      2^63-biased hex for negatives, '1' prefix + plain hex otherwise) —
+      raw two's-complement hex would sort negatives AFTER positives.
+    - ``salt_buckets > 0`` prepends a deterministic hash-salt prefix — the
       standard HBase hot-spotting fix for monotonically increasing keys
-      (sequential writes otherwise all land on one region). Scans fan out
-      over the buckets; range scans within a salt bucket stay contiguous.
+      (sequential writes otherwise all land on one region). The prefix is
+      zero-padded to the bucket count's digit width, so lexicographic
+      bucket grouping survives any ``salt_buckets``, not just ≤ 100.
+      Scans fan out over the buckets; range scans within a salt bucket
+      stay contiguous.
     - ``repartitionByRange`` + ``sortWithinPartitions`` is exactly the
       HFile contract: each output partition owns a contiguous key range and
       is written in key order, so a real connector can stream HFiles with
       zero re-sorting.
     """
-    parts = [F.lpad(F.hex(F.col(c).cast("bigint")), 16, "0") if t.startswith(("bigint", "int", "long"))
+    parts = [_int_key_hex(F.col(c)) if t.startswith(("bigint", "int", "long"))
              else F.col(c).cast("string")
              for c, t in ((c, dict(df.dtypes)[c]) for c in key_cols)]
     key = F.concat_ws("#", *parts)
     if salt_buckets > 0:
-        salt = F.lpad(F.pmod(F.xxhash64(*key_cols), F.lit(salt_buckets)).cast("string"), 2, "0")
+        pad = len(str(salt_buckets - 1))
+        salt = F.lpad(
+            F.pmod(F.xxhash64(*key_cols), F.lit(salt_buckets)).cast("string"), pad, "0"
+        )
         key = F.concat_ws("#", salt, key)
     keyed = df.withColumn("__rowkey", key)
     out = (
@@ -107,8 +129,14 @@ def _register_sink_queries() -> None:
     @register(
         "sink_bulk_put",
         oracle="""
-        SELECT concat(lpad(upper(to_hex(user_id)), 16, '0'), '#',
-                      lpad(upper(to_hex(epoch_us(CAST(ts AS TIMESTAMP)))), 16, '0'))
+        SELECT concat(
+                 CASE WHEN user_id < 0
+                      THEN concat('0', lpad(upper(to_hex(user_id - (-9223372036854775808))), 16, '0'))
+                      ELSE concat('1', lpad(upper(to_hex(user_id)), 16, '0')) END,
+                 '#',
+                 CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < 0
+                      THEN concat('0', lpad(upper(to_hex(epoch_us(CAST(ts AS TIMESTAMP)) - (-9223372036854775808))), 16, '0'))
+                      ELSE concat('1', lpad(upper(to_hex(epoch_us(CAST(ts AS TIMESTAMP)))), 16, '0')) END)
                  AS __rowkey,
                event_id, user_id,
                epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us_long, value

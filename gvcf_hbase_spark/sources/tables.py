@@ -68,6 +68,40 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     return with_event_time(spark.read.parquet(path))
 
 
+def _parse_byte_conf(raw: str) -> int:
+    """Parse a Spark byte-string conf value (``134217728``, ``128m``,
+    ``1g``, ``134217728b`` — the JavaUtils.byteStringAsBytes grammar).
+    Stripping non-digits is NOT safe here: ``'128m'`` would become 128
+    bytes and silently wreck any size arithmetic built on it."""
+    s = str(raw).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in "kmgtp":
+        mult = 1024 ** ("kmgtp".index(s[-1]) + 1)
+        s = s[:-1]
+    return int(s) * mult
+
+
+def scan_size_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of the DataFrame's scan, from the file listing
+    (~4 ms) — the cheap stand-in for ``df.count()`` when an operator needs
+    a size-based physical-strategy dispatch (e.g. broadcast brute-force vs
+    blocked vector search). Returns None for non-file sources or remote
+    filesystems where local stat fails; callers must treat None as
+    "unknown, assume large" so the scale-safe path is the default."""
+    import os
+    from urllib.parse import urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    try:
+        return sum(os.path.getsize(urlparse(f).path) for f in files)
+    except OSError:
+        return None
+
+
 def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     """Fan a table out across the cluster before compute-heavy per-row
     work — but ONLY when it actually arrives under-parallel.
@@ -96,16 +130,14 @@ def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     files = df.inputFiles()
     if files:
         est = len(files)
-        try:
-            import os
-            from urllib.parse import urlparse
-
-            raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-            max_bytes = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
-            total = sum(os.path.getsize(urlparse(f).path) for f in files)
+        total = scan_size_bytes(df)
+        if total is not None:
+            try:
+                raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+                max_bytes = _parse_byte_conf(raw)
+            except ValueError:
+                max_bytes = 134217728  # odd conf value: Spark's default
             est = max(est, total // max_bytes)
-        except (OSError, ValueError):
-            pass  # remote FS / odd conf: the file count is the floor
     else:
         est = df.rdd.getNumPartitions()
     if est >= target:

@@ -248,6 +248,27 @@ def batch_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
 
 
+def _carry_batch(pdf: pd.DataFrame, last: float | None):
+    """Vectorized per-key carry-forward over one micro-batch: sort by
+    event time, mask ``value`` where the row is a purchase, ``ffill``,
+    seed the leading gap with the state value. Returns ``(event_ids,
+    carried_values, new_last)`` — no per-row Python; this is the hot path
+    of both stateful processors and runs as three pandas column ops per
+    (key, batch)."""
+    pdf = pdf.sort_values(["ts_us_long", "event_id"])
+    purchases = pdf["value"].astype("float64").where(pdf["event_type"].eq("purchase"))
+    carried = purchases.ffill()
+    if last is not None:
+        carried = carried.fillna(last)
+    tail = carried.iloc[-1] if len(carried) else float("nan")
+    new_last = float(tail) if pd.notna(tail) else last
+    return (
+        pdf["event_id"].astype("int64").to_numpy(),
+        carried.to_numpy(dtype="float64"),
+        new_last,
+    )
+
+
 # transformWithStateInPandas speaks protobuf to the JVM state server; the
 # module is importable without it, but any run crashes the driver worker.
 # Gate registration on the runtime dependency (environment rule: no pip).
@@ -290,19 +311,13 @@ def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         def handleInputRows(self, key, rows, timerValues):
             (user_id,) = key
             last = self._last.get()[0] if self._last.exists() else None
-            pdf = pd.concat(list(rows)).sort_values(["ts_us_long", "event_id"])
-            out_ids, out_vals = [], []
-            for _, r in pdf.iterrows():
-                if r["event_type"] == "purchase":
-                    last = float(r["value"])
-                out_ids.append(int(r["event_id"]))
-                out_vals.append(last)
+            ids, vals, last = _carry_batch(pd.concat(list(rows)), last)
             self._last.update((last,))
             yield pd.DataFrame(
                 {
-                    "event_id": out_ids,
+                    "event_id": ids,
                     "user_id": user_id,
-                    "last_purchase_value": pd.array(out_vals, dtype="float64"),
+                    "last_purchase_value": vals,
                 }
             )
 
@@ -335,19 +350,13 @@ def carry_forward_stateful(ev: DataFrame) -> DataFrame:
     def carry(key, pdfs, state: GroupState):
         (user_id,) = key
         last = state.get[0] if state.exists else None
-        rows = pd.concat(list(pdfs)).sort_values(["ts_us_long", "event_id"])
-        out_ids, out_vals = [], []
-        for _, r in rows.iterrows():
-            if r["event_type"] == "purchase":
-                last = float(r["value"])
-            out_ids.append(int(r["event_id"]))
-            out_vals.append(last)
+        ids, vals, last = _carry_batch(pd.concat(list(pdfs)), last)
         state.update((last,))
         yield pd.DataFrame(
             {
-                "event_id": out_ids,
+                "event_id": ids,
                 "user_id": user_id,
-                "last_purchase_value": pd.array(out_vals, dtype="float64"),
+                "last_purchase_value": vals,
             }
         )
 

@@ -267,3 +267,12 @@ def test_sample_name_index(spark):
         ("AB", 1),
         ("B", 2),
     }
+
+
+def test_asof_join_rejects_reserved_columns(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(1, 10, 5)], "user_id long, ts long, __t long")
+    right = spark.createDataFrame([(1, 9, 1.0)], "user_id long, rts long, val double")
+    with _pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, on="user_id", left_ts="ts", right_ts="rts")

@@ -43,21 +43,50 @@ def test_knn_ivf_shape_and_recall(spark):
 
 
 def test_knn_dispatch_threshold(spark, monkeypatch):
-    """Above _BRUTE_FORCE_MAX vectors, sim_knn_topk must route to the
-    broadcast-free IVF path — force the threshold to 0 and the output
-    must match sim_knn_ivf (same centroids, same ranking)."""
+    """Beyond the broadcast ceiling, sim_knn_topk must route to the
+    blocked EXACT path — force the ceiling to 0 and the output must be
+    IDENTICAL to the broadcast brute-force output (dispatch changes the
+    physical plan, never the results)."""
     from gvcf_hbase_spark.operators import similarity
 
-    monkeypatch.setattr(similarity, "_BRUTE_FORCE_MAX", 0)
-    routed = {
-        (r.vec_id, r.neighbor_id, r.rn)
+    brute = {
+        (r.vec_id, r.neighbor_id, r.cos_sim, r.rn)
         for r in SPECS["sim_knn_topk"].fn(spark, SF_DIR).collect()
     }
-    ivf = {
-        (r.vec_id, r.neighbor_id, r.rn)
-        for r in SPECS["sim_knn_ivf"].fn(spark, SF_DIR).collect()
+    monkeypatch.setattr(similarity, "_BRUTE_FORCE_MAX_BYTES", 0)
+    routed = {
+        (r.vec_id, r.neighbor_id, r.cos_sim, r.rn)
+        for r in SPECS["sim_knn_topk"].fn(spark, SF_DIR).collect()
     }
-    assert routed == ivf
+    assert routed == brute
+
+
+def test_blocked_pairs_match_broadcast(spark, monkeypatch):
+    """The blocked all-pairs strategy (the beyond-broadcast physical
+    plan) must produce byte-identical pairs to the broadcast scorer —
+    forced via a zero ceiling so sim_cosine_pairs and
+    dedup_embedding_cosine both take the blocked path."""
+    from gvcf_hbase_spark.operators import similarity
+
+    brute_pairs = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in SPECS["sim_cosine_pairs"].fn(spark, SF_DIR).collect()
+    }
+    brute_dedup = {
+        (r.vec_id, r.label)
+        for r in SPECS["dedup_embedding_cosine"].fn(spark, SF_DIR).collect()
+    }
+    monkeypatch.setattr(similarity, "_BRUTE_FORCE_MAX_BYTES", 0)
+    blocked_pairs = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in SPECS["sim_cosine_pairs"].fn(spark, SF_DIR).collect()
+    }
+    blocked_dedup = {
+        (r.vec_id, r.label)
+        for r in SPECS["dedup_embedding_cosine"].fn(spark, SF_DIR).collect()
+    }
+    assert blocked_pairs == brute_pairs
+    assert blocked_dedup == brute_dedup
 
 
 def test_ann_subset_and_recall(spark):

@@ -428,3 +428,49 @@ def test_decontaminate_eval_set_broadcasts(spark):
     corpus is never shuffled for the probe."""
     plan = explain_str(SPECS["curate_decontaminate"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_df_join_broadcasts_via_aqe(spark):
+    """text_tfidf's df-side join carries NO broadcast hint (a web-scale
+    vocabulary would overflow a forced broadcast) — AQE must still pick
+    broadcast on its own at fixture scale, where df measures tiny. The
+    decision is runtime (AQE re-plans on measured sizes), so assert on
+    the executed plan after an action, not the static explain."""
+    df = SPECS["text_tfidf"].fn(spark, SF_DIR)
+    df.count()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, final[:2000]
+
+
+def test_bulk_put_negative_keys_sort_logically(spark, tmp_path):
+    """The rowkey encoding's order contract over the FULL signed range:
+    negative keys must sort lexicographically BEFORE positives (raw
+    two's-complement hex would invert that), and a salt bucket count
+    over 100 must keep its prefixes groupable (digit-width padding)."""
+    from gvcf_hbase_spark.plans.layout import HBaseTarget, bulk_put
+
+    vals = [-(2**62), -1000, -1, 0, 1, 1000, 2**62]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    target = HBaseTarget(str(tmp_path / "neg"))
+    bulk_put(df, target, "t", ["k"], num_regions=2)
+    back = spark.read.parquet(str(tmp_path / "neg" / "t"))
+    got = [r.k for r in back.orderBy("__rowkey").collect()]
+    assert got == sorted(vals)
+    # salt pad width follows the bucket count (here 3 digits for 128)
+    target2 = HBaseTarget(str(tmp_path / "widesalt"))
+    bulk_put(df, target2, "t", ["k"], salt_buckets=128)
+    back2 = spark.read.parquet(str(tmp_path / "widesalt" / "t"))
+    prefixes = {r.p for r in back2.select(F.split("__rowkey", "#")[0].alias("p")).collect()}
+    assert all(len(p) == 3 for p in prefixes)
+
+
+def test_byte_conf_parsing_units():
+    """spread()'s parallelism estimate must parse suffixed conf values
+    ('128m') as real byte counts — digit-stripping would read 128 bytes
+    and turn the estimate into garbage."""
+    from gvcf_hbase_spark.sources.tables import _parse_byte_conf
+
+    assert _parse_byte_conf("134217728b") == 134217728
+    assert _parse_byte_conf("128m") == 128 * 1024 * 1024
+    assert _parse_byte_conf("1g") == 1024**3
+    assert _parse_byte_conf(" 64K ") == 64 * 1024
