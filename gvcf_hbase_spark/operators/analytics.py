@@ -1,0 +1,213 @@
+"""Event-analytics operators over the ``events`` stream table: ordered
+funnel matching, weekly cohort retention, and heavy-hitter detection with
+the sketch-candidate + exact-verify pattern.
+
+These extend the engine's beyond-reference surface (SURVEY §2B.13): the
+queries a product/growth team runs against the same event log the
+streaming operators consume. All three are built for the 100 TB shape —
+every join/aggregate shuffles on ``user_id`` (the natural key), heavy
+hitters never shuffle the raw log, and nothing is driver-resident beyond
+per-partition candidate summaries.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.sources.tables import load_table
+
+_FUNNEL_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events
+    ),
+    v AS (SELECT user_id, min(t) AS view_us FROM ev WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT ev.user_id, min(t) AS click_us
+      FROM ev JOIN v USING (user_id)
+      WHERE event_type = 'click' AND t > v.view_us
+      GROUP BY ev.user_id
+    ),
+    p AS (
+      SELECT ev.user_id, min(t) AS purchase_us
+      FROM ev JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND t > c.click_us
+      GROUP BY ev.user_id
+    )
+    SELECT u.user_id, v.view_us, c.click_us, p.purchase_us,
+           CAST(CASE WHEN p.purchase_us IS NOT NULL THEN 3
+                     WHEN c.click_us IS NOT NULL THEN 2
+                     WHEN v.view_us IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_stage
+    FROM (SELECT DISTINCT user_id FROM ev) u
+    LEFT JOIN v USING (user_id)
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+"""
+
+
+@register("funnel_steps", oracle=_FUNNEL_ORACLE, tags=("analytics",))
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per user (view → click → purchase, strictly
+    increasing event time, greedy-earliest matching): emit the first
+    qualifying timestamp of each reached step and the stage count.
+
+    The greedy chain is a CASCADE of aggregates — min(view), then
+    min(click > first view), then min(purchase > first click) — not a
+    window or a pair join: each step is one equi-shuffle on ``user_id``
+    plus a filter, so a k-step funnel costs k co-partitioned aggregates
+    over an ever-shrinking side (users still in the funnel), never a
+    per-user event sort or an (event × event) self-join. At fixture scale
+    AQE broadcasts the shrunken step dims on its own.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts_us_long").alias("t")
+    )
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("view_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("t") > F.col("view_us"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("click_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t") > F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("purchase_us"))
+    )
+    stage = (
+        F.when(F.col("purchase_us").isNotNull(), 3)
+        .when(F.col("click_us").isNotNull(), 2)
+        .when(F.col("view_us").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_us",
+            "click_us",
+            "purchase_us",
+            stage.cast("int").alias("funnel_stage"),
+        )
+    )
+
+
+_RETENTION_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+      FROM events
+    ),
+    cohort AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id)
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, ev.wk) // 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT ev.user_id) AS BIGINT) AS active_users
+    FROM ev JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+@register("agg_retention_cohort", oracle=_RETENTION_ORACLE, tags=("analytics",))
+def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the ISO week of
+    their first event; for every (cohort_week, week_offset) count the
+    distinct users active that week — the classic retention triangle.
+
+    Two shuffles on ``user_id`` (cohort min, then the fact⋈cohort join —
+    co-partitioned, AQE broadcasts the cohort dim when it measures small)
+    plus one on the (cohort, offset) pair for the distinct-count. The
+    offset is integer day-diff // 7 of two week-truncated dates, which
+    sidesteps any engine difference in week-epoch numbering."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts_us")).cast("date").alias("wk")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
+    )
+
+
+# Heavy hitters: report every user with strictly more than N/_HH_K of all
+# events. _HH_CAPACITY bounds the per-partition Misra-Gries summary; the
+# candidate union is guaranteed a superset of the true heavy hitters
+# whenever capacity ≥ _HH_K (pigeonhole: a global > N/k item exceeds
+# n_p/k in some partition, and MG with k counters never evicts an item
+# with local frequency above n_p/(k+1)).
+_HH_K = 200
+_HH_CAPACITY = 256
+
+_HH_ORACLE = f"""
+    SELECT user_id, count(*) AS cnt
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) * {_HH_K} > (SELECT count(*) FROM events)
+"""
+
+
+@register("agg_heavy_hitters", oracle=_HH_ORACLE, tags=("analytics", "sketch"))
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-item (heavy hitter) detection with EXACT output: users
+    owning > 1/200 of all events, found via the sketch-candidate +
+    exact-verify pattern (same design as minhash→Jaccard dedup).
+
+    Phase 1 streams each partition through a Misra-Gries summary
+    (``_HH_CAPACITY`` counters, mapInPandas) and emits only the surviving
+    candidate keys — ≤ capacity rows per partition cross the shuffle, so
+    a 10^9-cardinality key column never materializes a full groupBy.
+    Phase 2 computes exact counts for the candidates only (semi-join +
+    aggregate) and applies the integral threshold ``cnt·k > N``. MG's
+    superset guarantee makes the result EXACTLY the true heavy-hitter
+    set, which is why this is oracle-checkable while pure sketches are
+    rows-only.
+
+    At fixture scale (150 users < capacity) the summary degenerates to a
+    plain distinct — the guarantee is trivially tight; the pruning bites
+    precisely when cardinality ≫ capacity at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def mg_summary(batches):
+        # Batched Misra-Gries (the mergeable-summaries form): fold each
+        # Arrow batch's value_counts into the counter dict, and when it
+        # overflows capacity subtract the (capacity+1)-th largest count
+        # from everything, dropping non-positives — identical error bound
+        # to per-item MG (≤ n_p/(capacity+1) undercount per key) with no
+        # per-row Python: the only loop is over DISTINCT keys per batch.
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for u, cnt in pdf["user_id"].value_counts().items():
+                counters[u] = counters.get(u, 0) + int(cnt)
+            if len(counters) > _HH_CAPACITY:
+                spill = sorted(counters.values(), reverse=True)[_HH_CAPACITY]
+                counters = {k: v - spill for k, v in counters.items() if v > spill}
+        yield pd.DataFrame({"user_id": pd.array(list(counters), dtype="int64")})
+
+    cands = ev.select("user_id").mapInPandas(mg_summary, "user_id bigint").distinct()
+    n = ev.agg(F.count("*").alias("n_total"))
+    return (
+        ev.join(cands, "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") * _HH_K > F.col("n_total"))
+        .select("user_id", "cnt")
+    )

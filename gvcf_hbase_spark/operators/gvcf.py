@@ -56,6 +56,28 @@ def sample_name_index(
     return dim, df.join(F.broadcast(dim), sample_col)
 
 
+def split_multiallelic(
+    df: DataFrame,
+    alt_col: str = "alt",
+    idx_col: str = "allele_idx",
+    allele_col: str = "allele",
+) -> DataFrame:
+    """Split multi-allelic variant records (ALT = 'T,G') into one row per
+    alternate allele, carrying the 1-based VCF genotype index (GT's '1'
+    refers to the first ALT, '2' to the second, …). Reference blocks /
+    empty ALT rows are dropped — they carry no alternate allele.
+
+    The canonical VCF normalization step (htsjdk exposes the ALT list
+    per VariantContext upstream): pure ``posexplode(split(...))`` — JVM
+    codegen, output rows = Σ allele counts, no shuffle at all."""
+    return (
+        df.filter(F.col(alt_col) != "")
+        .select("*", F.posexplode(F.split(F.col(alt_col), ",")).alias("__p", allele_col))
+        .withColumn(idx_col, (F.col("__p") + 1).cast("int"))
+        .drop("__p")
+    )
+
+
 def expand_blocks(
     df: DataFrame, start: str = "start", end: str = "end", pos_col: str = "pos"
 ) -> DataFrame:

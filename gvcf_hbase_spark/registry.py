@@ -45,6 +45,7 @@ _MODULES = [
     "gvcf_hbase_spark.operators.text",
     "gvcf_hbase_spark.operators.multimodal",
     "gvcf_hbase_spark.operators.curation",
+    "gvcf_hbase_spark.operators.analytics",
     "gvcf_hbase_spark.operators.udfs",
     "gvcf_hbase_spark.streaming.batch_twins",
     "gvcf_hbase_spark.streaming.stream_ops",

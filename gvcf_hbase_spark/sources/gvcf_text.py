@@ -103,7 +103,9 @@ _GVCF_ORACLE = r"""
 """
 
 
-def _fixture_lines(spark: SparkSession, sf_dir: str, span: int) -> DataFrame:
+def _fixture_lines(
+    spark: SparkSession, sf_dir: str, span: int, multiallelic: bool = False
+) -> DataFrame:
     """Deterministic gVCF text lines derived from the orders fixture: every
     third orderkey is a reference block spanning ``span`` positions past its
     start (``END=``/``<NON_REF>`` in the line), the rest are single-position
@@ -122,13 +124,18 @@ def _fixture_lines(spark: SparkSession, sf_dir: str, span: int) -> DataFrame:
     o = spread(load_table(spark, sf_dir, "orders").select("o_orderkey"))
     pos = F.col("o_orderkey")
     is_block = (pos % 3) == 0
+    variant_alt = (
+        F.when((pos % 5) == 1, F.lit("T,G,<NON_REF>")).otherwise(F.lit("T,<NON_REF>"))
+        if multiallelic
+        else F.lit("T,<NON_REF>")
+    )
     line = F.concat_ws(
         "\t",
         F.concat(F.lit("chr"), (pos % 2 + 1).cast("string")),
         pos.cast("string"),
         F.lit("."),
         F.lit("A"),
-        F.when(is_block, F.lit("<NON_REF>")).otherwise(F.lit("T,<NON_REF>")),
+        F.when(is_block, F.lit("<NON_REF>")).otherwise(variant_alt),
         F.lit("50"),
         F.lit("PASS"),
         F.when(is_block, F.concat(F.lit("END="), (pos + span).cast("string"))).otherwise(
@@ -193,8 +200,32 @@ _GVCF_SAMPLE_INDEX_ORACLE = r"""
 """
 
 
+_GVCF_MULTIALLELIC_ORACLE = r"""
+    WITH lines AS (
+      SELECT concat('s', o_orderkey % 4) AS sample_id,
+             concat('chr', 1 + o_orderkey % 2) AS contig,
+             o_orderkey AS start,
+             'A' AS ref,
+             CASE WHEN o_orderkey % 3 = 0 THEN ''
+                  WHEN o_orderkey % 5 = 1 THEN 'T,G'
+                  ELSE 'T' END AS alt,
+             CASE WHEN o_orderkey % 3 = 0 THEN '0/0' ELSE '0/1' END AS gt
+      FROM orders
+    )
+    SELECT sample_id, contig, start, ref, gt,
+           CAST(i AS INT) AS allele_idx,
+           string_split(alt, ',')[i] AS allele
+    FROM lines, unnest(range(1, len(string_split(alt, ',')) + 1)) AS t(i)
+    WHERE alt <> ''
+"""
+
+
 def _register_source_queries() -> None:
-    from gvcf_hbase_spark.operators.gvcf import combine_positions, sample_name_index
+    from gvcf_hbase_spark.operators.gvcf import (
+        combine_positions,
+        sample_name_index,
+        split_multiallelic,
+    )
     from gvcf_hbase_spark.registry import register
 
     @register("source_gvcf_lines", oracle=_GVCF_ORACLE, tags=("gvcf", "source"))
@@ -262,6 +293,21 @@ def _register_source_queries() -> None:
             F.sum(F.col("is_variant").cast("long")).alias("n_variants"),
             F.min("start").alias("min_start"),
             F.max("end").alias("max_end"),
+        )
+
+    @register(
+        "gvcf_split_multiallelic", oracle=_GVCF_MULTIALLELIC_ORACLE, tags=("gvcf",)
+    )
+    def gvcf_split_multiallelic(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """VCF allele normalization, oracle-checked: parse fixture lines
+        where every fifth variant is multi-allelic (ALT 'T,G,<NON_REF>'),
+        then split to one row per alternate allele with its 1-based GT
+        index via the `split_multiallelic` operator (posexplode — pure
+        codegen, no shuffle). The oracle replays the split with DuckDB
+        list indexing over unnest(range(...))."""
+        recs = parse_gvcf_lines(_fixture_lines(spark, sf_dir, span=9, multiallelic=True))
+        return split_multiallelic(recs).select(
+            "sample_id", "contig", "start", "ref", "gt", "allele_idx", "allele"
         )
 
     @register("gvcf_combine", oracle=_GVCF_COMBINE_ORACLE, tags=("gvcf",))

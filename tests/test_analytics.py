@@ -1,0 +1,119 @@
+"""Semantic tests for the event-analytics operators: funnel ordering
+rules, retention cohort identities, and the Misra-Gries superset
+guarantee under skew (the parquet fixture is uniform, so the sketch's
+pruning behavior needs a synthetic skewed corpus).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_DIR
+from gvcf_hbase_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, seconds_offset, user_id, event_type, value)."""
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (eid, base + datetime.timedelta(seconds=s), uid, et, val, "{}")
+            for eid, s, uid, et, val in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_funnel_ordering_semantics(spark, tmp_path):
+    """Steps must match in strict time order from the EARLIEST view: a
+    purchase before the first qualifying click must not count, and a
+    click at the exact view timestamp must not count (strict >)."""
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            # u1: full ordered funnel
+            (1, 0, 1, "view", 0.0),
+            (2, 10, 1, "click", 0.0),
+            (3, 20, 1, "purchase", 5.0),
+            # u2: purchase BEFORE its click -> stage 2 only
+            (4, 0, 2, "view", 0.0),
+            (5, 30, 2, "purchase", 5.0),
+            (6, 40, 2, "click", 0.0),
+            # u3: click at the same instant as the view (not strictly after)
+            (7, 0, 3, "view", 0.0),
+            (8, 0, 3, "click", 0.0),
+            # u4: no view at all
+            (9, 0, 4, "click", 0.0),
+        ],
+    )
+    out = {r.user_id: r for r in SPECS["funnel_steps"].fn(spark, sf).collect()}
+    assert out[1].funnel_stage == 3
+    assert out[2].funnel_stage == 2 and out[2].purchase_us is None
+    assert out[3].funnel_stage == 1 and out[3].click_us is None
+    assert out[4].funnel_stage == 0
+
+
+def test_retention_cohort_identities(spark):
+    """Week-0 actives of a cohort == cohort size (everyone is active in
+    their first week by construction), offsets are non-negative, and the
+    sum over a cohort's offsets counts each (user, week) once."""
+    rows = SPECS["agg_retention_cohort"].fn(spark, SF_DIR).collect()
+    assert rows
+    week0 = {r.cohort_week: r.active_users for r in rows if r.week_offset == 0}
+    assert all(r.week_offset >= 0 for r in rows)
+    # every cohort must have a week-0 row, and it must be its max row
+    per_cohort_max = {}
+    for r in rows:
+        per_cohort_max[r.cohort_week] = max(
+            per_cohort_max.get(r.cohort_week, 0), r.active_users
+        )
+    for cw, mx in per_cohort_max.items():
+        assert cw in week0
+        assert week0[cw] == mx
+
+
+def test_heavy_hitters_exact_under_skew(spark, tmp_path, monkeypatch):
+    """With 300 distinct users and capacity 16 (forcing real MG
+    evictions), the candidate+verify pipeline must still return EXACTLY
+    the true heavy hitters — the superset guarantee needs capacity ≥ k,
+    so k is lowered to 8 (> 1/8 of events ≡ the two planted whales)."""
+    from gvcf_hbase_spark.operators import analytics
+
+    rows = []
+    eid = 0
+    # two whales: 400 events each; 298 long-tail users: 2 events each
+    for uid, n in [(1, 400), (2, 400)] + [(u, 2) for u in range(3, 301)]:
+        for i in range(n):
+            rows.append((eid, eid, uid, "view", 0.0))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    monkeypatch.setattr(analytics, "_HH_CAPACITY", 16)
+    monkeypatch.setattr(analytics, "_HH_K", 8)
+    got = {(r.user_id, r.cnt) for r in SPECS["agg_heavy_hitters"].fn(spark, sf).collect()}
+    # exact truth: n_total = 800 + 596 = 1396; cnt*8 > 1396 -> cnt > 174.5
+    assert got == {(1, 400), (2, 400)}
+
+
+def test_split_multiallelic_indices(spark):
+    """Allele indices are 1-based and contiguous per record; biallelic
+    records yield one row, triallelic two."""
+    out = SPECS["gvcf_split_multiallelic"].fn(spark, SF_DIR)
+    per = (
+        out.groupBy("sample_id", "contig", "start")
+        .agg(
+            F.sort_array(F.collect_list("allele_idx")).alias("idxs"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert per
+    assert any(r.n == 2 for r in per) and any(r.n == 1 for r in per)
+    for r in per:
+        assert r.idxs == list(range(1, r.n + 1))

@@ -64,7 +64,7 @@ def test_relational_paths_are_jvm_only(spark):
         "sim_cosine_pairs", "sim_knn_topk", "sim_ann_lsh", "sim_ann_ivf",
         "sim_knn_ivf", "dedup_embedding_cosine", "udf_scalar", "udaf_grouped",
         "udtf_shingles", "multimodal_features", "multimodal_frame_sample",
-        "multimodal_resize", "stream_stateful",
+        "multimodal_resize", "stream_stateful", "agg_heavy_hitters",
     }
     for key, spec in SPECS.items():
         if key in python_ok or "streaming" in spec.tags:
@@ -83,7 +83,8 @@ def test_no_cartesian_products_anywhere(spark):
     cross-join a broadcast ONE-ROW aggregate (corpus totals) are flagged
     allowed explicitly."""
     one_row_cross_ok = {"text_tfidf", "curate_mix_weights", "subquery_scalar",
-                        "q11_important_parts", "q22_idle_customers"}
+                        "q11_important_parts", "q22_idle_customers",
+                        "agg_heavy_hitters"}
     for key, spec in SPECS.items():
         if key == "join_cross" or "streaming" in spec.tags:
             continue
