@@ -47,7 +47,13 @@ def corpus_broadcast(e: DataFrame, id_col: str = "vec_id", vec_col: str = "emb")
     and broadcast to executors. Row dot products of the normalized matrix
     ARE cosines. One driver collect + one broadcast per query — the
     standard Spark shape for brute-force vector search where the corpus
-    fits in executor memory."""
+    fits in executor memory.
+
+    Contract: call ONLY behind a size guard (operators/similarity.py's
+    ``_fits_broadcast``, file-listing bytes vs the broadcast ceiling) —
+    every registered operator dispatches to the blocked/bucketed
+    broadcast-free strategies beyond it, so no plan can reach this
+    collect with an unbounded corpus."""
     pdf = e.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy(dtype="int64")
     m = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])

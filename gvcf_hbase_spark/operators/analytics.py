@@ -107,7 +107,7 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RETENTION_ORACLE = """
     WITH ev AS (
-      SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+      SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
       FROM events
     ),
     cohort AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id)
@@ -128,10 +128,12 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two shuffles on ``user_id`` (cohort min, then the fact⋈cohort join —
     co-partitioned, AQE broadcasts the cohort dim when it measures small)
     plus one on the (cohort, offset) pair for the distinct-count. The
-    offset is integer day-diff // 7 of two week-truncated dates, which
-    sidesteps any engine difference in week-epoch numbering."""
+    offset is integer day-diff // 7 of two week-truncated instants, which
+    sidesteps any engine difference in week-epoch numbering; cohort_week
+    stays a midnight TIMESTAMP on both sides (pandas has no date dtype —
+    DATE columns round-trip engine-dependently, timestamps don't)."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.date_trunc("week", F.col("ts_us")).cast("date").alias("wk")
+        "user_id", F.date_trunc("week", F.col("ts_us")).alias("wk")
     )
     cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
     return (

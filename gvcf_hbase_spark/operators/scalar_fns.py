@@ -61,15 +61,21 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            day(o_orderdate) AS o_day,
            date_trunc('month', o_orderdate) AS month_start,
            datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
-           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus_30d,
-           last_day(CAST(o_orderdate AS DATE)) AS month_end
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS plus_30d,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
     FROM orders
     """,
     tags=("fn",),
 )
 def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time function family (timestamp_ntz column; date casts keep
-    both engines at the same granularity)."""
+    both engines at the same granularity). DATE-typed results are cast
+    back to TIMESTAMP on BOTH sides before comparison: pandas has no date
+    dtype, so a DATE column round-trips differently per engine
+    (datetime.date objects vs datetime64) and a strict value-hash could
+    see two encodings of the same day — midnight timestamps are the one
+    representation every layer agrees on (the pattern all driver-green
+    time queries already use)."""
     o = load_table(spark, sf_dir, "orders")
     odate = F.col("o_orderdate").cast("date")
     return o.select(
@@ -79,8 +85,8 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("o_orderdate").alias("o_day"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
         F.datediff(odate, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
-        F.date_add(odate, 30).alias("plus_30d"),
-        F.last_day(odate).alias("month_end"),
+        F.date_add(odate, 30).cast("timestamp_ntz").alias("plus_30d"),
+        F.last_day(odate).cast("timestamp_ntz").alias("month_end"),
     )
 
 
