@@ -327,3 +327,35 @@ def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(":", F.col("rec.status"), F.col("rec.price").cast("string")).alias("packed"),
         )
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           user_id & 255 AS low_byte,
+           user_id | 4096 AS with_flag,
+           xor(user_id, event_id) AS mixed,
+           user_id << 2 AS shifted_l,
+           user_id >> 1 AS shifted_r,
+           CAST(bit_count(user_id) AS INT) AS popcount
+    FROM events
+    """,
+    tags=("fn",),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family (&, |, XOR, shifts, popcount) — the ops
+    key-salting, bucket masks, and bitmap-index style predicates are
+    built from. All pure codegen expressions; DuckDB spells XOR as a
+    function and shifts as operators, results are identical BIGINTs."""
+    ev = load_table(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    return ev.select(
+        "event_id",
+        u.bitwiseAND(F.lit(255)).alias("low_byte"),
+        u.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        u.bitwiseXOR(e).alias("mixed"),
+        F.shiftleft(u, 2).alias("shifted_l"),
+        F.shiftright(u, 1).alias("shifted_r"),
+        F.bit_count(u).alias("popcount"),
+    )

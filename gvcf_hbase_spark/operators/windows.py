@@ -264,3 +264,49 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("value", 2).over(w).alias("second_value"),
         F.last("event_type").over(w).alias("last_type"),
     )
+
+
+@register(
+    "win_gaps_islands",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             lag(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_t
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(sum(CASE WHEN prev_t IS NULL OR t - prev_t >= 1800000000
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
+    FROM ordered
+    """,
+    tags=("window",),
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization in batch: lag → new-session flag
+    (gap ≥ 30 min, same boundary rule as `stream_session`) → running sum
+    = 1-based per-user session ordinal on EVERY event row. This is the
+    batch-SQL twin of `F.session_window` with per-event granularity the
+    session aggregate can't give (each event keeps its session id — the
+    shape needed to join session labels back onto raw events).
+
+    One shuffle on user_id; both windows share the same (user, time,
+    tiebreak) sort so Spark plans a single Sort+Window pipeline. Test
+    cross-checks: aggregating these islands equals `stream_session`'s
+    session aggregate exactly."""
+    ev = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us_long", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    prev = F.lag("ts_us_long").over(w)
+    new_s = F.when(prev.isNull() | (F.col("ts_us_long") - prev >= gap_us), 1).otherwise(0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(new_s)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_id"),
+    )

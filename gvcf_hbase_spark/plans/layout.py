@@ -231,7 +231,76 @@ def _register_sink_queries() -> None:
         )
 
 
+def _register_dpp_query() -> None:
+    from gvcf_hbase_spark.registry import register
+    from gvcf_hbase_spark.sources.tables import load_table
+
+    @register(
+        "join_dpp_partitioned",
+        oracle="""
+        SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+        FROM events
+        WHERE event_type IN ('purchase', 'signup')
+        GROUP BY event_type
+        """,
+        tags=("join", "layout"),
+    )
+    def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Dynamic partition pruning end-to-end (A12's runtime half): the
+        fact table is hive-partitioned on the join key; the dimension is
+        filtered on an attribute the fact side can't see statically
+        (``category`` lives only in the dim), so partition pruning can
+        only happen at RUNTIME — Catalyst injects a dynamic-pruning
+        subquery that reuses the broadcast dim to skip non-matching fact
+        partitions entirely (zero I/O, like never scanning the HBase
+        regions outside the key range). The oracle is the plain filtered
+        aggregate: pruning must not change a row. The plan-level proof
+        (``dynamicpruningexpression`` in the fact scan's
+        PartitionFilters) is asserted in tests/test_plans.py.
+
+        Two measured preconditions for the rule to fire (probe-verified
+        on this Spark build): the dim must be a real scan, not a literal
+        LocalRelation (the filter constant-folds away otherwise), and the
+        dim predicate must pass Catalyst's ``isLikelySelective`` test —
+        a string equality qualifies, a bare boolean attribute does NOT.
+
+        At 100 TB this is the difference between scanning 2/5 and 5/5 of
+        a date/type-partitioned fact for a dimension-driven slice."""
+        import tempfile
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        base = tempfile.mkdtemp(prefix="gvcf_dpp_")
+        write_hive_partitioned(ev, f"{base}/events_by_type", ["event_type"])
+        fact = spark.read.parquet(f"{base}/events_by_type")
+        # the dim must be a REAL scan: a literal createDataFrame would
+        # constant-fold its filter into a smaller LocalRelation, and with
+        # no Filter node left the DPP rule sees no selective predicate to
+        # reuse — exactly the production shape anyway (dims live in
+        # storage, not driver literals)
+        spark.createDataFrame(
+            [
+                ("purchase", "conv"),
+                ("signup", "conv"),
+                ("view", "browse"),
+                ("click", "browse"),
+                ("error", "noise"),
+            ],
+            "event_type string, category string",
+        ).write.mode("overwrite").parquet(f"{base}/dim")
+        dim = spark.read.parquet(f"{base}/dim")
+        joined = fact.join(
+            F.broadcast(dim.filter(F.col("category") == "conv")), "event_type"
+        )
+        return joined.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+
+
 _register_sink_queries()
+_register_dpp_query()
 
 
 def bulk_write_range_sorted(

@@ -475,3 +475,11 @@ def test_byte_conf_parsing_units():
     assert _parse_byte_conf("128m") == 128 * 1024 * 1024
     assert _parse_byte_conf("1g") == 1024**3
     assert _parse_byte_conf(" 64K ") == 64 * 1024
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    """join_dpp_partitioned's fact scan must carry a dynamic-pruning
+    subquery on the partition column (runtime pruning driven by the
+    filtered broadcast dim)."""
+    plan = explain_str(SPECS["join_dpp_partitioned"].fn(spark, SF_DIR))
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
