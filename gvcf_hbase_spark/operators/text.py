@@ -332,3 +332,60 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_gram_frac"),
         F.round(F.max("cnt").cast("double") / F.sum("cnt"), 4).alias("top_gram_frac"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    tok_ne AS (SELECT * FROM tok WHERE term <> ''),
+    lm AS (
+      SELECT term,
+             ln(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM tok_ne)) AS logp
+      FROM tok_ne GROUP BY term
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lm.logp), 6) AS avg_logprob
+    FROM tok_ne t JOIN lm USING (term)
+    GROUP BY t.doc_id
+    """,
+    tags=("text",),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: train corpus-level token
+    probabilities (one aggregate), then score every document by its mean
+    token log-probability — the cheap perplexity proxy quality filters
+    use to flag gibberish (very negative = tokens the corpus has rarely
+    seen). Self-trained on the scored corpus itself here; in production
+    the LM side is a frozen reference corpus and the join is identical.
+
+    Plan shape: ONE token explode feeds both the LM aggregate and the
+    scoring join (same shuffle key ``term``, co-partitioned); the corpus
+    total is a 1-row broadcast. The per-doc rollup keys on doc_id. No
+    smoothing needed when scoring the training corpus (every scored
+    token was seen); a frozen-LM deployment adds the usual +1 smoothing
+    on the LM side only."""
+    from gvcf_hbase_spark.sources.tables import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    total = tok.agg(F.count("*").alias("n_corpus"))
+    lm = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("tc"))
+        .crossJoin(F.broadcast(total))
+        .select("term", F.log(F.col("tc") / F.col("n_corpus")).alias("logp"))
+    )
+    return (
+        tok.join(lm, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        )
+    )

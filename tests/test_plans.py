@@ -84,7 +84,7 @@ def test_no_cartesian_products_anywhere(spark):
     allowed explicitly."""
     one_row_cross_ok = {"text_tfidf", "curate_mix_weights", "subquery_scalar",
                         "q11_important_parts", "q22_idle_customers",
-                        "agg_heavy_hitters"}
+                        "agg_heavy_hitters", "text_unigram_logprob"}
     for key, spec in SPECS.items():
         if key == "join_cross" or "streaming" in spec.tags:
             continue
