@@ -117,3 +117,27 @@ def test_split_multiallelic_indices(spark):
     assert any(r.n == 2 for r in per) and any(r.n == 1 for r in per)
     for r in per:
         assert r.idxs == list(range(1, r.n + 1))
+
+
+def test_gaps_islands_equals_session_window(spark):
+    """Aggregating win_gaps_islands' per-event session ids must reproduce
+    stream_session's session aggregate exactly (same 30-min gap rule) —
+    the two operators are independent implementations of one semantics."""
+    ev = SPECS["win_gaps_islands"].fn(spark, SF_DIR).alias("s")
+    from gvcf_hbase_spark.sources.tables import load_table
+
+    raw = load_table(spark, SF_DIR, "events").select("event_id", "ts_us", "value").alias("e")
+    joined = ev.join(raw, "event_id")
+    agg = (
+        joined.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_us").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .drop("session_id")
+    )
+    sess = SPECS["stream_session"].fn(spark, SF_DIR)
+    a = {tuple(r) for r in agg.select("user_id", "session_start", "n_events", "total_value").collect()}
+    b = {tuple(r) for r in sess.select("user_id", "session_start", "n_events", "total_value").collect()}
+    assert a == b
