@@ -645,3 +645,42 @@ def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_custkey", "o_orderkey").alias("first_custkey"),
         F.max_by("o_totalprice", "o_orderkey").alias("last_totalprice"),
     )
+
+
+@register(
+    "source_jsonl_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("source",),
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source end-to-end: documents written as JSONL, read
+    back with an EXPLICIT schema (schema inference costs a full extra
+    pass at 100 TB — always pass the schema), aggregated per lang. The
+    oracle aggregates the original table directly, so the hash-match
+    proves the JSONL write→read cycle is lossless. Line-delimited JSON
+    splits by line like any text format — parallel scan for free; the
+    jsonl dir is written once per (session, sf) and reused."""
+    import hashlib
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    key = f"gvcf_jsonl_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    out = f"{tempfile.gettempdir()}/{key}"
+
+    if not os.path.isdir(out):
+        d.write.mode("overwrite").json(out)
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -128,3 +128,37 @@ def udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.doc_id, s.pos, s.shingle "
         "FROM __docs_for_udtf d, LATERAL shingles_udtf(d.doc_id, d.text) s"
     )
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+             AS n_vowels,
+           CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS BIGINT)
+             AS n_alpha_space
+    FROM documents
+    """,
+    tags=("udf",),
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED regular Python UDF (``useArrow=True``, Spark 4) —
+    the third UDF tier next to pandas UDFs and row-at-a-time pickling:
+    the author writes per-value Python, the engine batches transfer over
+    Arrow. Still slower than a pandas UDF's columnar body (the lambda
+    runs per value), so the engine's guidance stands: pandas UDF for hot
+    paths, useArrow for ergonomics on warm paths, never a pickled UDF.
+    The oracle is the pure-SQL twin, checking the whole round trip."""
+    d = load_table(spark, sf_dir, "documents")
+    n_vowels = F.udf(
+        lambda s: sum(c in "aeiou" for c in s), "bigint", useArrow=True
+    )
+    n_alpha_space = F.udf(
+        lambda s: sum(c.isalpha() or c == " " for c in s.lower()), "bigint", useArrow=True
+    )
+    return d.select(
+        "doc_id",
+        n_vowels("text").alias("n_vowels"),
+        n_alpha_space("text").alias("n_alpha_space"),
+    )
