@@ -359,3 +359,75 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(u, 1).alias("shifted_r"),
         F.bit_count(u).alias("popcount"),
     )
+
+
+@register(
+    "fn_try_arith",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice / NULLIF(CAST(o_orderkey % 4 AS DOUBLE), 0.0), 4)
+             AS price_per_bucket,
+           TRY_CAST(o_orderpriority AS INT) AS prio_as_int,
+           TRY_CAST(regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS INT) AS prio_num,
+           o_orderkey + 1 AS next_key
+    FROM orders
+    """,
+    tags=("fn",),
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic family (try_divide / try_cast / try_add):
+    NULL instead of a job-killing exception on divide-by-zero or a
+    malformed cast — what a 100 TB ingest needs when one poisoned row
+    must not fail a 10^6-task job. DuckDB replays try_divide as
+    ``/ NULLIF(den, 0)`` and try_cast natively; Spark's ANSI mode (4.x
+    default) makes the non-try forms THROW, so these are the sanctioned
+    dirty-data spellings, not a stylistic choice."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), (F.col("o_orderkey") % 4).cast("double")),
+            4,
+        ).alias("price_per_bucket"),
+        F.col("o_orderpriority").try_cast("int").alias("prio_as_int"),
+        F.regexp_extract("o_orderpriority", r"^([0-9]+)", 1)
+        .try_cast("int")
+        .alias("prio_num"),
+        F.try_add(F.col("o_orderkey"), F.lit(1)).alias("next_key"),
+    )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmaps (Spark 3.5+ bitmap family) —
+    the two-level pattern for persisted/incremental exact distincts:
+    keys bucket into fixed 32k-bit bitmaps (`bitmap_bucket_number` /
+    `bitmap_bit_position`), each (group, bucket) aggregates to one
+    bitmap, and the group's distinct count is the SUM of per-bucket
+    `bitmap_count`s. Unlike count(DISTINCT) — whose Expand doubles the
+    shuffle — the bitmap form shuffles ≤ one 4 KB bitmap per (group,
+    bucket), and the per-bucket bitmaps are MERGEABLE (`bitmap_or_agg`),
+    so incremental refreshes and rollups reuse stored bitmaps exactly
+    like the HLL-sketch pattern but with zero error. Oracle: plain
+    count(DISTINCT)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_bucket = (
+        o.select(
+            "o_orderstatus",
+            F.bitmap_bucket_number(F.col("o_custkey")).alias("bucket"),
+            F.bitmap_bit_position(F.col("o_custkey")).alias("pos"),
+        )
+        .groupBy("o_orderstatus", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    return per_bucket.groupBy("o_orderstatus").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_customers")
+    )

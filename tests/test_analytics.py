@@ -141,3 +141,35 @@ def test_gaps_islands_equals_session_window(spark):
     a = {tuple(r) for r in agg.select("user_id", "session_start", "n_events", "total_value").collect()}
     b = {tuple(r) for r in sess.select("user_id", "session_start", "n_events", "total_value").collect()}
     assert a == b
+
+
+def test_bitmap_distinct_mergeable(spark):
+    """The bitmap-distinct pattern's core claim: per-bucket bitmaps from
+    DISJOINT corpus halves OR-merge (bitmap_or_agg) to exactly the full
+    corpus' distinct count — the property that makes stored bitmaps
+    incrementally refreshable with zero error."""
+    from gvcf_hbase_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+
+    def buckets(df):
+        return (
+            df.select(
+                F.bitmap_bucket_number(F.col("o_custkey")).alias("bucket"),
+                F.bitmap_bit_position(F.col("o_custkey")).alias("pos"),
+            )
+            .groupBy("bucket")
+            .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+        )
+
+    halves = buckets(o.filter("o_orderkey % 2 = 0")).unionByName(
+        buckets(o.filter("o_orderkey % 2 = 1"))
+    )
+    merged = (
+        halves.groupBy("bucket")
+        .agg(F.bitmap_or_agg(F.col("bm")).alias("bm"))
+        .agg(F.sum(F.bitmap_count(F.col("bm"))).alias("n"))
+        .collect()[0]["n"]
+    )
+    exact = o.select(F.countDistinct("o_custkey").alias("n")).collect()[0]["n"]
+    assert merged == exact

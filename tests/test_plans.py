@@ -483,3 +483,46 @@ def test_dpp_prunes_fact_partitions(spark):
     filtered broadcast dim)."""
     plan = explain_str(SPECS["join_dpp_partitioned"].fn(spark, SF_DIR))
     assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+
+def test_runtime_bloom_filter_join(spark):
+    """Spark 4's runtime row-level filter — the bloom sibling of DPP: a
+    selective dim predicate is turned into a bloom_filter_agg subquery
+    whose might_contain() is pushed into the FACT scan, pruning probe
+    rows before the shuffle. Default thresholds target 10 GB+ scans, so
+    this is exercised with test-scoped confs (a registry query can't
+    scope session confs to its own lazy execution). Results must be
+    identical with the filter on and off."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+
+    def build():
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = explain_str(build())
+        assert "might_contain" in plan.lower(), plan[:2000]
+        with_filter = {tuple(r) for r in build().collect()}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    without = {tuple(r) for r in build().collect()}
+    assert with_filter == without
