@@ -235,3 +235,81 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return sample_frames(with_payload)
+
+
+_FRAME_BYTES = 256
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH framed AS (
+      SELECT doc_id, CAST(f AS INT) AS frame_idx,
+             list_transform(
+               range(f * {_FRAME_BYTES} + 1,
+                     least((f + 1) * {_FRAME_BYTES}, length(text)) + 1),
+               i -> ascii(substr(text, CAST(i AS INT), 1))) AS bytes
+      FROM documents,
+           unnest(range(0, CAST(ceil(length(text) / {_FRAME_BYTES}.0) AS BIGINT))) AS t(f)
+    )
+    SELECT doc_id, frame_idx,
+           CAST(len(bytes) AS BIGINT) AS n_bytes,
+           CAST(list_aggregate(bytes, 'sum') AS BIGINT) AS byte_sum,
+           CAST(list_aggregate(bytes, 'sum') AS BIGINT) * 1000000 // len(bytes)
+             AS mean_byte_micro
+    FROM framed
+    """,
+    tags=("multimodal", "udf"),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style frame energy over a binary payload: split each
+    payload into fixed 256-byte frames (last frame ragged) and emit
+    per-frame sample count, sum, and mean amplitude — the windowed-energy
+    shape of VAD/silence-trim preprocessing, with byte values standing in
+    for PCM samples (the codec decode is the documented stub boundary;
+    a real deployment swaps `np.frombuffer(..., '<i2')` in and nothing
+    else changes). numpy does the frame math per Arrow batch via one
+    cumsum per payload — no per-frame Python loop; output rows =
+    Σ ceil(len/256) per doc. Oracle replays the frame arithmetic with
+    ascii() sums (fixture text is ASCII, byte == char). The mean is a
+    SCALED INTEGER (µ-byte = sum·10⁶ // n): sum/256 terminates exactly
+    at the 7th decimal, so a 6dp double round hits half-way ties where
+    numpy (banker's) and SQL (half-up) disagree — integer math has no
+    tie to break (SURVEY §5.4 rule 4, the strict form)."""
+    import numpy as np
+
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, ns, sums = [], [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(raw), dtype="uint8").astype("int64")
+                if not len(b):
+                    continue
+                edges = np.arange(0, len(b), _FRAME_BYTES)
+                csum = np.concatenate([[0], np.cumsum(b)])
+                ends = np.minimum(edges + _FRAME_BYTES, len(b))
+                ids.append(np.full(len(edges), doc_id, dtype="int64"))
+                fidx.append(np.arange(len(edges), dtype="int32"))
+                ns.append(ends - edges)
+                sums.append(csum[ends] - csum[edges])
+            if not ids:
+                continue
+            n = np.concatenate(ns)
+            s = np.concatenate(sums)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "frame_idx": np.concatenate(fidx),
+                    "n_bytes": n,
+                    "byte_sum": s,
+                    "mean_byte_micro": s * 1_000_000 // n,
+                }
+            )
+
+    return with_payload.mapInPandas(
+        gen,
+        "doc_id long, frame_idx int, n_bytes long, byte_sum long, mean_byte_micro long",
+    )

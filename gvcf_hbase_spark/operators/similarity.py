@@ -632,6 +632,24 @@ def knn_topk_blocked(e: DataFrame, k: int, blocks: int | None = None) -> DataFra
     )
 
 
+@register("sim_cosine_pairs_blocked", oracle=_PAIR_ORACLE, tags=("similarity",))
+def sim_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocked exact-pairs strategy registered standalone (forced
+    4-way blocking regardless of corpus size), against the SAME oracle
+    as sim_cosine_pairs: driver-grade evidence that the beyond-broadcast
+    physical plan is hash-identical to the brute-force one, not just
+    locally equivalence-tested."""
+    return _pairs_above_blocked(_emb(spark, sf_dir), _COS_PAIR_THRESHOLD, blocks=4)
+
+
+@register("sim_knn_blocked", oracle=_KNN_ORACLE, tags=("similarity",))
+def sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocked exact top-k strategy registered standalone (forced
+    4-way blocking), against the SAME oracle as sim_knn_topk — the
+    broadcast-free exact path earns its own driver hash-verdict."""
+    return knn_topk_blocked(_emb(spark, sf_dir), k=_KNN_K, blocks=4)
+
+
 @register("sim_knn_ivf", oracle=None, tags=("similarity", "ann"))
 def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The approximate broadcast-free top-k path, its own registered key:

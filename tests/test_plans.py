@@ -65,6 +65,8 @@ def test_relational_paths_are_jvm_only(spark):
         "sim_knn_ivf", "dedup_embedding_cosine", "udf_scalar", "udaf_grouped",
         "udtf_shingles", "multimodal_features", "multimodal_frame_sample",
         "multimodal_resize", "stream_stateful", "agg_heavy_hitters",
+        "sim_cosine_pairs_blocked", "sim_knn_blocked", "multimodal_audio_energy",
+        "udf_arrow_scalar",
     }
     for key, spec in SPECS.items():
         if key in python_ok or "streaming" in spec.tags:
@@ -84,7 +86,10 @@ def test_no_cartesian_products_anywhere(spark):
     allowed explicitly."""
     one_row_cross_ok = {"text_tfidf", "curate_mix_weights", "subquery_scalar",
                         "q11_important_parts", "q22_idle_customers",
-                        "agg_heavy_hitters", "text_unigram_logprob"}
+                        "agg_heavy_hitters", "text_unigram_logprob",
+                        # deliberate B-row broadcast replication (query side
+                        # fans out to every vector block)
+                        "sim_knn_blocked"}
     for key, spec in SPECS.items():
         if key == "join_cross" or "streaming" in spec.tags:
             continue
