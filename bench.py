@@ -37,9 +37,11 @@ HEADLINE = [
     "curate_pipeline_e2e",
     "stream_tumbling",
     # round-3 widening: the heaviest previously-unmeasured families —
-    # the largest TPC-H multi-join and the Python-UDTF boundary stress
+    # the largest TPC-H multi-join, the Python-UDTF boundary stress, and
+    # the analytics family's multi-aggregate cascade
     "q9_product_profit",
     "udtf_shingles",
+    "funnel_steps",
 ]
 
 

@@ -684,3 +684,47 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+             AS chars_new_batches,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("source",),
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: an old writer batch lacks the
+    ``n_chars`` column, a newer batch carries it; ``mergeSchema=true``
+    unions the footers so old rows surface NULL for the added column —
+    the append-only table-widening every long-lived 100 TB dataset goes
+    through. The oracle recomputes the same aggregate from the unsplit
+    table with CASE masking, so the hash-match proves both batches'
+    rows survive the merge with the right null-extension. (mergeSchema
+    costs a footer read per file — at scale prefer a table format or an
+    explicit superset schema; this demonstrates the mechanism.)"""
+    import hashlib
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    key = f"gvcf_schevo_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    out = f"{tempfile.gettempdir()}/{key}"
+    if not os.path.isdir(out):
+        d.filter("doc_id % 2 = 0").select("doc_id", "lang").write.parquet(f"{out}/b0")
+        d.filter("doc_id % 2 = 1").select("doc_id", "lang", "n_chars").write.parquet(
+            f"{out}/b1"
+        )
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{out}/b0", f"{out}/b1")
+    return merged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_new_batches"),
+        F.count("n_chars").cast("bigint").alias("n_with_chars"),
+    )

@@ -162,3 +162,42 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_vowels("text").alias("n_vowels"),
         n_alpha_space("text").alias("n_alpha_space"),
     )
+
+
+@register(
+    "udf_arrow_batch",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS text_chars,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_fields
+    FROM documents
+    """,
+    tags=("udf",),
+)
+def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the lowest-overhead Python boundary: raw pyarrow
+    RecordBatches in and out, no pandas conversion at all. The body runs
+    pyarrow.compute kernels (C++), so the Python layer only routes
+    batches — the right tier when the logic is expressible in Arrow
+    kernels and the pandas materialization of mapInPandas is measurable
+    overhead (wide binary/string columns). Oracle is the pure-SQL twin."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        for batch in batches:
+            text = batch.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.cast(pc.utf8_length(text), pa.int32()),
+                    pc.cast(
+                        pc.add(pc.count_substring(text, " "), 1), pa.int32()
+                    ),
+                ],
+                ["doc_id", "text_chars", "n_fields"],
+            )
+
+    return d.mapInArrow(gen, "doc_id long, text_chars int, n_fields int")

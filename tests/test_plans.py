@@ -531,3 +531,27 @@ def test_runtime_bloom_filter_join(spark):
                 spark.conf.set(k, v)
     without = {tuple(r) for r in build().collect()}
     assert with_filter == without
+
+
+def test_observation_metrics_during_action(spark):
+    """`df.observe` — metric collection piggybacked on a real action (no
+    second scan): a curation-style filter observed with counters must
+    report the same numbers a separate aggregation would compute, for
+    free, during the one pass. The 100 TB use: data-quality counters on
+    ingest jobs without doubling the I/O."""
+    from pyspark.sql import Observation
+
+    d = load_table(spark, SF_DIR, "documents")
+    obs = Observation("curation")
+    observed = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.when(F.col("n_chars") < 50, 1).otherwise(0)).alias("too_short"),
+    )
+    kept = observed.filter(F.col("n_chars") >= 50)
+    n_kept = kept.count()
+    want_seen = d.count()
+    want_short = d.filter("n_chars < 50").count()
+    assert obs.get["rows_seen"] == want_seen
+    assert obs.get["too_short"] == want_short
+    assert n_kept == want_seen - want_short
