@@ -558,3 +558,47 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.count("*").alias("n_shipments"))
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH matched AS (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             epoch_us(p.ts) AS purchase_ts_us, epoch_us(s.ts) AS signup_ts_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+    )
+    SELECT * FROM matched
+    WHERE purchase_ts_us - signup_ts_us <= 86400000000
+    """,
+    tags=("join", "gvcf"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound (pandas `merge_asof(tolerance=)`
+    semantics): latest prior signup per purchase, but only when it is at
+    most 24 h old — a stale open record must NOT match. Composition, not
+    a new operator: the generic as-of carries the matched right timestamp
+    in its payload, and the tolerance is one post-filter on the SAME rows
+    (no extra shuffle; the plan is join_asof's plus a Filter). The gVCF
+    reading: a reference block match is only valid within its declared
+    span — tolerance is how an open-ended carry-forward gets an
+    expiry."""
+    ev = load_table(spark, sf_dir, "events")
+    tol_us = 86_400_000_000  # 24 h
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us_long"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts_us_long").alias("signup_ts_us")
+    )
+    out = asof_join(
+        purchases, signups, on="user_id", left_ts="ts_us_long", right_ts="signup_ts_us"
+    )
+    return out.filter(F.col("ts_us_long") - F.col("signup_ts_us") <= tol_us).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us_long").alias("purchase_ts_us"),
+        "signup_ts_us",
+    )
