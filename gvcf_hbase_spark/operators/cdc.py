@@ -1,0 +1,109 @@
+"""Change-data-capture processing: changelog compaction (latest state
+per key) and SCD type-2 history building (validity intervals per
+version).
+
+The events table stands in for a CDC changelog: key = ``user_id``,
+change sequence = (event time, event_id), and ``event_type = 'error'``
+plays the DELETE op (any other type upserts). Both operators are one
+window shuffle on the key — the exact shape a 100 TB table-maintenance
+job has: merge a day's changelog into a snapshot without ever joining
+snapshot × changelog row-by-row. The HBase reading (SURVEY §2A): row
+versioning with latest-wins is what the reference's storage gave for
+free per cell; these operators are the engine-side equivalent with full
+history retained (SCD2) or compacted away (latest-state).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.sources.tables import load_table
+
+
+def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts_us_long").alias("seq_us"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "value",
+    )
+
+
+@register(
+    "cdc_compact_latest",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS seq_us,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, seq_us AS last_seq_us,
+           round(value, 4) AS last_value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    tags=("cdc", "window"),
+)
+def cdc_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: the final materialized state is each key's
+    LATEST change by (seq, tiebreak) — unless that change is a DELETE,
+    in which case the key is absent. One descending window + rank-1
+    filter: the snapshot-merge kernel of every CDC sink (and of HBase's
+    latest-version-wins cell semantics). Keys whose last op is D
+    disappear, exactly like a tombstoned row; earlier versions never
+    survive regardless of op."""
+    log = _changelog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("seq_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("seq_us").alias("last_seq_us"),
+            F.round("value", 4).alias("last_value"),
+        )
+    )
+
+
+@register(
+    "cdc_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+           coalesce(lead(epoch_us(CAST(ts AS TIMESTAMP)))
+                      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) - 1,
+                    9223372036854775807) AS valid_to_us,
+           (lead(epoch_us(CAST(ts AS TIMESTAMP)))
+              OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL)
+             AS is_current
+    FROM events
+    """,
+    tags=("cdc", "window"),
+)
+def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history builder: every change becomes a version row
+    with a validity interval — ``valid_from`` = its own sequence time,
+    ``valid_to`` = the next version's time − 1 (open/current versions get
+    MAX_LONG so range predicates need no NULL handling). One ascending
+    window with ``lead``; the result is the as-of-queryable dimension
+    history (`join_interval` / `join_asof` over these rows answers
+    "state of key K at time T"). At 100 TB this is the standard
+    dimension-history rebuild: shuffle once on the key, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us_long", "event_id")
+    nxt = F.lead("ts_us_long").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts_us_long").alias("valid_from_us"),
+        F.coalesce(nxt - 1, F.lit(9223372036854775807)).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )

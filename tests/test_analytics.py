@@ -173,3 +173,25 @@ def test_bitmap_distinct_mergeable(spark):
     )
     exact = o.select(F.countDistinct("o_custkey").alias("n")).collect()[0]["n"]
     assert merged == exact
+
+
+def test_cdc_compact_equals_current_scd2_version(spark):
+    """Consistency between the two CDC views: the compacted latest state
+    must be exactly the SCD2 `is_current` versions whose op is an upsert
+    — history and snapshot derive from one changelog and must agree."""
+    from gvcf_hbase_spark.sources.tables import load_table
+
+    current = (
+        SPECS["cdc_scd2_intervals"].fn(spark, SF_DIR).filter("is_current")
+        .select("user_id", "event_id")
+    )
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "event_type")
+    current_upserts = {
+        (r.user_id, r.event_id)
+        for r in current.join(ev, "event_id").filter("event_type <> 'error'").collect()
+    }
+    compacted = {
+        (r.user_id, r.last_event_id)
+        for r in SPECS["cdc_compact_latest"].fn(spark, SF_DIR).collect()
+    }
+    assert compacted == current_upserts
