@@ -728,3 +728,33 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("chars_new_batches"),
         F.count("n_chars").cast("bigint").alias("n_with_chars"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50.0) AS INT) AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("agg",),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (50-unit buckets over event values):
+    bucket id by floor division, one hash aggregate with partial+final
+    phases — the shuffle carries one row per (partition, bucket), so a
+    100 TB histogram costs one scan plus a ~bucket-count-sized exchange.
+    The per-bucket min/max double as a correctness tripwire: every
+    bucket's observed range must sit inside its nominal bounds."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 50.0).cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )

@@ -310,3 +310,43 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("session_id"),
     )
+
+
+@register(
+    "win_time_weighted_avg",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, value,
+             lead(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               - epoch_us(CAST(ts AS TIMESTAMP)) AS dt_us
+      FROM events
+    )
+    SELECT user_id,
+           round(sum(value * dt_us) / sum(dt_us), 4) AS tw_avg,
+           CAST(sum(dt_us) AS BIGINT) AS span_us
+    FROM spans
+    WHERE dt_us IS NOT NULL AND dt_us > 0
+    GROUP BY user_id
+    """,
+    tags=("window", "timeseries"),
+)
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (the hypertable/time-series
+    aggregate a plain avg gets wrong on irregular sampling): each
+    reading's weight is how long it REMAINED the current value (lead
+    timestamp − own timestamp, last reading contributes no span). One
+    window for the spans, one aggregate — both shuffle on user_id, and
+    AQE reuses the first shuffle's partitioning for the groupBy. Zero-dt
+    same-instant readings are excluded on both sides so duplicate
+    timestamps cannot make the weighting ill-defined."""
+    ev = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us_long", "event_id")
+    dt = F.lead("ts_us_long").over(w) - F.col("ts_us_long")
+    spans = ev.select("user_id", "value", dt.alias("dt_us")).filter(
+        F.col("dt_us").isNotNull() & (F.col("dt_us") > 0)
+    )
+    return spans.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 4).alias("tw_avg"),
+        F.sum("dt_us").cast("bigint").alias("span_us"),
+    )

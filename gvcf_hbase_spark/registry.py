@@ -47,6 +47,7 @@ _MODULES = [
     "gvcf_hbase_spark.operators.curation",
     "gvcf_hbase_spark.operators.analytics",
     "gvcf_hbase_spark.operators.cdc",
+    "gvcf_hbase_spark.operators.graphs",
     "gvcf_hbase_spark.operators.udfs",
     "gvcf_hbase_spark.streaming.batch_twins",
     "gvcf_hbase_spark.streaming.stream_ops",

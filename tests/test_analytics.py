@@ -195,3 +195,25 @@ def test_cdc_compact_equals_current_scd2_version(spark):
         for r in SPECS["cdc_compact_latest"].fn(spark, SF_DIR).collect()
     }
     assert compacted == current_upserts
+
+
+def test_triangle_count_closed_form(spark):
+    """The ring-with-chords fixture graph has exactly one triangle per
+    vertex — an INDEPENDENT closed-form check, because the oracle shares
+    the wedge-join algorithm and a shared construction bug would
+    hash-match while being wrong (which is exactly how the original
+    1-based formula slipped through)."""
+    from gvcf_hbase_spark.sources.tables import load_table
+
+    n = load_table(spark, SF_DIR, "customer").count()
+    got = SPECS["graph_triangle_count"].fn(spark, SF_DIR).collect()[0]["n_triangles"]
+    assert got == n
+
+    from gvcf_hbase_spark.operators.graphs import triangle_count
+
+    # micro-fixture: K4 has 4 triangles; duplicate/reversed edges must not
+    # change the count
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b], "u int, v int"
+    )
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 4
