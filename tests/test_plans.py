@@ -87,6 +87,8 @@ def test_no_cartesian_products_anywhere(spark):
     one_row_cross_ok = {"text_tfidf", "curate_mix_weights", "subquery_scalar",
                         "q11_important_parts", "q22_idle_customers",
                         "agg_heavy_hitters", "text_unigram_logprob",
+                        # fixture-graph construction crosses a 1-row count
+                        "graph_triangle_count",
                         # deliberate B-row broadcast replication (query side
                         # fans out to every vector block)
                         "sim_knn_blocked"}
