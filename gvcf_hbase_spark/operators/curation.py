@@ -639,3 +639,39 @@ def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+@register(
+    "curate_oversample",
+    oracle="""
+    WITH weighted AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'fr' THEN 3 WHEN 'es' THEN 2 ELSE 1 END AS k
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(copy AS INT) AS copy
+    FROM weighted, unnest(range(0, k)) AS t(copy)
+    """,
+    tags=("curation",),
+)
+def curate_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer oversampling for mixture re-balancing:
+    replicate each under-represented language's documents k times
+    (explode(sequence(0, k-1)) — generated lazily inside codegen, never
+    a driver-side multiply), each copy numbered so downstream shuffles/
+    splits treat copies as distinct rows. This is the epochs-per-source
+    knob of a training mix made physical; fractional weights compose as
+    floor(k) copies + a `curate_stratified_sample` of the remainder
+    (both deterministic, documented here rather than built into one
+    opaque op)."""
+    d = load_table(spark, sf_dir, "documents")
+    k = (
+        F.when(F.col("lang") == "fr", 3)
+        .when(F.col("lang") == "es", 2)
+        .otherwise(1)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(0), k - 1)).alias("copy"),
+    )

@@ -350,3 +350,37 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 4).alias("tw_avg"),
         F.sum("dt_us").cast("bigint").alias("span_us"),
     )
+
+
+@register(
+    "win_percentile_running",
+    oracle="""
+    SELECT event_id, user_id,
+           round(CAST(quantile_cont(value, 0.5)
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+             AS running_median
+    FROM events
+    """,
+    tags=("window", "timeseries"),
+)
+def win_percentile_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running median per user (exact interpolated percentile as a
+    window aggregate over the growing frame) — the robust-centerline
+    monitor that a running avg can't give on heavy-tailed values. Cost
+    reality at 100 TB: a growing-frame percentile is O(frame) per row
+    (no incremental state), so per-key history length is the budget —
+    bound it with a trailing ROWS frame or demote to an approximate
+    sketch when keys grow unbounded; this query is the exact form on
+    bounded per-user history (≤~70 events/user on the fixture)."""
+    ev = _events_us(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us_long", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("running_median"),
+    )

@@ -276,3 +276,80 @@ def test_asof_join_rejects_reserved_columns(spark):
     right = spark.createDataFrame([(1, 9, 1.0)], "user_id long, rts long, val double")
     with _pytest.raises(ValueError, match="reserved"):
         asof_join(left, right, on="user_id", left_ts="ts", right_ts="rts")
+
+
+def test_asof_tolerance_matches_pandas(spark):
+    """The tolerance composition (as-of + post-filter on the matched
+    timestamp) must agree with pandas.merge_asof(tolerance=...) on
+    randomized data — matches older than the bound become NULL/dropped."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(99)
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 4, 100).astype("int64"),
+            "lid": np.arange(100, dtype="int64"),
+            "t": rng.randint(0, 500, 100).astype("int64"),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 4, 60).astype("int64"),
+            "rt": (rng.permutation(2000)[:60]).astype("int64"),
+        }
+    )
+    tol = 50
+    out = asof_join(
+        spark.createDataFrame(left_pd),
+        spark.createDataFrame(right_pd),
+        on="k", left_ts="t", right_ts="rt", how="inner",
+    )
+    got = {
+        r.lid: r.rt
+        for r in out.filter(F.col("t") - F.col("rt") <= tol).collect()
+    }
+    exp_df = pd.merge_asof(
+        left_pd.sort_values("t"), right_pd.sort_values("rt"),
+        left_on="t", right_on="rt", by="k",
+        direction="backward", tolerance=tol,
+    )
+    exp = {
+        int(r.lid): int(r.rt) for r in exp_df.itertuples() if not pd.isna(r.rt)
+    }
+    assert got == exp
+
+
+def test_operators_on_empty_inputs(spark):
+    """Empty-input robustness: core custom operators must return empty
+    results with the right schema, not crash, when a filter upstream
+    leaves zero rows (routine at 100 TB: a partition-pruned day with no
+    data)."""
+    from gvcf_hbase_spark.operators.gvcf import combine_positions, sample_name_index
+    from gvcf_hbase_spark.operators.graphs import triangle_count
+
+    empty_iv = spark.createDataFrame(
+        [],
+        "sample_id string, contig string, start long, end long, value string, is_variant boolean",
+    )
+    out = combine_positions(empty_iv, variant_col="is_variant")
+    assert out.count() == 0 and "samples" in out.columns
+
+    dim, enriched = sample_name_index(empty_iv)
+    assert dim.count() == 0 and enriched.count() == 0
+
+    left = spark.createDataFrame([], "k long, t long")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k long, rt long, v double")
+    assert asof_join(left, right, on="k", left_ts="t", right_ts="rt").count() == 0
+    # empty RIGHT side: left rows survive under how='left' with NULL payload
+    l2 = spark.createDataFrame([(1, 10)], "k long, t long")
+    r2 = spark.createDataFrame([], "k long, rt long, v double")
+    kept = asof_join(l2, r2, on="k", left_ts="t", right_ts="rt", how="left").collect()
+    assert len(kept) == 1 and kept[0].rt is None
+
+    assert (
+        triangle_count(spark.createDataFrame([], "u long, v long")).collect()[0][
+            "n_triangles"
+        ]
+        == 0
+    )
