@@ -182,3 +182,72 @@ def test_stream_stream_join_equals_batch_theta(spark):
     batch = batch_click_purchase_join(spark, SF_DIR)
     stream = SPECS["stream_join_stream"].fn(spark, SF_DIR)
     _assert_same(batch, stream, "stream-stream join")
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Restart-with-checkpoint contract: run the upsert sink over an
+    initial file set, STOP, let new files arrive, restart from the SAME
+    checkpoint — the aggregation state must resume (not recount run-1
+    files, not lose run-1 contributions) and the final upserted table
+    must equal the batch aggregate over everything. This is the
+    exactly-once-across-job-restarts property a production streaming
+    pipeline actually relies on."""
+    import pyspark.sql.functions as _F
+    from gvcf_hbase_spark.sources.tables import load_table, with_event_time
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ts_us = _F.unix_micros(_F.col("ts").cast("timestamp"))
+    mid = ev.select(
+        _F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)").alias("m")
+    ).collect()[0]["m"]
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    # time-ordered arrival: earlier half first, so run-2 data is never
+    # behind run-1's watermark
+    ev.filter(ts_us <= mid).coalesce(1).write.parquet(str(src / "batch1"))
+
+    schema = ev.schema
+
+    def run_once():
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(f"{src}/*")
+        )
+        stream = with_event_time(raw).withColumn(
+            "ts_evt", _F.timestamp_micros(_F.col("ts_us_long"))
+        )
+        agg = tumbling_agg(stream).withColumn(
+            "wpart", _F.date_format("window_start", "yyyy-MM-dd-HH")
+        )
+
+        def upsert(batch_df, batch_id):
+            (
+                batch_df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("wpart", "event_type")
+                .parquet(str(out))
+            )
+
+        q = (
+            agg.writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_after_first = spark.read.parquet(str(out)).agg(_F.sum("cnt")).collect()[0][0]
+    assert n_after_first < ev.count()  # only half processed so far
+    ev.filter(ts_us > mid).coalesce(1).write.parquet(str(src / "batch2"))
+    run_once()
+
+    final = (
+        spark.read.parquet(str(out))
+        .select("window_start", "event_type", "cnt", "total_value")
+    )
+    batch = tumbling_agg(load_table(spark, SF_DIR, "events"))
+    _assert_same(batch, final, "checkpoint-restart")
