@@ -431,3 +431,32 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderstatus").agg(
         F.sum(F.bitmap_count(F.col("bm"))).alias("n_customers")
     )
+
+
+@register(
+    "fn_explode_outer",
+    oracle="""
+    WITH arr AS (
+      SELECT p_partkey,
+             CASE WHEN p_size < 5 THEN []
+                  ELSE string_split(p_type, ' ') END AS words
+      FROM part
+    )
+    SELECT p_partkey, w AS word
+    FROM arr LEFT JOIN LATERAL (SELECT unnest(words) AS w) t ON TRUE
+    """,
+    tags=("fn", "array"),
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer``: rows with an EMPTY (or null) array survive the
+    expansion with a NULL element instead of vanishing — the difference
+    between 'unnest as inner join' and 'unnest as left join'. Dropping
+    empty-array parents silently is the classic explode() data-loss bug
+    in flattening pipelines (a doc with no attachments disappears from
+    the per-attachment table AND every downstream count). The oracle
+    spells the same semantics as DuckDB's LEFT JOIN LATERAL unnest."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.when(F.col("p_size") < 5, F.array().cast("array<string>")).otherwise(
+        F.split(F.col("p_type"), " ")
+    )
+    return p.select("p_partkey", F.explode_outer(words).alias("word"))

@@ -1165,3 +1165,42 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sup.join(
         broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) t
+    """,
+    tags=("join", "subquery"),
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL (correlated table) subquery through the SQL front end:
+    each customer's top-2 orders by price — the per-row-parameterized
+    subquery surface. Catalyst decorrelates the correlated ORDER BY +
+    LIMIT into a window-rank over one equi-join rather than running the
+    inner query per outer row, so the plan is the same shuffle-once
+    shape as `win_topk_group`; the LATERAL spelling is what callers
+    migrating SQL workloads write, and this key pins that it plans
+    scalably (no nested-loop re-execution)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+        FROM v_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM v_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        """
+    )
