@@ -179,3 +179,32 @@ def test_tfidf_formula_sanity(spark):
         idf = math.log((n_docs + 1) / (n_docs + 1)) + 1
         for r in rows:
             assert abs(r.tfidf - round(r.tf * idf, 9)) < 1e-9
+
+
+def test_blocked_pairs_random_vectors(spark):
+    """Randomized (seeded) cross-check of the blocked all-pairs scorer:
+    on corpora that don't resemble the fixture (different n, dim, block
+    counts incl. non-divisor and >n blocks), blocked output must equal
+    the broadcast scorer's output exactly."""
+    import numpy as np
+
+    from gvcf_hbase_spark.operators.similarity import (
+        _pairs_above,
+        _pairs_above_blocked,
+    )
+
+    rng = np.random.RandomState(7)
+    for n, dim, blocks in [(37, 8, 3), (64, 16, 5), (101, 4, 7), (12, 8, 40)]:
+        vecs = rng.normal(size=(n, dim))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id long, emb array<double>",
+        )
+        want = {
+            (r.id_a, r.id_b, r.cos_sim) for r in _pairs_above(df, 0.2).collect()
+        }
+        got = {
+            (r.id_a, r.id_b, r.cos_sim)
+            for r in _pairs_above_blocked(df, 0.2, blocks).collect()
+        }
+        assert got == want, (n, dim, blocks, len(got), len(want))
