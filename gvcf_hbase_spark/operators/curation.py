@@ -675,3 +675,45 @@ def curate_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.sequence(F.lit(0), k - 1)).alias("copy"),
     )
+
+
+_N_SHARDS = 8
+
+
+@register(
+    "curate_shard_balance",
+    oracle=f"""
+    SELECT doc_id, n_tokens,
+           CAST((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1)
+                % {_N_SHARDS} AS INT) AS shard
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split(lower(trim(regexp_replace(text, ' +', ' ', 'g'))), ' '))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    """,
+    tags=("curation", "window"),
+)
+def curate_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced output sharding for training dataloaders: rank documents
+    by token count (desc, doc_id tiebreak) and deal them round-robin
+    into shards — the LPT greedy that bounds shard-size skew to one
+    document regardless of the length distribution (a naive hash shard
+    can be tokens-skewed by whole documents' variance). Deterministic:
+    re-runs produce identical shards. The rank is a single global
+    window ordered on a 12-byte row — at 100 TB replace it with the
+    two-phase distributed rank (bucket + offsets) exactly as
+    `curate_pack_batches` does for its prefix sum; the dealing arithmetic
+    is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(normalize_text(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.col("n_tokens").desc(), "doc_id")
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        ((F.row_number().over(w) - 1) % _N_SHARDS).cast("int").alias("shard"),
+    )

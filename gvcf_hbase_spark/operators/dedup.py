@@ -430,3 +430,43 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c") / F.col("sz_b"), 6).alias("containment"),
     )
     return fwd.unionByName(rev)
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fingerprint
+      FROM documents
+    ),
+    hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 400),
+    new_batch AS (SELECT * FROM fp WHERE doc_id >= 400)
+    SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_in_batch
+    FROM new_batch
+    WHERE fingerprint NOT IN (SELECT fingerprint FROM hist)
+    GROUP BY fingerprint
+    """,
+    tags=("dedup",),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the daily-ingest shape: a NEW batch (doc_id ≥
+    400 stands in for today's crawl) is deduplicated against the
+    HISTORICAL fingerprint index (doc_id < 400) with an anti-join, then
+    within itself with the usual min-id group. Only fingerprints cross
+    the shuffle (16 bytes/doc); the history side is index-only (no text
+    column ever read from it — column pruning reaches the scan), which
+    is what makes the daily job O(batch + index) instead of re-running
+    exact dedup over the full corpus. In production the index is the
+    persisted fingerprint table this query's output appends to."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fingerprint")
+    )
+    hist = fp.filter(F.col("doc_id") < 400).select("fingerprint").distinct()
+    new_batch = fp.filter(F.col("doc_id") >= 400)
+    return (
+        new_batch.join(hist, "fingerprint", "left_anti")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_in_batch"))
+    )
