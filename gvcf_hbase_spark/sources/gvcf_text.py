@@ -349,3 +349,135 @@ def read_gvcf(spark: SparkSession, path: str, sample_id: str) -> DataFrame:
     """
     lines = spark.read.text(path).withColumnRenamed("value", "line")
     return parse_gvcf_lines(lines.withColumn("sample_id", F.lit(sample_id)))
+
+
+_GVCF_EXPORT_ORACLE = r"""
+    WITH lines AS (
+      SELECT concat('s', o_orderkey % 4) AS sample_id,
+             concat('chr', 1 + o_orderkey % 2) AS contig,
+             o_orderkey AS start,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey + 2
+                  ELSE o_orderkey END AS fin,
+             CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE 1 END AS is_var,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'ref:0/0'
+                  ELSE 'A>T:0/1' END AS value
+      FROM orders
+    ),
+    expanded AS (
+      SELECT sample_id, contig, CAST(p AS BIGINT) AS pos, value, is_var
+      FROM lines, unnest(range(start, fin + 1)) AS t(p)
+    ),
+    combined AS (
+      SELECT contig, pos,
+             string_agg(sample_id || '=' || value, '|'
+                        ORDER BY sample_id || '=' || value) AS samples_flat,
+             COUNT(*) AS n_samples
+      FROM expanded GROUP BY contig, pos HAVING max(is_var) = 1
+    )
+    SELECT concat_ws(chr(9), contig, CAST(pos AS VARCHAR), '.', 'N', '<SITE>',
+                     '.', 'PASS',
+                     concat('NS=', CAST(n_samples AS VARCHAR)),
+                     'GT', samples_flat) AS vcf_line
+    FROM combined
+"""
+
+
+def export_vcf_lines(combined: DataFrame) -> DataFrame:
+    """A10's stringify as a real export: per-position combined records →
+    VCF-style data lines (tab-separated, NS= sample count in INFO, the
+    flat sample map as the payload column). Pure concat_ws over the
+    combine output — the inverse direction of :func:`parse_gvcf_lines`,
+    closing the parse → combine → export round trip with JVM string ops
+    only (at 100 TB: a map stage fused onto the combine, written with
+    ``df.write.text``)."""
+    return combined.select(
+        F.concat_ws(
+            "\t",
+            F.col("contig"),
+            F.col("pos").cast("string"),
+            F.lit("."),
+            F.lit("N"),
+            F.lit("<SITE>"),
+            F.lit("."),
+            F.lit("PASS"),
+            F.concat(F.lit("NS="), F.col("n_samples").cast("string")),
+            F.lit("GT"),
+            F.col("samples_flat"),
+        ).alias("vcf_line")
+    )
+
+
+def _register_export_query() -> None:
+    from gvcf_hbase_spark.operators.gvcf import combine_positions
+    from gvcf_hbase_spark.registry import register
+
+    @register("gvcf_export_vcf_lines", oracle=_GVCF_EXPORT_ORACLE, tags=("gvcf", "sink"))
+    def gvcf_export_vcf_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Full reference round trip, oracle-checked end-to-end: gVCF text
+        → parse (A1) → per-position combine (A9) → VCF-line export (A10's
+        user function as a sink format). The oracle rebuilds the same
+        lines through independent SQL, so field order, INFO composition,
+        and the sorted sample payload are all hash-verified."""
+        recs = parse_gvcf_lines(_fixture_lines(spark, sf_dir, span=2))
+        combined = combine_positions(
+            recs, variant_col="is_variant", only_variant_sites=True, flat=True
+        )
+        return export_vcf_lines(combined)
+
+
+_register_export_query()
+
+
+_GVCF_DEPTH_ORACLE = r"""
+    WITH lines AS (
+      SELECT concat('s', o_orderkey % 4) AS sample_id,
+             concat('chr', 1 + o_orderkey % 2) AS contig,
+             o_orderkey AS start,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey + 9
+                  ELSE o_orderkey END AS fin
+      FROM orders
+    ),
+    expanded AS (
+      SELECT contig, CAST(p AS BIGINT) AS pos, sample_id
+      FROM lines, unnest(range(start, fin + 1)) AS t(p)
+    )
+    SELECT contig, pos // 1000 AS bucket,
+           CAST(count(DISTINCT pos) AS BIGINT) AS covered_positions,
+           CAST(count(*) AS BIGINT) AS sample_positions,
+           round(CAST(count(*) AS DOUBLE) / count(DISTINCT pos), 6) AS mean_depth
+    FROM expanded
+    GROUP BY 1, 2
+"""
+
+
+def _register_depth_query() -> None:
+    from gvcf_hbase_spark.registry import register
+
+    @register("gvcf_coverage_depth", oracle=_GVCF_DEPTH_ORACLE, tags=("gvcf",))
+    def gvcf_coverage_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Coverage-depth summary per (contig, 1000-position bucket): how
+        many positions any sample covers and the mean number of samples
+        per covered position — the QC query a cohort pipeline runs before
+        joint calling (uneven depth = capture bias; zero-coverage buckets
+        = assembly gaps). Expansion + one aggregate; at 100 TB bucket the
+        positions BEFORE expanding (sum of clipped interval lengths per
+        bucket) to keep the exploded row count bounded by coverage, not
+        genome size — the expansion form here doubles as the oracle's
+        ground truth."""
+        from gvcf_hbase_spark.operators.gvcf import expand_blocks
+
+        recs = parse_gvcf_lines(_fixture_lines(spark, sf_dir, span=9))
+        pos = expand_blocks(recs)
+        return (
+            pos.groupBy(
+                "contig", F.expr("pos div 1000").alias("bucket")
+            )
+            .agg(
+                F.countDistinct("pos").alias("covered_positions"),
+                F.count("*").alias("sample_positions"),
+                F.round(F.count("*") / F.countDistinct("pos"), 6).alias("mean_depth"),
+            )
+        )
+
+
+_register_depth_query()
