@@ -758,3 +758,41 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag
+    """,
+    tags=("source",),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second columnar format end-to-end: lineitem written as ORC, read
+    back with a pushed-down ship-date filter, aggregated — hash-matched
+    against the parquet-table oracle, proving the engine's layout
+    contract (columnar scan, predicate pushdown, column pruning) is
+    format-portable and the ORC write→read cycle is lossless. ORC's
+    row-group stats serve the same skipping role as parquet's; a
+    deployment standardizes on one format, the engine doesn't care."""
+    import hashlib
+    import os
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"
+    )
+    key = f"gvcf_orc_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    out = f"{tempfile.gettempdir()}/{key}"
+    if not os.path.isdir(out):
+        li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out).filter(F.col("l_shipdate") >= _ts("1996-01-01"))
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
