@@ -460,3 +460,45 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("p_type"), " ")
     )
     return p.select("p_partkey", F.explode_outer(words).alias("word"))
+
+
+@register(
+    "fn_collation",
+    oracle="""
+    SELECT lower(mixed) AS source_ci,
+           count(*) AS n_docs,
+           count(DISTINCT mixed) AS n_case_variants
+    FROM (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS mixed
+      FROM documents
+    )
+    GROUP BY 1
+    """,
+    tags=("fn", "string"),
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: group under the UTF8_LCASE collation so case
+    variants ('SRC1' vs 'src1', constructed deterministically from the
+    fixture) merge WITHOUT rewriting the data — comparison semantics
+    live in the type, and every comparison/join/group on the column
+    inherits them (vs sprinkling lower() at each use site and hoping no
+    one forgets). The group representative is engine-chosen, so the
+    output canonicalizes with lower() — which is also how the oracle
+    (which has no UTF8_LCASE) replays the semantics."""
+    d = load_table(spark, sf_dir, "documents")
+    mixed = F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(
+        F.col("source")
+    )
+    return (
+        d.select(mixed.alias("mixed"))
+        .groupBy(F.collate(F.col("mixed"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("mixed").alias("n_case_variants"),
+        )
+        .select(
+            F.lower(F.col("k")).cast("string").alias("source_ci"),
+            "n_docs",
+            "n_case_variants",
+        )
+    )
