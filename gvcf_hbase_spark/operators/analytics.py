@@ -213,3 +213,40 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * _HH_K > F.col("n_total"))
         .select("user_id", "cnt")
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_CORR_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS col_a, '{b}' AS col_b, round(corr({a}, {b}), 6) AS r FROM lineitem"
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+)
+
+
+@register("agg_corr_matrix", oracle=_CORR_ORACLE, tags=("analytics", "agg", "stats"))
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the four lineitem measures, as
+    tidy (col_a, col_b, r) rows — the feature-screening aggregate run
+    before mixing/weighting decisions.
+
+    All 6 pairs are computed in ONE aggregate pass (6 ``corr`` exprs in
+    a single global agg — one scan, one 1-row reduce; corr's streaming
+    co-moment form is a partial aggregate, so map-side combine does the
+    heavy lifting and the shuffle carries 6 co-moment tuples per task).
+    The 1-row wide result is then unpivoted driver-free via ``stack``.
+    The oracle recomputes each pair with DuckDB's independent corr —
+    6 scans there, but oracle cost doesn't count."""
+    from gvcf_hbase_spark.sources.tables import load_table as _lt
+
+    li = _lt(spark, sf_dir, "lineitem")
+    pairs = [(a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]]
+    wide = li.agg(
+        *[F.corr(a, b).alias(f"c{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stack_expr = ", ".join(
+        f"'{a}', '{b}', round(c{i}, 6)" for i, (a, b) in enumerate(pairs)
+    )
+    return wide.select(
+        F.expr(f"stack({len(pairs)}, {stack_expr}) AS (col_a, col_b, r)")
+    )

@@ -86,3 +86,93 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("u"), ((F.col("id") + 2) % F.col("n")).alias("v")
     )
     return triangle_count(ring.unionByName(chord))
+
+
+_PAGERANK_K = 3  # fixed iteration count (unrolled identically in the oracle)
+
+_PR_EDGES = """
+    ids AS (SELECT c_custkey AS id, count(*) OVER () AS n FROM customer),
+    nodes AS (SELECT id, n FROM ids),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT id AS src, (id + 1) % n AS dst FROM ids
+        UNION ALL
+        SELECT id AS src, id // 2 AS dst FROM ids
+      ) WHERE src <> dst
+    ),
+    deg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1)
+"""
+
+_PR_STEP = """
+    r{next} AS (
+      SELECT nd.id, nd.n, 0.15 / nd.n + 0.85 * coalesce(sum(p.r / deg.od), 0) AS r
+      FROM nodes nd
+      LEFT JOIN edges e ON e.dst = nd.id
+      LEFT JOIN r{prev} p ON p.id = e.src
+      LEFT JOIN deg ON deg.src = e.src
+      GROUP BY nd.id, nd.n
+    )
+"""
+
+_PAGERANK_ORACLE = (
+    "WITH "
+    + _PR_EDGES
+    + ", r0 AS (SELECT id, n, 1.0 / n AS r FROM nodes)"
+    + "".join(
+        "," + _PR_STEP.format(next=k + 1, prev=k) for k in range(_PAGERANK_K)
+    )
+    + f"""
+    SELECT id, round(r * n, 6) AS rank_scaled FROM r{_PAGERANK_K}
+"""
+)
+
+
+@register("graph_pagerank", oracle=_PAGERANK_ORACLE, tags=("graph", "iterative"))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (k=3, damping 0.85) over a deterministic
+    directed fixture graph on the customer keys: ring edges i→(i+1) mod n
+    plus funnel edges i→⌊i/2⌋ (self-loops dropped). The funnel map is
+    deliberately NOT a permutation — low keys accumulate in-degree, so
+    the stationary mass is non-uniform and the check is non-degenerate
+    (a uniform-degree graph would converge to the uninformative 1/n
+    everywhere). Ranks are reported ×n (≈1.0 scale) so 6-dp rounding
+    keeps real resolution.
+
+    Engine side is the genuine iterative dataflow — a Python loop of
+    (contribution join on dst ⋈ rank ⋈ out-degree → groupBy(id) sum),
+    the same shape GraphX/Pregel lowers to; the oracle unrolls the SAME
+    k steps as chained SQL CTEs, so every iteration's join/aggregate
+    semantics are independently recomputed. Scale: each iteration is
+    one equi-join + one aggregate on the node key; rank and degree
+    tables stay co-partitioned on id across iterations (one shuffle
+    each per round, no growth), and the only driver scalar is n — the
+    same single-aggregate-per-run posture as the CC convergence check.
+    Dangling-node mass redistribution is not needed on this fixture
+    (every node keeps a ring out-edge); the standard correction adds
+    one more scalar aggregate per round."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    n = c.count()
+    nodes = c
+    ring = nodes.select(F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst"))
+    funnel = nodes.select(
+        F.col("id").alias("src"), F.floor(F.col("id") / 2).cast("long").alias("dst")
+    )
+    edges = (
+        ring.unionByName(funnel).filter(F.col("src") != F.col("dst")).distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    contrib_src = edges.join(deg, "src")
+    rank = nodes.select("id", F.lit(1.0 / n).alias("r"))
+    for _ in range(_PAGERANK_K):
+        contribs = (
+            contrib_src.join(rank.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("od")).alias("inflow"))
+        )
+        rank = nodes.join(
+            contribs.withColumnRenamed("dst", "id"), "id", "left"
+        ).select(
+            "id",
+            (F.lit(0.15 / n) + 0.85 * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("r"),
+        )
+    return rank.select("id", F.round(F.col("r") * n, 6).alias("rank_scaled"))

@@ -389,3 +389,117 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("logp"), 6).alias("avg_logprob"),
         )
     )
+
+
+_CHUNK_W = 64  # tokens per chunk
+_CHUNK_S = 48  # stride (16-token overlap)
+
+_CHUNK_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(generate_series(0,
+               CAST(ceil(greatest(len(toks) - {_CHUNK_W}, 0) / {_CHUNK_S}.0) AS BIGINT)
+             )) AS ci
+      FROM d
+    )
+    SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+           CAST(least({_CHUNK_W}, n - ci * {_CHUNK_S}) AS INT) AS n_tokens,
+           md5(array_to_string(
+             list_slice(toks, ci * {_CHUNK_S} + 1, ci * {_CHUNK_S} + {_CHUNK_W}), ' '
+           )) AS chunk_md5
+    FROM g
+"""
+
+
+@register("text_chunk_sliding", oracle=_CHUNK_ORACLE, tags=("text", "curation"))
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for training-sequence prep: split each
+    document into 64-token windows with stride 48 (16-token overlap),
+    emitting (doc_id, chunk_idx, token count, md5 of the chunk text).
+    The md5 stands in for the chunk payload in the hash compare so the
+    verified surface covers the exact token slicing, not just counts.
+
+    All array arithmetic (split → sequence of chunk starts → slice →
+    join) is JVM-side whole-stage codegen; the only shuffle-free explode
+    expands each doc by ~n/stride — bounded, data-independent expansion,
+    same contract as ``gvcf_combine``'s block explode. At 100 TB this is
+    a pure map stage: no shuffle at all, chunks stream straight to the
+    sink, and Spark's split-per-file parallelism applies unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_chunks_last_idx = F.ceil(
+        F.greatest(F.size("toks") - F.lit(_CHUNK_W), F.lit(0)) / F.lit(float(_CHUNK_S))
+    ).cast("bigint")
+    start = (F.col("ci") * _CHUNK_S).cast("int")
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.size("toks").alias("n"),
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks_last_idx)).alias("ci"),
+        )
+        .select(
+            "doc_id",
+            F.col("ci").cast("int").alias("chunk_idx"),
+            F.least(F.lit(_CHUNK_W), F.col("n") - F.col("ci") * _CHUNK_S)
+            .cast("int")
+            .alias("n_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), start + 1, _CHUNK_W))
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+_BIGRAM_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM d
+      WHERE len(toks) >= 2
+    ),
+    counts AS (
+      SELECT toks[i] || ' ' || toks[i + 1] AS bigram, count(*) AS n
+      FROM g GROUP BY 1
+    )
+    SELECT bigram, CAST(n AS BIGINT) AS n
+    FROM counts ORDER BY n DESC, bigram LIMIT 100
+"""
+
+
+@register("text_ngram_counts", oracle=_BIGRAM_ORACLE, tags=("text",))
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequency, top 100 (count desc, bigram asc —
+    the tie-break makes the LIMIT boundary deterministic). The building
+    block of n-gram LM training, contamination n-gram indexes
+    (curate_decontaminate), and phrase-mining.
+
+    The bigram array is built by zipping the token array with its own
+    tail (two ``slice`` calls + ``arrays_zip`` — pure codegen, no
+    Python, no second explode pass); one explode then feeds a standard
+    count aggregate with map-side partial aggregation, so the shuffle
+    carries one (bigram, partial-count) row per distinct bigram per
+    task — Zipf's law makes that tiny relative to the corpus. The top-k
+    is TakeOrdered on the aggregated set, never a global sort of the
+    raw pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    pairs = F.arrays_zip(
+        F.slice(F.col("toks"), 1, F.size("toks") - 1),
+        F.slice(F.col("toks"), 2, F.size("toks") - 1),
+    )
+    return (
+        d.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(100)
+    )

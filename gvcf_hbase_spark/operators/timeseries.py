@@ -1,0 +1,203 @@
+"""Time-series operators over the ``events`` table: regular-grid
+resampling with linear interpolation, z-score anomaly flagging, and a
+running-distinct window — the hypertable-style queries a metrics/
+observability team runs on the same event log the streaming operators
+consume (SURVEY §2B.13 beyond-reference surface).
+
+Scale shapes (100 TB):
+
+- ``ts_resample_interpolate`` — output cardinality is #series × grid
+  span, INDEPENDENT of input row count: the bucket aggregate collapses
+  the raw log in its first (and only full-data) shuffle, and every later
+  stage runs on the bucket grid. The explode(sequence) gap-fill is the
+  same bounded-expansion pattern as ``gvcf_combine``; its factor is
+  (span / bucket width), known before launch from min/max.
+- ``anomaly_zscore`` — two-pass mean/std then broadcast join back; no
+  window sort over the full log. The per-type stats dim has one row per
+  event type, broadcast by AQE on its own.
+- ``win_distinct_running`` — running COUNT(DISTINCT) is not directly a
+  Spark window aggregate; the first-occurrence-flag + running-sum
+  decomposition keeps it a pair of ordinary window specs over the SAME
+  (user_id) partitioning — one shuffle, two in-partition sorts, no
+  distinct state per frame.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.sources.tables import load_table
+
+_US_PER_HOUR = 3_600_000_000
+
+_RESAMPLE_ORACLE = f"""
+    WITH b AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // {_US_PER_HOUR} AS h,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, min(h) AS mn, max(h) AS mx FROM b GROUP BY 1),
+    grid AS (SELECT event_type, unnest(generate_series(mn, mx)) AS h FROM r),
+    j AS (
+      SELECT g.event_type, g.h, b.v
+      FROM grid g LEFT JOIN b USING (event_type, h)
+    ),
+    w AS (
+      SELECT event_type, h, v,
+        lag(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h) AS pv,
+        lag(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY h) AS pm,
+        lead(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h) AS nv,
+        lead(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY h) AS nm
+      FROM j
+    )
+    SELECT event_type, h * {_US_PER_HOUR} AS bucket_us,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * (h - pm) / (nm - pm)
+                 END, 6) AS value,
+           CAST(v IS NULL AS INT) AS interpolated
+    FROM w
+"""
+
+
+@register("ts_resample_interpolate", oracle=_RESAMPLE_ORACLE, tags=("timeseries", "window"))
+def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each event-type series onto a regular hourly grid and
+    linearly interpolate the gaps: hour buckets get avg(value); missing
+    hours between the series' first and last observation get
+    ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)``
+    (nearest present buckets on each side; one-sided gaps carry the
+    single available neighbor).
+
+    Physical plan: ONE full-data shuffle (the hour-bucket aggregate on
+    (event_type, hour)); the min/max range agg, the sequence() gap-fill
+    explode, and the neighbor windows all run on the collapsed grid,
+    whose size is #series × span-hours regardless of the raw log's row
+    count. The neighbor lookup is last/first(ignorenulls) over rows
+    frames — the same carry-forward shape as ``win_carry_forward``, run
+    both directions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            # integer div, not double `/`+cast: exact at any epoch magnitude
+            F.expr(f"ts_us_long div {_US_PER_HOUR}").alias("h"),
+            "value",
+        )
+        .groupBy("event_type", "h")
+        .agg(F.avg("value").alias("v"))
+    )
+    rng = b.groupBy("event_type").agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    grid = rng.select(
+        "event_type", F.explode(F.sequence("mn", "mx")).alias("h")
+    )
+    j = grid.join(b, ["event_type", "h"], "left")
+    w = Window.partitionBy("event_type").orderBy("h")
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    after = w.rowsBetween(1, Window.unboundedFollowing)
+    h_if_obs = F.when(F.col("v").isNotNull(), F.col("h"))
+    pv = F.last("v", ignorenulls=True).over(before)
+    pm = F.last(h_if_obs, ignorenulls=True).over(before)
+    nv = F.first("v", ignorenulls=True).over(after)
+    nm = F.first(h_if_obs, ignorenulls=True).over(after)
+    value = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(pv + (nv - pv) * (F.col("h") - pm) / (nm - pm))
+    )
+    return j.select(
+        "event_type",
+        (F.col("h") * F.lit(_US_PER_HOUR)).alias("bucket_us"),
+        F.round(value, 6).alias("value"),
+        F.col("v").isNull().cast("int").alias("interpolated"),
+    )
+
+
+_ZSCORE_ORACLE = """
+    WITH s AS (
+      SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.m) / s.sd, 6) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs(e.value - s.m) > 2.5 * s.sd
+"""
+
+
+@register("anomaly_zscore", oracle=_ZSCORE_ORACLE, tags=("timeseries", "analytics"))
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier flagging: events whose value sits
+    more than 2.5 sample standard deviations from the type mean.
+
+    Two-pass, no window: pass 1 is a 5-row mean/std aggregate, pass 2 a
+    broadcast join back over the log and a filter. The alternative — a
+    window over partitionBy(event_type) — would sort 100 TB inside 5
+    giant skewed partitions; the agg+join shape keeps the log scan
+    embarrassingly parallel and pushes only a 5-row dim through the
+    broadcast. The 2.5σ threshold flags ~1–2% of a normal-ish value
+    distribution, enough rows for the hash compare to be meaningful.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("m")) > 2.5 * F.col("sd"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round((F.col("value") - F.col("m")) / F.col("sd"), 6).alias("z"),
+        )
+    )
+
+
+_RUN_DISTINCT_ORACLE = """
+    SELECT event_id, user_id,
+           CAST(count(DISTINCT event_type)
+                OVER (PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS BIGINT)
+             AS n_types_seen
+    FROM events
+"""
+
+
+@register("win_distinct_running", oracle=_RUN_DISTINCT_ORACLE, tags=("timeseries", "window"))
+def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of DISTINCT event types each user has produced, in
+    event-time order — "how far through the product surface is this user
+    by event k".
+
+    Spark has no DISTINCT window aggregate, and the naive
+    collect_set-over-frame holds a per-frame set. The standard
+    decomposition used here: flag each row that is the FIRST occurrence
+    of its (user, type) pair (row_number over the pair), then running-sum
+    the flag over the plain user window. Both window specs hash-partition
+    on ``user_id`` alone — Spark plans them over ONE exchange with two
+    in-partition sorts, which is the shape that survives a 1000-executor
+    scale-up. The oracle runs DuckDB's native COUNT(DISTINCT …) OVER, so
+    the decomposition is checked against an independent implementation
+    rather than a mirror of itself.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_w = Window.partitionBy("user_id", "event_type").orderBy("ts_us_long", "event_id")
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us_long", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_first = (F.row_number().over(first_w) == 1).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(is_first).over(run_w).alias("n_types_seen"),
+    )

@@ -46,6 +46,8 @@ _MODULES = [
     "gvcf_hbase_spark.operators.multimodal",
     "gvcf_hbase_spark.operators.curation",
     "gvcf_hbase_spark.operators.analytics",
+    "gvcf_hbase_spark.operators.timeseries",
+    "gvcf_hbase_spark.operators.linkage",
     "gvcf_hbase_spark.operators.cdc",
     "gvcf_hbase_spark.operators.graphs",
     "gvcf_hbase_spark.operators.udfs",
