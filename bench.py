@@ -42,12 +42,32 @@ HEADLINE = [
     "q9_product_profit",
     "udtf_shingles",
     "funnel_steps",
+    # round-3 batch 2: the new heaviest shapes — iterative join/agg
+    # dataflow, the window-dense resample/interpolate grid, and the
+    # zero-shuffle chunking map stage (regression canary for the
+    # explode/codegen path)
+    "graph_pagerank",
+    "ts_resample_interpolate",
+    "text_chunk_sliding",
 ]
 
 
 def run_once(df) -> float:
+    """Time the action only (plan construction stays off the clock, the
+    r01/r02-comparable methodology)."""
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def run_once_built(build) -> float:
+    """Time construction + action together. Used for 'iterative'-tagged
+    queries (graph_pagerank): their loop plans and lazily checkpoints
+    per round at build time, so driver-side planning is part of the
+    query's real cost — action-only timing would report the ~50 ms tail
+    job and hide the ~1 s of per-round planning the loop actually pays."""
+    t0 = time.perf_counter()
+    build().write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
@@ -61,13 +81,17 @@ def main() -> None:
     # Warm up off the clock: run every headline query once so JIT, parquet
     # footer caches, and file listings don't land in the first timed run
     # (best-of-2 then measures steady state, not cold start).
+    def timed(k) -> float:
+        if "iterative" in specs[k].tags:
+            return run_once_built(lambda: specs[k].fn(spark, sf_dir))
+        return run_once(specs[k].fn(spark, sf_dir))
+
     for k in keys:
-        run_once(specs[k].fn(spark, sf_dir))
+        timed(k)  # warm up off the clock
 
     times: dict[str, float] = {}
     for k in keys:
-        best = min(run_once(specs[k].fn(spark, sf_dir)) for _ in range(2))
-        times[k] = round(best, 4)
+        times[k] = round(min(timed(k) for _ in range(2)), 4)
 
     total = round(sum(times.values()), 4)
     print(

@@ -161,7 +161,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ring.unionByName(funnel).filter(F.col("src") != F.col("dst")).distinct()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("od"))
-    contrib_src = edges.join(deg, "src")
+    # The (edges ⋈ out-degree) side is static across iterations: checkpoint
+    # it ONCE so each round's plan starts from the materialized edge table
+    # instead of re-deriving union+distinct+agg — same truncation discipline
+    # as dedup_cluster_cc. rank is checkpointed per round for the same
+    # reason (lineage would otherwise deepen by a join+agg every iteration).
+    # eager=False: truncation happens at plan-build time either way, but
+    # the compute runs at the first ACTION — so bench's action-only clock
+    # measures the real iterative cost instead of a pre-materialized scan
+    # (dedup_cluster_cc can't do this: its per-round convergence collect()
+    # forces materialization during build regardless).
+    contrib_src = edges.join(deg, "src").localCheckpoint(eager=False)
     rank = nodes.select("id", F.lit(1.0 / n).alias("r"))
     for _ in range(_PAGERANK_K):
         contribs = (
@@ -174,5 +184,5 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "id",
             (F.lit(0.15 / n) + 0.85 * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("r"),
-        )
+        ).localCheckpoint(eager=False)
     return rank.select("id", F.round(F.col("r") * n, 6).alias("rank_scaled"))
