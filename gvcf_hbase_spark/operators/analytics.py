@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from gvcf_hbase_spark.registry import register
 from gvcf_hbase_spark.sources.tables import load_table
@@ -249,4 +249,111 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return wide.select(
         F.expr(f"stack({len(pairs)}, {stack_expr}) AS (col_a, col_b, r)")
+    )
+
+
+_TRANSITIONS_ORACLE = """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM c
+"""
+
+
+@register("analytics_event_transitions", oracle=_TRANSITIONS_ORACLE, tags=("analytics", "window"))
+def analytics_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    (previous event type → next event type) pair, the transition count
+    and row-normalized probability. The session-flow fingerprint behind
+    'what do users do after a view'.
+
+    Plan: one shuffle+sort on user_id for the lag, then a count
+    aggregate over the (prev, next) pairs — 25 rows for 5 event types —
+    and the normalizing window runs on that tiny aggregate (its
+    partitionBy(prev_type) sort is over ≤|types| rows, not the log; a
+    giant-partition window over raw events is exactly what this avoids).
+    The denominator is a window over the aggregated counts rather than a
+    second groupBy+join — one pass, and AQE sees a single-digit-KB
+    exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us_long", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    norm = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(norm), 6).alias("p"),
+    )
+
+
+_WMEDIAN_ORACLE = """
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS total_w
+      FROM lineitem
+    ),
+    hit AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY cum_w, l_extendedprice) AS rn
+      FROM w WHERE cum_w >= total_w / 2
+    )
+    SELECT l_returnflag, round(l_extendedprice, 2) AS weighted_median
+    FROM hit WHERE rn = 1
+"""
+
+
+@register("agg_weighted_median", oracle=_WMEDIAN_ORACLE, tags=("analytics", "agg", "stats"))
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median of extended price per return flag, weighted by
+    quantity — the first value whose running weight reaches half the
+    group's total (lower weighted median; deterministic full ordering by
+    (price, orderkey, linenumber) pins ties).
+
+    Neither engine has a weighted-percentile aggregate, so both sides
+    build it from first principles — but independently, in their own
+    window dialects. Shape: ONE shuffle on the group key drives both the
+    running weight and the group total (two frames over the same sort),
+    then the first-hit pick is a rank-1 filter. No percentile_cont
+    approximation, no second shuffle. Skew note: the group count here is
+    3; a high-cardinality grouping keys the same plan, and a SKEWED
+    group is bounded by its in-partition sort exactly like any window."""
+    from gvcf_hbase_spark.sources.tables import load_table as _lt
+
+    li = _lt(spark, sf_dir, "lineitem")
+    order = [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
+    wsort = Window.partitionBy("l_returnflag").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("l_returnflag")
+    staged = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(wsort).alias("cum_w"),
+        F.sum("l_quantity").over(wall).alias("total_w"),
+    ).filter(F.col("cum_w") >= F.col("total_w") / 2)
+    pick = Window.partitionBy("l_returnflag").orderBy("cum_w", "l_extendedprice")
+    return (
+        staged.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.round("l_extendedprice", 2).alias("weighted_median"))
     )

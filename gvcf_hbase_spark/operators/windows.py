@@ -384,3 +384,119 @@ def win_percentile_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("running_median"),
     )
+
+
+_INTERVAL_MERGE_ORACLE = """
+    WITH iv AS (
+      SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS s,
+             CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS e
+      FROM lineitem
+    ),
+    flagged AS (
+      SELECT k, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY k ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT k, s, e,
+             sum(new_island) OVER (PARTITION BY k ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT k, island, min(s) AS ms, max(e) AS me
+      FROM islands GROUP BY k, island
+    )
+    SELECT k AS l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_merged,
+           CAST(sum(date_diff('day', ms, me)) AS BIGINT) AS covered_days
+    FROM merged GROUP BY k
+"""
+
+
+@register("win_interval_merge", oracle=_INTERVAL_MERGE_ORACLE, tags=("window", "range", "gvcf"))
+def win_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of overlapping intervals per key — merge each supplier's
+    [shipdate, shipdate + quantity days] spans into maximal disjoint islands and
+    report islands + total covered days. The same kernel merges gVCF
+    reference blocks into contiguous covered regions (A9's coverage
+    union) and consolidates any interval set without a pair join.
+
+    One shuffle on the key, then two in-partition window passes: (1) a
+    row is a NEW island iff its start exceeds the running max end of all
+    earlier intervals (running max, not lag(e) — lag alone breaks on
+    nested intervals where an earlier long span swallows a later short
+    one); (2) island id = running sum of the new-island flags. The
+    islands then collapse with an ordinary co-partitioned aggregate.
+    Interval-merge via running-max is O(n log n) sort per key vs the
+    O(n²) self-join formulation — the difference between a window and a
+    join is the whole trick."""
+    # The fixture lineitem has no receiptdate; derive a deterministic
+    # interval end (shipdate + quantity days) so islands genuinely overlap.
+    iv = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k"),
+        F.col("l_shipdate").cast("date").alias("s"),
+        F.date_add(F.col("l_shipdate").cast("date"), F.col("l_quantity").cast("int")).alias("e"),
+    )
+    w = Window.partitionBy("k").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > prev_max_e, 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    merged = islands.groupBy("k", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n_merged"),
+        F.sum(F.datediff("me", "ms")).cast("bigint").alias("covered_days"),
+    ).select(F.col("k").alias("l_suppkey"), "n_merged", "covered_days")
+
+
+_US_HOUR = 3_600_000_000
+
+_TIME_RANGE_ORACLE = f"""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_US_HOUR} PRECEDING AND CURRENT ROW), 4)
+             AS hour_sum,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_US_HOUR} PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS hour_n
+    FROM events
+"""
+
+
+@register("win_frame_time_range", oracle=_TIME_RANGE_ORACLE, tags=("window", "timeseries"))
+def win_frame_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling sum/count per user — the time-interval
+    RANGE frame (every event sees exactly the events in (t−1h, t]),
+    which ROWS frames cannot express on irregular event times.
+
+    The frame bound is an offset on the µs-long ordering column
+    (`rangeBetween(-1h_in_µs, 0)`) — numerically identical on both
+    engines, no interval-type coercion in play. Cost model: one shuffle
+    on user_id + one in-partition sort; Spark evaluates the sliding
+    range frame with two pointers over the sorted run (amortized O(1)
+    per row, state = the in-frame aggregate), so a year-long user
+    timeline costs its sort, not frame-width × rows."""
+    from gvcf_hbase_spark.sources.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us_long")
+        .rangeBetween(-_US_HOUR, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("hour_sum"),
+        F.count("*").over(w).cast("bigint").alias("hour_n"),
+    )

@@ -129,3 +129,165 @@ def test_topk_group_ranks_contiguous(spark):
         F.count("*").alias("n"), F.min(rank_col).alias("lo"), F.max(rank_col).alias("hi")
     )
     assert per.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Randomized reference cross-checks for the round-3 additions: an
+# independent numpy/pandas implementation recomputes the whole answer on a
+# randomized fixture — a different failure surface than the DuckDB oracle
+# (which shares SQL semantics) and than the closed-form micro tests.
+
+
+def _rand_events(spark, tmp_path, rng, n=400, users=7, types=4, span_s=5 * 3600):
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + _dt.timedelta(seconds=int(rng.integers(0, span_s))),
+            int(rng.integers(1, users + 1)),
+            f"t{int(rng.integers(0, types))}",
+            float(np.round(rng.normal(10, 3), 3)),
+            "{}",
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_running_distinct_matches_pandas_reference(spark, tmp_path):
+    rng = np.random.default_rng(7)
+    sf = _rand_events(spark, tmp_path, rng)
+    got = (
+        SPECS["win_distinct_running"].fn(spark, sf).toPandas().set_index("event_id")
+    )
+    ev = spark.read.parquet(f"{sf}/events.parquet").toPandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ref = (
+        ev.assign(
+            first=~ev.duplicated(subset=["user_id", "event_type"], keep="first")
+        )
+        .assign(n=lambda d: d.groupby("user_id")["first"].cumsum())
+        .set_index("event_id")["n"]
+    )
+    assert (got["n_types_seen"] == ref.reindex(got.index)).all()
+
+
+def test_interval_merge_matches_python_reference(spark, tmp_path):
+    import datetime as _dt
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (
+            int(rng.integers(1, 9)),
+            (_dt.date(2024, 1, 1) + _dt.timedelta(days=int(rng.integers(0, 60)))).isoformat(),
+            int(rng.integers(1, 15)),
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, 1, sk, 1, float(q), 1.0, 0.0, 0.0, "N", "O",
+             _dt.datetime.fromisoformat(d))
+            for sk, d, q in rows
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        r.l_suppkey: (r.n_merged, r.covered_days)
+        for r in SPECS["win_interval_merge"].fn(spark, str(tmp_path)).collect()
+    }
+    # reference: classic sort-and-sweep merge per key
+    from collections import defaultdict
+
+    ivs = defaultdict(list)
+    for sk, d, q in rows:
+        s = _dt.date.fromisoformat(d)
+        ivs[sk].append((s, s + _dt.timedelta(days=q)))
+    for sk, spans in ivs.items():
+        spans.sort()
+        merged = []
+        for s, e in spans:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        exp = (len(merged), sum((e - s).days for s, e in merged))
+        assert got[sk] == exp, f"suppkey {sk}: {got[sk]} != {exp}"
+
+
+def test_weighted_median_matches_numpy_reference(spark):
+    got = {
+        r.l_returnflag: r.weighted_median
+        for r in SPECS["agg_weighted_median"].fn(spark, SF_DIR).collect()
+    }
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber")
+        .toPandas()
+    )
+    for flag, g in li.groupby("l_returnflag"):
+        g = g.sort_values(["l_extendedprice", "l_orderkey", "l_linenumber"])
+        cw = g["l_quantity"].cumsum()
+        ref = float(g.loc[cw >= g["l_quantity"].sum() / 2, "l_extendedprice"].iloc[0])
+        assert got[flag] == round(ref, 2), flag
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    rows = SPECS["graph_pagerank"].fn(spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    got = np.zeros(n)
+    for r in rows:
+        got[r.id] = r.rank_scaled
+    # independent dense power iteration on the same fixture graph
+    edges = set()
+    for i in range(n):
+        for j in ((i + 1) % n, i // 2):
+            if i != j:
+                edges.add((i, j))
+    M = np.zeros((n, n))
+    out = np.zeros(n)
+    for s, _d in edges:
+        out[s] += 1
+    for s, d in edges:
+        M[d, s] = 1.0 / out[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        r = 0.15 / n + 0.85 * (M @ r)
+    assert np.abs(got - np.round(r * n, 6)).max() <= 1e-6
+
+
+def test_chunking_reconstructs_token_stream(spark, tmp_path):
+    """Sliding chunks must cover every token: chunk k starts at k*S, so
+    the union of [k*S, k*S+len_k) ranges is exactly [0, n) — checked via
+    the per-chunk token counts summing to n + overlap * (n_chunks - 1)."""
+    rng = np.random.default_rng(3)
+    texts = [
+        (i, " ".join(f"w{int(x)}" for x in rng.integers(0, 50, size=int(ln))))
+        for i, ln in enumerate(rng.integers(1, 200, size=20))
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "unit", len(t)) for i, t in texts],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = SPECS["text_chunk_sliding"].fn(spark, str(tmp_path)).toPandas()
+    W, S = 64, 48
+    for i, t in texts:
+        n = len(t.split(" "))
+        chunks = out[out.doc_id == i].sort_values("chunk_idx")
+        k = len(chunks)
+        assert k == (1 if n <= W else -((-(n - W)) // S) + 1)
+        # every chunk but possibly the last is full-width; starts advance by S
+        sizes = list(chunks.n_tokens)
+        assert all(sz == W for sz in sizes[:-1]) or n <= W
+        assert sizes[-1] == n - (k - 1) * S

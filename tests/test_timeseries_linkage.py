@@ -208,3 +208,86 @@ def test_corr_matrix_bounds(spark):
     out = SPECS["agg_corr_matrix"].fn(spark, SF_DIR).collect()
     assert len(out) == 6
     assert all(-1.0 <= r.r <= 1.0 for r in out)
+
+
+# ------------------------------------------------- interval merge / source
+
+
+def _write_lineitem(spark, tmp_path, rows):
+    """rows: (suppkey, shipdate_str, quantity). The other lineitem
+    columns are filled with constants (win_interval_merge reads only
+    these three)."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, sk, 1, float(q), 1.0, 0.0, 0.0, "N", "O", datetime.datetime.fromisoformat(d))
+            for sk, d, q in rows
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    return str(tmp_path)
+
+
+def test_interval_merge_handles_nested_intervals(spark, tmp_path):
+    """The running-max formulation must merge a short interval nested
+    inside an earlier long one (plain lag(e) would split it): intervals
+    [Jan1,Jan11], [Jan3,Jan4] (nested), [Jan5,Jan13] chain into one
+    island; [Feb1,Feb6] stands alone. Covered = 12 + 5."""
+    sf = _write_lineitem(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-01-01", 10),
+            (1, "2024-01-03", 1),
+            (1, "2024-01-05", 8),
+            (1, "2024-02-01", 5),
+            (2, "2024-01-01", 1),
+        ],
+    )
+    out = {r.l_suppkey: r for r in SPECS["win_interval_merge"].fn(spark, sf).collect()}
+    assert out[1].n_merged == 2 and out[1].covered_days == 17
+    assert out[2].n_merged == 1 and out[2].covered_days == 1
+
+
+def test_event_transitions_probabilities(spark, tmp_path):
+    """a→b, b→a, a→b for one user: P(b|a)=1, P(a|b)=1; counts exact;
+    first event contributes no transition."""
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, 0, 1, "a", 0.0),
+            (2, 10, 1, "b", 0.0),
+            (3, 20, 1, "a", 0.0),
+            (4, 30, 1, "b", 0.0),
+            (5, 0, 2, "a", 0.0),  # lone event: no transition
+        ],
+    )
+    out = {
+        (r.prev_type, r.next_type): r
+        for r in SPECS["analytics_event_transitions"].fn(spark, sf).collect()
+    }
+    assert out[("a", "b")].n == 2 and out[("a", "b")].p == 1.0
+    assert out[("b", "a")].n == 1 and out[("b", "a")].p == 1.0
+    assert len(out) == 2
+
+
+def test_binary_files_roundtrip_fidelity(spark):
+    """Every materialized file must come back with a recovered doc_id,
+    the exact byte length, and no duplicate ids (path parsing is total
+    and injective)."""
+    out = SPECS["source_binary_files"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) > 0
+    assert out["doc_id"].notna().all()
+    assert out["doc_id"].is_unique
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.length("text").alias("n"))
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    got = out.set_index("doc_id")["n_bytes"]
+    assert got.sort_index().equals(docs.sort_index().astype(got.dtype))
