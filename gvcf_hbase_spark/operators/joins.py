@@ -602,3 +602,69 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_us_long").alias("purchase_ts_us"),
         "signup_ts_us",
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           CASE
+             WHEN bk.ts IS NULL THEN epoch_us(fw.ts)
+             WHEN fw.ts IS NULL THEN epoch_us(bk.ts)
+             WHEN epoch_us(p.ts) - epoch_us(bk.ts) <= epoch_us(fw.ts) - epoch_us(p.ts)
+               THEN epoch_us(bk.ts)
+             ELSE epoch_us(fw.ts)
+           END AS nearest_click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') bk
+      ON p.user_id = bk.user_id AND p.ts >= bk.ts
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') fw
+      ON p.user_id = fw.user_id AND p.ts <= fw.ts
+    """,
+    tags=("join", "gvcf"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of (pandas merge_asof direction='nearest'):
+    each purchase matched to the click minimizing |Δt| in EITHER
+    direction; equidistant ties resolve backward (the ≤ in the pick —
+    same rule as merge_asof). Completes the as-of family: backward
+    (join_asof), forward (join_asof_forward), bounded
+    (join_asof_tolerance), nearest.
+
+    Composition, not new machinery: one backward + one forward
+    carry-forward pass (each is the union-tag single-shuffle window —
+    both shuffle on user_id, and AQE reuses the co-partitioning for the
+    final column pick), then a JVM CASE chooses the closer side. Left
+    semantics: a purchase with no click at all keeps a NULL match."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us_long"
+    )
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us_long").alias("bk_ts_us")
+    )
+    clicks_f = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us_long").alias("fw_ts_us")
+    )
+    bk = asof_join(
+        purchases, clicks_b, on="user_id", left_ts="ts_us_long",
+        right_ts="bk_ts_us", how="left",
+    )
+    both = asof_join(
+        bk, clicks_f, on="user_id", left_ts="ts_us_long",
+        right_ts="fw_ts_us", direction="forward", how="left",
+    )
+    t = F.col("ts_us_long")
+    nearest = (
+        F.when(F.col("bk_ts_us").isNull(), F.col("fw_ts_us"))
+        .when(F.col("fw_ts_us").isNull(), F.col("bk_ts_us"))
+        .when(t - F.col("bk_ts_us") <= F.col("fw_ts_us") - t, F.col("bk_ts_us"))
+        .otherwise(F.col("fw_ts_us"))
+    )
+    return both.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        t.alias("purchase_ts_us"),
+        nearest.alias("nearest_click_ts_us"),
+    )

@@ -796,3 +796,121 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.round(F.sum("l_quantity"), 2).alias("total_qty"),
     )
+
+
+@register(
+    "agg_bool_logic",
+    oracle="""
+    SELECT event_type,
+           CAST(count_if(value > 12) AS BIGINT) AS n_high,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 25) AS any_extreme,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family — count_if / bool_and (every) / bool_or
+    (any) — the predicate-rollup surface quality gates are written in
+    ('did ALL shards pass', 'did ANY batch overflow'). All three are
+    partial-aggregable single-bit states, so the shuffle carries one
+    boolean/long per (task, group): the cheapest aggregates in the
+    engine, and the reason to use them instead of the equivalent
+    sum(case when …) arithmetic everywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 12).alias("n_high"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 25).alias("any_extreme"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS lvl,
+           round(sum(l_extendedprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP — (flag, status), (flag), () subtotal levels
+    in one pass, disambiguated by grouping() (NULL-valued group cells vs
+    genuine NULL data is exactly what grouping() exists for; the output
+    canonicalizes group cells to 'ALL'). ROLLUP is the prefix-closed
+    subset of CUBE: Spark expands it to grouping sets and still computes
+    every level through ONE partial+final aggregate pass — level count
+    multiplies the aggregate state, not the scans or shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count("*").alias("n"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("int")
+            .alias("lvl"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "lvl",
+            "revenue",
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(floor(value * 10) AS INT) % 20 AS v, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, v, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY n DESC, v) AS rn
+      FROM c
+    )
+    SELECT event_type, v AS mode_bucket, CAST(n AS BIGINT) AS n
+    FROM r WHERE rn = 1
+    """,
+    tags=("agg", "stats"),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a PINNED tie rule (most frequent
+    bucketed value; ties → smallest value). Built as count-then-argmax
+    instead of the engines' native mode() precisely because both Spark's
+    and DuckDB's mode leave tie-breaking unspecified — an operator whose
+    result depends on partition visit order is untestable and
+    non-reproducible, which a training pipeline can't tolerate.
+
+    Shape: one partial+final count aggregate on (group, value) — the
+    only pass over the data — then the argmax runs on the distinct-value
+    aggregate (a window over |buckets| rows per group; max_by(struct)
+    would fuse it into the first aggregate at the cost of readability —
+    either is scale-safe)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        # floor, not cast: Spark's double->int cast truncates toward zero while
+        # DuckDB's CAST rounds — floor() is the one op both define identically
+        ev.select("event_type", (F.floor(F.col("value") * 10).cast("int") % 20).alias("v"))
+        .groupBy("event_type", "v")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    pick = W.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("v"))
+    return (
+        c.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("v").alias("mode_bucket"), F.col("n").cast("bigint").alias("n"))
+    )

@@ -502,3 +502,34 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_case_variants",
         )
     )
+
+
+@register(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           CAST(json_extract_string(props, '$.missing') AS INT) AS absent
+    FROM events
+    """,
+    tags=("fn", "json", "variant"),
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of semi-structured payloads:
+    ``parse_json`` once into the binary VARIANT encoding, then typed
+    path extraction with ``try_variant_get`` (absent path → NULL, not an
+    error). VARIANT's point at scale is parse-once/extract-many — the
+    JSON text is decoded a single time per row into a traversable binary
+    form, instead of one full ``get_json_object`` string parse per
+    extracted path; shredding into columnar storage then makes repeated
+    extraction a column scan. The oracle replays the same paths with
+    DuckDB's independent JSON machinery."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+        (F.try_variant_get(v, "$.k", "int") % 10).alias("k_bucket"),
+        F.try_variant_get(v, "$.missing", "int").alias("absent"),
+    )
