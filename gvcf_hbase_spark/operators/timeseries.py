@@ -35,7 +35,8 @@ _US_PER_HOUR = 3_600_000_000
 _RESAMPLE_ORACLE = f"""
     WITH b AS (
       SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // {_US_PER_HOUR} AS h,
-             avg(value) AS v
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 100) AS v
       FROM events GROUP BY 1, 2
     ),
     r AS (SELECT event_type, min(h) AS mn, max(h) AS mx FROM b GROUP BY 1),
@@ -55,11 +56,11 @@ _RESAMPLE_ORACLE = f"""
       FROM j
     )
     SELECT event_type, h * {_US_PER_HOUR} AS bucket_us,
-           round(CASE WHEN v IS NOT NULL THEN v
-                      WHEN pv IS NULL THEN nv
-                      WHEN nv IS NULL THEN pv
-                      ELSE pv + (nv - pv) * (h - pm) / (nm - pm)
-                 END, 6) AS value,
+           CAST(floor((CASE WHEN v IS NOT NULL THEN v
+                            WHEN pv IS NULL THEN nv
+                            WHEN nv IS NULL THEN pv
+                            ELSE pv + (nv - pv) * (h - pm) / (nm - pm)
+                       END) * 10000 + 0.5) AS BIGINT) AS value_1e4,
            CAST(v IS NULL AS INT) AS interpolated
     FROM w
 """
@@ -81,6 +82,16 @@ def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. The neighbor lookup is last/first(ignorenulls) over rows
     frames — the same carry-forward shape as ``win_carry_forward``, run
     both directions.
+
+    Determinism war story (§5.4, earned here twice): the fixture values
+    are 2-dp quantized, so bucket means and interpolations sit ON
+    decimal rounding midpoints. First fix — sum exact integer cents and
+    divide once, making both engines' doubles bit-identical. Still
+    failed: Spark's round() is exact-decimal HALF_UP while DuckDB's is
+    scaled float arithmetic, and ON midpoints the conventions disagree
+    even on identical doubles. Final form: explicit floor(v·10⁴ + 0.5)
+    quantization to integer 1e-4 units — the same IEEE ops on both
+    engines, integer output, floats removed from the hash entirely.
     """
     ev = load_table(spark, sf_dir, "events")
     b = (
@@ -91,7 +102,19 @@ def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
         .groupBy("event_type", "h")
-        .agg(F.avg("value").alias("v"))
+        # exact-integer bucket mean: the fixture values are 2-dp
+        # quantized, so double avg() lands exactly on decimal rounding
+        # midpoints and ANY display precision can flip on a 1-ulp
+        # summation-order difference between engines. Summing exact
+        # cents (bigint) and dividing once makes both engines perform
+        # the SAME single IEEE division on identical operands —
+        # bit-identical v, deterministic rounding, at every SF.
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).cast("double")
+                / (F.count("*") * 100)
+            ).alias("v")
+        )
     )
     rng = b.groupBy("event_type").agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
     grid = rng.select(
@@ -115,7 +138,14 @@ def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_type",
         (F.col("h") * F.lit(_US_PER_HOUR)).alias("bucket_us"),
-        F.round(value, 6).alias("value"),
+        # explicit scaled-floor quantization to integer 1e-4 units, NOT
+        # round(): Spark rounds doubles via exact decimal HALF_UP while
+        # DuckDB rounds via scaled float arithmetic — near the decimal
+        # midpoints this quantized fixture constantly produces, the two
+        # conventions disagree on identical input doubles. floor(v*1e4 +
+        # 0.5) is the same IEEE op sequence on both engines, and the
+        # integer output removes floats from the hash entirely.
+        F.floor(value * 10000 + F.lit(0.5)).cast("bigint").alias("value_1e4"),
         F.col("v").isNull().cast("int").alias("interpolated"),
     )
 

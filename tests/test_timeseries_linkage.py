@@ -68,11 +68,11 @@ def test_resample_linear_interpolation_exact(spark, tmp_path):
         (r.event_type, r.bucket_us // _US_PER_HOUR - base_h): r
         for r in SPECS["ts_resample_interpolate"].fn(spark, sf).collect()
     }
-    assert out[("a", 0)].value == 1.0 and out[("a", 0)].interpolated == 0
-    assert out[("a", 1)].value == 2.0 and out[("a", 1)].interpolated == 1
-    assert out[("a", 2)].value == 3.0 and out[("a", 2)].interpolated == 1
-    assert out[("a", 3)].value == 4.0 and out[("a", 3)].interpolated == 0
-    assert out[("b", 2)].value == 9.0 and out[("b", 2)].interpolated == 0
+    assert out[("a", 0)].value_1e4 == 10000 and out[("a", 0)].interpolated == 0
+    assert out[("a", 1)].value_1e4 == 20000 and out[("a", 1)].interpolated == 1
+    assert out[("a", 2)].value_1e4 == 30000 and out[("a", 2)].interpolated == 1
+    assert out[("a", 3)].value_1e4 == 40000 and out[("a", 3)].interpolated == 0
+    assert out[("b", 2)].value_1e4 == 90000 and out[("b", 2)].interpolated == 0
     assert len(out) == 5  # no grid beyond each series' own [min, max]
 
 
