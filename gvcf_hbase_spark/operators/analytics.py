@@ -357,3 +357,58 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_returnflag", F.round("l_extendedprice", 2).alias("weighted_median"))
     )
+
+
+_ENTROPY_ORACLE = """
+    WITH c AS (
+      SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT lang, source, n,
+             CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) AS p
+      FROM c
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           round(-sum(p * log2(p)), 6) AS entropy_bits,
+           round(-sum(p * log2(p)) / log2(count(*)), 6) AS entropy_norm
+    FROM t GROUP BY lang
+"""
+
+
+@register("agg_entropy", oracle=_ENTROPY_ORACLE, tags=("analytics", "agg"))
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each language's source-domain distribution —
+    the corpus-diversity metric a training-data curator watches when a
+    mixture drifts toward one crawler (low entropy = concentration risk;
+    ``entropy_norm`` = entropy / log2(#sources) rescales to [0,1] so
+    languages with different source counts compare directly).
+
+    Two collapsing hash aggregates: (lang, source) counts first — the
+    only pass over the corpus, map-side partials, shuffle carries one
+    row per distinct pair — then the per-lang entropy fold over that
+    tiny table with a window for the normalizing total. At 100 TB the
+    second stage's input is #langs × #sources rows regardless of corpus
+    size. p and the log2 fold run on exact integer counts, so both
+    engines divide and log identical operands; round(6) absorbs the
+    ±1-ulp summation-order difference across ~20 terms.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    p = F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("lang"))
+    ent = F.sum(-(F.col("p") * F.log2("p")))
+    return (
+        c.select("lang", "n", p.alias("p"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sources"),
+            F.sum("n").alias("n_docs"),
+            F.round(ent, 6).alias("entropy_bits"),
+            # single-source groups: log2(1)=0 ⇒ DuckDB's x/0 is NULL while
+            # Spark's ANSI division THROWS — try_divide pins the shared
+            # "normalized entropy of a degenerate distribution is
+            # undefined" contract instead of crashing on it
+            F.round(F.try_divide(ent, F.log2(F.count("*"))), 6).alias("entropy_norm"),
+        )
+    )

@@ -186,3 +186,42 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(0.15 / n) + 0.85 * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("r"),
         ).localCheckpoint(eager=False)
     return rank.select("id", F.round(F.col("r") * n, 6).alias("rank_scaled"))
+
+
+_DEGREE_HIST_ORACLE = """
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    d AS (
+      SELECT s, count(*) AS degree FROM e GROUP BY s
+    )
+    SELECT degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(s) AS BIGINT) AS min_node
+    FROM d GROUP BY degree
+"""
+
+
+@register("graph_degree_histogram", oracle=_DEGREE_HIST_ORACLE, tags=("graph", "agg"))
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier→part bipartite graph: how
+    many distinct parts each supplier ships, histogrammed — the
+    first-look shape check on any graph (power law vs uniform, hub
+    detection) and the skew forecast for every downstream per-node
+    operation (a 10⁷-degree hub means salting before a neighborhood
+    join).
+
+    Three strictly collapsing hash aggregates — distinct edges, per-node
+    degree, histogram — each stage's output is no larger than its
+    input's key space, so the full-data shuffle happens exactly once
+    (the DISTINCT). The min_node witness per bucket makes the hash
+    compare sensitive to node identity, not just bucket sizes. Pure
+    integer pipeline; no float anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    deg = edges.groupBy("s").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count("*").alias("n_nodes"),
+        F.min("s").alias("min_node"),
+    )

@@ -533,3 +533,39 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.try_variant_get(v, "$.k", "int") % 10).alias("k_bucket"),
         F.try_variant_get(v, "$.missing", "int").alias("absent"),
     )
+
+
+_REGEXP_EXTRACT_ALL_ORACLE = """
+    SELECT doc_id,
+           regexp_extract_all(text, '[a-z]{6,}') AS long_words,
+           CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS INT) AS n_long,
+           coalesce(regexp_extract_all(text, '[a-z]{6,}')[1], '') AS first_long
+    FROM documents
+"""
+
+
+@register("fn_regexp_extract_all", oracle=_REGEXP_EXTRACT_ALL_ORACLE, tags=("fn", "text"))
+def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-match regex extraction into an array column (every ≥6-letter
+    word per document) — the one-to-many sibling of regexp_extract that
+    log parsing and PII scanning lean on constantly.
+
+    Per-row JVM regex; the array stays a column (no explode) so the op
+    composes with array functions downstream without a row-count change.
+    Spark's third argument selects the capture group and must be 0 for
+    whole-match semantics (its default is group 1, which would throw on
+    a groupless pattern); DuckDB's group argument defaults to 0 — the
+    asymmetry is exactly the kind of dialect trap this oracle pins.
+    first_long coalesces to '' on both sides: under ANSI mode Spark's
+    element_at THROWS on an empty array, so the null-yielding
+    try_element_at is the correct accessor; DuckDB's out-of-range list
+    index yields NULL natively.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.regexp_extract_all(F.col("text"), F.lit("[a-z]{6,}"), 0)
+    return d.select(
+        "doc_id",
+        arr.alias("long_words"),
+        F.size(arr).alias("n_long"),
+        F.coalesce(F.try_element_at(arr, F.lit(1)), F.lit("")).alias("first_long"),
+    )

@@ -658,3 +658,111 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     via its blocked dispatch). Rows-only (approximate by design); tests
     assert shape invariants and recall ≥ 0.6 against the exact scorer."""
     return knn_topk_ivf(_emb(spark, sf_dir), k=_KNN_K)
+
+
+_QUANTIZE_ORACLE = """
+    WITH s AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               / 127.0 AS scale
+      FROM embeddings
+    )
+    SELECT e.vec_id,
+           CAST(floor(s.scale * 1e9 + 0.5) AS BIGINT) AS scale_1e9,
+           list_transform(
+             e.embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS INT)
+           ) AS q,
+           CAST(list_sum(list_transform(
+             e.embedding,
+             x -> abs(CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT))
+           )) AS BIGINT) AS l1_q
+    FROM embeddings e JOIN s USING (vec_id)
+    WHERE s.scale > 0
+"""
+
+
+@register("sim_embed_quantize", oracle=_QUANTIZE_ORACLE, tags=("similarity", "embedding"))
+def sim_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4×
+    shrink (float32 → int8 + one scale per vector) an embedding store
+    applies before shipping vectors into an ANN index or a training
+    shard. scale = max|x|/127; qᵢ = round(xᵢ/scale) ∈ [-127, 127].
+
+    Entirely per-row JVM expression work (transform/aggregate over the
+    array column): no shuffle, no Python boundary, trivially parallel at
+    any corpus size — the plan is scan → project. The l1_q checksum
+    makes the hash sensitive to every quantized component even if a
+    comparer ignores array columns. Determinism: both engines cast the
+    float32 element to double first (identical values), divide by the
+    same double scale, and quantize via floor(x+0.5) — one IEEE op
+    sequence, no round() convention in play. All-zero vectors (scale=0)
+    are filtered identically on both sides rather than emitting NULL
+    arrays into the hash.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    amax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    scale = (amax / 127.0).alias("scale")
+    qi = lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5))  # noqa: E731
+    return (
+        e.select("vec_id", "embedding", scale)
+        .filter(F.col("scale") > 0)
+        .select(
+            "vec_id",
+            F.floor(F.col("scale") * 1e9 + F.lit(0.5)).cast("bigint").alias("scale_1e9"),
+            F.transform("embedding", lambda x: qi(x).cast("int")).alias("q"),
+            F.aggregate(
+                F.transform("embedding", lambda x: F.abs(qi(x).cast("bigint"))),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("l1_q"),
+        )
+    )
+
+
+_CENTROID_ORACLE = """
+    SELECT label,
+           i AS pos,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1e6 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS sum_1e6,
+           CAST(floor(CAST(sum(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1e6
+                                          + 0.5) AS BIGINT)) AS DOUBLE)
+                      / count(*) + 0.5) AS BIGINT) AS mean_1e6
+    FROM embeddings,
+         unnest(generate_series(0, len(embedding) - 1)) AS t(i)
+    GROUP BY label, i
+"""
+
+
+@register("sim_centroid_label", oracle=_CENTROID_ORACLE, tags=("similarity", "embedding"))
+def sim_centroid_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class prototype / nearest-centroid
+    classifier training, and exactly the centroid update step an IVF
+    index build or one k-means iteration runs at scale), laid out as
+    (label, pos) rows rather than re-assembled arrays.
+
+    posexplode → one hash aggregate on (label, pos): the shuffle carries
+    one partial sum per (task, label, dim) — map-side combine collapses
+    the 64× explode expansion before it moves, so the exchange is
+    #labels × dim × #tasks rows no matter how many vectors the corpus
+    holds. The row layout (not collect_list-to-array) is deliberate:
+    re-assembly would need a second shuffle-and-sort per label for a
+    cosmetic win. Float sums are order-dependent, so elements are
+    floor-quantized to exact 1e-6 integers FIRST; the integer sum is
+    order-free and both engines then perform one identical division.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("x").cast("double") * 1e6 + F.lit(0.5)).cast("bigint")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .select("label", "pos", q.alias("c"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("sum_1e6"),
+            F.floor(F.sum("c").cast("double") / F.count("*") + F.lit(0.5))
+            .cast("bigint")
+            .alias("mean_1e6"),
+        )
+    )

@@ -503,3 +503,46 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(100)
     )
+
+
+_NORMALIZE_ORACLE = """
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')) AS norm,
+           CAST(len(string_split(
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')), ' ')) AS INT) AS n_toks
+    FROM documents
+"""
+
+
+@register("text_normalize", oracle=_NORMALIZE_ORACLE, tags=("text",))
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — lowercase, strip non-alphanumerics
+    to spaces, collapse runs, trim — the first stage of every dedup /
+    fingerprint / tokenize pipeline, registered standalone so its exact
+    output contract is pinned (downstream shingle and minhash signatures
+    are only stable if THIS mapping never drifts).
+
+    Pure per-row JVM regex (scan → project, no shuffle, no Python);
+    Spark's regexp_replace is global by default and DuckDB's takes the
+    explicit 'g' flag — the oracle says so, making the global-ness part
+    of the verified contract rather than an engine default silently
+    relied on. ASCII-only fixture: lower() agrees across engines (a
+    production i18n corpus would pin a collation first — see
+    fn_collation)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm"),
+        F.size(F.split(norm, " ")).alias("n_toks"),
+    )

@@ -231,3 +231,128 @@ def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(is_first).over(run_w).alias("n_types_seen"),
     )
+
+
+_EWMA_ORACLE = """
+    WITH w AS (
+      SELECT event_id, user_id,
+             list(CAST(round(value * 100, 0) AS BIGINT) / 100.0)
+               OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vs
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(floor(
+             list_sum(list_transform(vs, (x, i) -> x * pow(0.5, len(vs) - i)))
+             / list_sum(list_transform(vs, (x, i) -> pow(0.5, len(vs) - i)))
+             * 10000 + 0.5) AS BIGINT) AS ewma_1e4
+    FROM w
+"""
+
+
+@register("ts_ewma", oracle=_EWMA_ORACLE, tags=("timeseries", "window"))
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's event values
+    (α = 0.5, pandas ``ewm(adjust=True)`` weighting) over a trailing
+    10-row window: ewma_t = Σ xᵢ·(1-α)^(t-i) / Σ (1-α)^(t-i).
+
+    The unbounded-history EWMA is a linear recurrence — not a window
+    aggregate in either engine. Truncating the history to 10 rows is
+    exact to within (1-α)¹⁰ ≈ 1e-3 relative weight AND makes the
+    definition closed-form: collect the trailing frame (collect_list
+    preserves the ordered frame's order), weight by position with an
+    indexed transform(), fold with aggregate(). All JVM expression
+    work — no Python, no UDF, one shuffle on user_id.
+
+    Scale: the frame is O(10) per row regardless of series length, so
+    task memory is flat; the window sort is the same single
+    (user_id)-exchange every other per-user window op here rides.
+    Determinism: values enter as exact cents (the 2-dp fixture trick),
+    weights are exact powers of two, folds run left-to-right in frame
+    order on both engines, and the output is floor-quantized to integer
+    1e-4 units — no float reaches the hash. DuckDB's lambda index is
+    1-based, Spark's 0-based: both sides compute weight (1-α)^(n-1-i₀)
+    for 0-based i₀ (the oracle's ``len(vs) - i`` == n-1-i₀).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us_long", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    cents = (F.round(F.col("value") * 100, 0).cast("bigint") / 100.0).alias("x")
+    vs = F.collect_list(cents).over(frame)
+    n = F.size(vs)
+    wnum = F.aggregate(
+        F.transform(vs, lambda x, i: x * F.pow(F.lit(0.5), n - 1 - i)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wden = F.aggregate(
+        F.transform(vs, lambda x, i: F.pow(F.lit(0.5), n - 1 - i)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.floor(wnum / wden * 10000 + F.lit(0.5)).cast("bigint").alias("ewma_1e4"),
+    )
+
+
+_LAG_FEATURES_ORACLE = """
+    WITH t AS (
+      SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events
+    )
+    SELECT event_id, user_id,
+           lag(c, 1) OVER w AS lag1_c,
+           lag(c, 2) OVER w AS lag2_c,
+           us - lag(us, 1) OVER w AS dt_us,
+           CAST(floor(
+             CAST(sum(c) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)
+             / (count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                * 100) * 10000 + 0.5) AS BIGINT) AS roll3_1e4
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+"""
+
+
+@register("ts_lag_features", oracle=_LAG_FEATURES_ORACLE, tags=("timeseries", "window"))
+def ts_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-learning feature generation over the event log: per
+    user in event-time order, the two previous values, the time delta
+    to the previous event, and a 3-row trailing mean — the standard
+    lag-feature block a forecasting pipeline materializes before
+    training.
+
+    One exchange on user_id serves all four features: the lags, the
+    delta, and the trailing frame are different frames over the SAME
+    window spec, and Spark plans them over a single sort. Series
+    boundaries yield NULL lags (first rows) rather than leaking values
+    across users. Exact integer cents throughout; the only division is
+    the trailing mean's single IEEE divide, floor-quantized to 1e-4.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us_long", "event_id")
+    roll = w.rowsBetween(-2, Window.currentRow)
+    c = F.round(F.col("value") * 100, 0).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag(c, 1).over(w).alias("lag1_c"),
+        F.lag(c, 2).over(w).alias("lag2_c"),
+        (F.col("ts_us_long") - F.lag("ts_us_long", 1).over(w)).alias("dt_us"),
+        F.floor(
+            F.sum(c).over(roll).cast("double")
+            / (F.count("*").over(roll) * 100)
+            * 10000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("roll3_1e4"),
+    )

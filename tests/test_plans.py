@@ -66,7 +66,7 @@ def test_relational_paths_are_jvm_only(spark):
         "udtf_shingles", "multimodal_features", "multimodal_frame_sample",
         "multimodal_resize", "stream_stateful", "agg_heavy_hitters",
         "sim_cosine_pairs_blocked", "sim_knn_blocked", "multimodal_audio_energy",
-        "udf_arrow_scalar",
+        "udf_arrow_scalar", "multimodal_phash_neardup",
     }
     for key, spec in SPECS.items():
         if key in python_ok or "streaming" in spec.tags:
