@@ -231,6 +231,212 @@ def _register_sink_queries() -> None:
         )
 
 
+def _register_round3c_sinks() -> None:
+    from gvcf_hbase_spark.registry import register
+    from gvcf_hbase_spark.sources.tables import load_table, scan_size_bytes
+
+    @register(
+        "sink_partition_stats",
+        oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(event_id) AS BIGINT) AS min_event_id,
+               CAST(max(event_id) AS BIGINT) AS max_event_id,
+               CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS min_ts_us,
+               CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS max_ts_us,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM events GROUP BY event_type
+        """,
+        tags=("sink", "layout"),
+    )
+    def sink_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Manifest-style partition statistics, computed FROM the written
+        layout: write events hive-partitioned by event_type, read the
+        layout back, and aggregate per-partition min/max/count/checksum —
+        the metadata an Iceberg/Delta manifest (or HBase region catalog)
+        keeps so a planner can prune without opening data files. The
+        oracle recomputes the same stats from the PLAIN table, so the
+        hash-match proves the partitioned write is lossless AND the stats
+        are exactly the prune-safe bounds (a min/max that drifted would
+        admit wrong pruning decisions downstream).
+
+        Scale: the stats aggregate is one collapsing shuffle over the
+        layout scan — #partitions rows out. In a real deployment this
+        runs incrementally per written partition at commit time; the
+        full-table form here is the bootstrap/repair path."""
+        import tempfile
+
+        ev = load_table(spark, sf_dir, "events")
+        out = tempfile.mkdtemp(prefix="gvcf_pstats_") + "/events_by_type"
+        write_hive_partitioned(ev, out, ["event_type"], sort_keys=["ts_us_long"])
+        back = spark.read.parquet(out)
+        return back.groupBy("event_type").agg(
+            F.count("*").alias("n_rows"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+            F.min("ts_us_long").alias("min_ts_us"),
+            F.max("ts_us_long").alias("max_ts_us"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("sum_cents"),
+        )
+
+    @register(
+        "sink_secondary_index",
+        oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               list(event_id ORDER BY event_id) AS event_ids
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+        HAVING count(*) >= 3
+        """,
+        tags=("sink", "layout"),
+    )
+    def sink_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """HBase secondary-index pattern end-to-end: the reference's row
+        key serves ONE access path (A6 range scans); any query entering by
+        a different column needs an index TABLE mapping that column to the
+        row keys — maintained as data, not as a storage feature. Build the
+        (user_id → sorted purchase event_ids) index, bulk-write it
+        range-sorted on the index key (the same A5 layout, so index range
+        scans are file-skipping scans too), read it back, and answer an
+        index-only query — users with ≥3 purchases — WITHOUT touching the
+        fact table again. The oracle recomputes from the base table:
+        losslessness of the index build and the posting-list order are
+        both in the hash.
+
+        Scale: the index build is one filtered collapsing aggregate (the
+        posting list per key); hot keys are bounded by per-key activity,
+        not corpus size. Index maintenance composes with
+        stream_foreach_batch_upsert for the incremental path."""
+        import tempfile
+
+        ev = load_table(spark, sf_dir, "events")
+        idx = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_purchases"),
+                F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+            )
+        )
+        path = tempfile.mkdtemp(prefix="gvcf_secidx_") + "/purchase_by_user"
+        bulk_write_range_sorted(idx, path, ["user_id"], num_partitions=4)
+        back = spark.read.parquet(path)
+        return back.filter(F.col("n_purchases") >= 3).select(
+            "user_id", "n_purchases", "event_ids"
+        )
+
+    @register(
+        "sink_compact_small_files",
+        oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM documents GROUP BY lang
+        """,
+        tags=("sink", "layout"),
+    )
+    def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Small-file compaction — the maintenance job every streaming or
+        highly-parallel writer eventually owes the table. Simulate the
+        pathology (documents scattered over 64 shards), then rewrite at a
+        byte-budget-derived partition count computed from the actual
+        listed size (scan_size_bytes — no count() job), read the compacted
+        layout back, and aggregate. The oracle is the plain table: a
+        compaction that loses, duplicates, or mutates one row fails the
+        hash. The file-count collapse itself is asserted in
+        tests/test_plans.py (64 shards → the computed handful).
+
+        Scale: compaction cost is one full read+write of the target
+        partitions — at 100 TB it runs per-partition (compact yesterday's
+        date dir, never the whole table), which is exactly how the
+        partition argument here is meant to be scoped. Target size is the
+        same 128 MB–1 GB file band every layout writer in this module
+        aims for; AQE handles the read-side coalescing until compaction
+        catches up."""
+        import tempfile
+
+        d = load_table(spark, sf_dir, "documents")
+        base = tempfile.mkdtemp(prefix="gvcf_compact_")
+        d.repartition(64).write.mode("overwrite").parquet(f"{base}/fragmented")
+        frag = spark.read.parquet(f"{base}/fragmented")
+        target_bytes = 128 * 1024 * 1024
+        total = scan_size_bytes(frag) or target_bytes
+        n_out = max(1, -(-total // target_bytes))  # ceil-div
+        frag.repartition(n_out).write.mode("overwrite").parquet(f"{base}/compacted")
+        back = spark.read.parquet(f"{base}/compacted")
+        return back.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+
+    @register(
+        "sink_merge_upsert",
+        oracle="""
+        WITH updates AS (
+          SELECT user_id,
+                 CAST(round(sum(value) * 100, 0) AS BIGINT) AS balance_cents,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events
+          WHERE event_type IN ('purchase', 'signup')
+          GROUP BY user_id
+        ),
+        base AS (
+          SELECT CAST(c_custkey AS BIGINT) AS user_id,
+                 CAST(round(c_acctbal * 100, 0) AS BIGINT) AS balance_cents,
+                 CAST(0 AS BIGINT) AS n_events
+          FROM customer
+        )
+        SELECT user_id, balance_cents, n_events,
+               CAST((user_id IN (SELECT user_id FROM updates)) AS INT) AS updated
+        FROM updates
+        UNION ALL
+        SELECT user_id, balance_cents, n_events, 0 AS updated
+        FROM base b WHERE user_id NOT IN (SELECT user_id FROM updates)
+        """,
+        tags=("sink", "cdc"),
+    )
+    def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batch MERGE (SCD1 upsert) without a table format: new per-user
+        aggregates overwrite matching base rows, unmatched base rows
+        survive — ``WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT``
+        compiled to updates ∪ (base ⟕anti updates). The anti-join
+        formulation beats the full-outer-join MERGE shape when updates
+        are a small fraction of the base (the overwhelmingly common
+        case): the base side streams through one anti probe against the
+        broadcast update keys — no base-side shuffle at all — where a
+        full outer join would shuffle the entire base on user_id. The
+        batch twin of ``stream_foreach_batch_upsert``; swap the final
+        write for a Delta/Iceberg MERGE INTO where a table format is
+        available.
+
+        The ``updated`` flag rides into the hash so a row surviving from
+        the wrong side (stale base row shadowing its update) cannot
+        cancel out."""
+        ev = load_table(spark, sf_dir, "events")
+        cust = load_table(spark, sf_dir, "customer")
+        updates = (
+            ev.filter(F.col("event_type").isin("purchase", "signup"))
+            .groupBy("user_id")
+            .agg(
+                F.round(F.sum("value") * 100, 0).cast("bigint").alias("balance_cents"),
+                F.count("*").alias("n_events"),
+            )
+            .withColumn("updated", F.lit(1))
+        )
+        base = cust.select(
+            F.col("c_custkey").cast("bigint").alias("user_id"),
+            F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("balance_cents"),
+            F.lit(0).cast("bigint").alias("n_events"),
+            F.lit(0).alias("updated"),
+        )
+        kept = base.join(F.broadcast(updates.select("user_id")), "user_id", "left_anti")
+        return updates.unionByName(kept)
+
+
 def _register_dpp_query() -> None:
     from gvcf_hbase_spark.registry import register
     from gvcf_hbase_spark.sources.tables import load_table
@@ -301,6 +507,7 @@ def _register_dpp_query() -> None:
 
 _register_sink_queries()
 _register_dpp_query()
+_register_round3c_sinks()
 
 
 def bulk_write_range_sorted(

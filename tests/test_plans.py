@@ -557,3 +557,19 @@ def test_observation_metrics_during_action(spark):
     assert obs.get["rows_seen"] == want_seen
     assert obs.get["too_short"] == want_short
     assert n_kept == want_seen - want_short
+
+
+def test_compaction_collapses_file_count(spark):
+    """The compaction op's read-back scan must see far fewer files than
+    the 64 fragmented shards it started from (the whole point of the
+    job); row fidelity is the oracle's job in test_queries."""
+    df = SPECS["sink_compact_small_files"].fn(spark, SF_DIR)
+    assert 1 <= len(df.inputFiles()) <= 8
+
+
+def test_merge_upsert_base_side_has_no_shuffle(spark):
+    """The anti-join MERGE shape: the base (customer) side must reach the
+    anti join without an Exchange — broadcast of the update keys is what
+    makes MERGE affordable when updates << base."""
+    plan = explain_str(SPECS["sink_merge_upsert"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

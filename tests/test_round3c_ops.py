@@ -166,3 +166,32 @@ def test_degree_histogram_conservation(spark):
     supps = li.select("l_suppkey").distinct().count()
     assert sum(r.degree * r.n_nodes for r in hist) == edges
     assert sum(r.n_nodes for r in hist) == supps
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    """A user with purchase events must appear exactly once with the
+    aggregated balance (updated=1); a customer with no qualifying events
+    keeps the base balance (updated=0); no row appears twice."""
+    import pyspark.sql.functions as F
+
+    sf = _write_events(
+        spark, tmp_path,
+        [(1, 0, 1, "purchase", 10.0), (2, 1, 1, "purchase", 2.5), (3, 0, 2, "view", 9.9)],
+    )
+    spark.createDataFrame(
+        [(1, 100.0), (2, 55.0), (3, 7.0)], "c_custkey long, c_acctbal double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    out = SPECS["sink_merge_upsert"].fn(spark, str(tmp_path))
+    rows = {r.user_id: r for r in out.collect()}
+    assert out.count() == 3 and len(rows) == 3
+    assert rows[1].balance_cents == 1250 and rows[1].updated == 1 and rows[1].n_events == 2
+    assert rows[2].balance_cents == 5500 and rows[2].updated == 0  # view doesn't qualify
+    assert rows[3].balance_cents == 700 and rows[3].updated == 0
+
+
+def test_secondary_index_posting_lists_sorted(spark):
+    rows = SPECS["sink_secondary_index"].fn(spark, SF_DIR).collect()
+    assert rows, "fixture must produce at least one >=3-purchase user"
+    for r in rows:
+        assert list(r.event_ids) == sorted(r.event_ids)
+        assert r.n_purchases == len(r.event_ids) >= 3
