@@ -225,3 +225,54 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nodes"),
         F.min("s").alias("min_node"),
     )
+
+
+_BIPARTITE_PROJ_ORACLE = """
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    deg AS (
+      SELECT p, count(*) AS d FROM e GROUP BY p
+    ),
+    kept AS (
+      SELECT e.p, e.s FROM e JOIN deg USING (p) WHERE deg.d <= 50
+    )
+    SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS weight
+    FROM kept a JOIN kept b ON a.p = b.p AND a.s < b.s
+    GROUP BY a.s, b.s
+    HAVING count(*) >= 2
+"""
+
+
+@register("graph_bipartite_projection", oracle=_BIPARTITE_PROJ_ORACLE, tags=("graph",))
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite → unipartite projection: suppliers become connected
+    with weight = number of distinct parts they both ship (kept when
+    ≥ 2) — the co-occurrence graph construction behind collaborator
+    detection, item-item similarity, and "users who bought X" edges.
+
+    The projection self-join explodes quadratically in each part's
+    supplier count (Σ d² over parts), and a single hub part — one
+    carried by every supplier — costs |S|² alone. The standard
+    mitigation is built in: a degree cap drops parts with > 50
+    suppliers BEFORE the pair join (a part that popular contributes
+    ~no signal to co-occurrence anyway — the same reasoning as
+    stop-shingle dropping in LSH banding). The cap bound makes worst-
+    case cost ≤ 50 × |kept edges| pair rows, linear in the edge list.
+    Pipeline: distinct → degree agg → semi filter → per-part equi-join
+    (never cross) → count agg; the pair space collapses map-side
+    before the final shuffle. HAVING ≥ 2 keeps only repeated
+    co-occurrence, the graph a clustering pass would actually consume.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    deg = e.groupBy("p").agg(F.count("*").alias("d"))
+    kept = e.join(deg.filter(F.col("d") <= 50).select("p"), "p")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    return (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count("*").alias("weight"))
+        .filter(F.col("weight") >= 2)
+    )

@@ -356,3 +356,82 @@ def ts_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("roll3_1e4"),
     )
+
+
+_ROLLING_CORR_ORACLE = """
+    WITH t AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 100, 0) AS BIGINT) AS x
+      FROM events
+    ), p AS (
+      SELECT *, lag(x) OVER w AS y FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), s AS (
+      SELECT event_id, user_id,
+             count(*) OVER f AS n,
+             sum(x) OVER f AS sx, sum(y) OVER f AS sy,
+             sum(x * y) OVER f AS sxy,
+             sum(x * x) OVER f AS sxx, sum(y * y) OVER f AS syy
+      FROM p WHERE y IS NOT NULL
+      WINDOW f AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN n >= 5 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                THEN CAST(floor(
+                  CAST(n*sxy - sx*sy AS DOUBLE)
+                  / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+                  * 1e6 + 0.5) AS BIGINT)
+           END AS corr_1e6
+    FROM s
+"""
+
+
+@register("win_rolling_corr", oracle=_ROLLING_CORR_ORACLE, tags=("timeseries", "window"))
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation between each user's value series and
+    its own 1-lag (trailing 20 rows, ≥5 observations) — the
+    autocorrelation tracker behind change-point and seasonality
+    monitors.
+
+    Spark has no corr() window aggregate over arbitrary frames with this
+    null discipline, but corr is algebra over five running sums — n, Σx,
+    Σy, Σxy, Σx², Σy² — and window SUMs it has. All six ride ONE
+    (user_id) exchange and one in-partition sort (same spec ⇒ one Window
+    node). Every sum is over exact integer cents, so cross-engine the
+    only floats are the final sqrt/divide on identical operands;
+    degenerate frames (constant series ⇒ zero variance) yield NULL by
+    the same guard on both engines rather than a 0/0. The lag-feature
+    block (`ts_lag_features`) is stage one of the same plan shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us_long", "event_id")
+    f = w.rowsBetween(-19, Window.currentRow)
+    x = F.round(F.col("value") * 100, 0).cast("bigint")
+    p = ev.select(
+        "event_id", "user_id", "ts_us_long", x.alias("x"), F.lag(x).over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    s = p.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(f).alias("n"),
+        F.sum("x").over(f).alias("sx"),
+        F.sum("y").over(f).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(f).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(f).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(f).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov_n = n * F.col("sxy") - sx * sy
+    vx_n = n * F.col("sxx") - sx * sx
+    vy_n = n * F.col("syy") - sy * sy
+    corr = F.when(
+        (n >= 5) & (vx_n > 0) & (vy_n > 0),
+        F.floor(
+            cov_n.cast("double")
+            / F.sqrt(vx_n.cast("double") * vy_n.cast("double"))
+            * 1e6
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    return s.select("event_id", "user_id", corr.alias("corr_1e6"))

@@ -448,3 +448,55 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select(
         "window_start", "event_type", "cnt", "total_value"
     )
+
+
+@register("stream_join_stream_outer", oracle=None, tags=("streaming", "join"))
+def stream_join_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click, with its within-1-hour
+    purchase where one exists, NULL otherwise — the attribution query
+    where unconverted clicks matter as much as converted ones.
+
+    Unlike the inner form (``stream_join_stream``), the outer result is
+    NOT batch-SQL-expressible under a finite run: a NULL row is emitted
+    only when the click's join state is EVICTED (the watermark proves no
+    matching purchase can still arrive), so clicks near the end of the
+    available data are withheld, pending more input — correct streaming
+    semantics, unrepresentable as a DuckDB query over the finished table.
+    Measured on this build (availableNow, 2 h watermark, 1 h band): the
+    no-data final batch emits all NULLs except clicks in the trailing
+    ~4–8 h eviction horizon. Hence rows-only registration; the strong
+    checks live in tests/test_streaming.py: matched output ≡ the batch
+    inner join exactly, NULL output ⊆ the batch left-join's NULL set,
+    and every sufficiently-old unmatched click IS emitted.
+
+    State cost at scale: both sides keyed by user in the state store;
+    click state lives (band + watermark) and is dropped by the same
+    eviction that triggers NULL emission — state is bounded by the
+    traffic of the horizon, never the stream's history."""
+    base = read_events_stream(spark, sf_dir)
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts_evt").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts_evt").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("click_id", F.col("c_user").alias("user_id"), "purchase_id")
+    return run_available_now(joined, "append")

@@ -195,3 +195,31 @@ def test_secondary_index_posting_lists_sorted(spark):
     for r in rows:
         assert list(r.event_ids) == sorted(r.event_ids)
         assert r.n_purchases == len(r.event_ids) >= 3
+
+
+def test_rolling_corr_perfect_and_constant(spark, tmp_path):
+    """A strictly linear series (x_t = t) has lag-1 autocorrelation
+    exactly 1 once ≥5 pairs exist; a constant series has zero variance
+    and must yield NULL, not a 0/0 artifact."""
+    rows = [(i, i, 1, "a", float(i)) for i in range(1, 12)]
+    rows += [(100 + i, i, 2, "a", 5.0) for i in range(1, 12)]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r.event_id: r.corr_1e6 for r in SPECS["win_rolling_corr"].fn(spark, sf).collect()}
+    assert out[11] == 1_000_000  # linear ⇒ corr = 1
+    assert out[6] == 1_000_000  # exactly 5 pairs: first defined frame
+    assert out[5] is None  # only 4 pairs: below min_periods
+    assert out[111] is None  # constant series: zero variance ⇒ NULL
+
+
+def test_bipartite_projection_closed_form(spark, tmp_path):
+    """Suppliers {1,2} share parts {10,11}; supplier 3 shares only part
+    10 with them → edge (1,2) weight 2 survives, (1,3)/(2,3) weight 1
+    are cut by HAVING ≥ 2."""
+    rows = []
+    for p, s in [(10, 1), (10, 2), (10, 3), (11, 1), (11, 2)]:
+        rows.append((1, p, s))
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long, l_suppkey long")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    out = [(r.s1, r.s2, r.weight) for r in
+           SPECS["graph_bipartite_projection"].fn(spark, str(tmp_path)).collect()]
+    assert out == [(1, 2, 2)]

@@ -251,3 +251,41 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     )
     batch = tumbling_agg(load_table(spark, SF_DIR, "events"))
     _assert_same(batch, final, "checkpoint-restart")
+
+
+def test_stream_outer_join_containment_and_inner_exactness(spark):
+    """Left-outer stream-stream join: (a) its matched rows must equal the
+    batch INNER join exactly — outer-ness must not perturb matches; (b)
+    its NULL rows must be a subset of the batch left join's NULL set —
+    no spurious NULLs for clicks that DID convert; (c) completeness up to
+    the eviction horizon: every unmatched click older than 12 h before
+    the stream's max event time must have its NULL emitted (the measured
+    horizon is ~4-8 h; 12 h is the contract's safe bound)."""
+    import pyspark.sql.functions as _F
+    from gvcf_hbase_spark.sources.tables import load_table
+    from gvcf_hbase_spark.streaming.stream_ops import batch_click_purchase_join
+
+    out = SPECS["stream_join_stream_outer"].fn(spark, SF_DIR)
+    matched = {(r.click_id, r.purchase_id) for r in out.collect() if r.purchase_id is not None}
+    nulls = {r.click_id for r in out.collect() if r.purchase_id is None}
+
+    inner = batch_click_purchase_join(spark, SF_DIR)
+    inner_pairs = {(r.click_id, r.purchase_id) for r in inner.collect()}
+    assert matched == inner_pairs
+
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.filter(_F.col("event_type") == "click").select(
+        _F.col("event_id").alias("click_id"), _F.col("ts_us_long").alias("cts")
+    )
+    unmatched_batch = {
+        r.click_id: r.cts
+        for r in clicks.join(
+            inner.select("click_id"), "click_id", "left_anti"
+        ).collect()
+    }
+    assert nulls <= set(unmatched_batch)
+
+    mx = ev.agg(_F.max("ts_us_long").alias("m")).collect()[0].m
+    horizon_us = 12 * 3600 * 1_000_000
+    overdue = {cid for cid, cts in unmatched_batch.items() if cts < mx - horizon_us}
+    assert overdue <= nulls, f"withheld beyond horizon: {sorted(overdue - nulls)[:5]}"
