@@ -412,3 +412,149 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.try_divide(ent, F.log2(F.count("*"))), 6).alias("entropy_norm"),
         )
     )
+
+
+_GINI_ORACLE = """
+    WITH o AS (
+      SELECT o_orderpriority AS pri,
+             CAST(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS VARCHAR) AS ym,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x,
+             o_orderkey AS k
+      FROM orders
+    ),
+    r AS (
+      SELECT pri, ym, x,
+             row_number() OVER (PARTITION BY pri, ym ORDER BY x, k) AS rn
+      FROM o
+    )
+    SELECT pri, ym, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(floor(
+             (2.0 * sum(rn * x) - (count(*) + 1) * CAST(sum(x) AS DOUBLE))
+             / (count(*) * CAST(sum(x) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT
+           ) AS gini_1e6
+    FROM r
+    GROUP BY pri, ym
+    HAVING count(*) >= 20
+"""
+
+
+@register("analytics_gini", oracle=_GINI_ORACLE, tags=("analytics",))
+def analytics_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of order value per (priority, month) cell — the
+    inequality measure behind revenue-concentration and whale-detection
+    dashboards, from the rank formula
+    G = (2·Σ rᵢxᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over ascending-sorted values.
+
+    One window (row_number over the cell) + one hash aggregate: the sort
+    IS the algorithm, so cost is one exchange on the cell key plus an
+    in-partition sort — no pair joins, no driver math. Ranks are pinned
+    deterministic with the (x, orderkey) tiebreak. The month in the cell
+    key is load-bearing at scale twice over: it bounds the per-cell sort
+    AND keeps Σ rᵢxᵢ ≈ n²·x̄/2 under 2⁵³ (n ≈ 360 per cell at sf0.1 →
+    ~1e12), so the final double division sees exactly-representable
+    integer operands on both engines; an unbucketed variant at sf ≥ 1
+    would need the decimal accumulator documented here. Cells < 20 orders
+    are dropped — rank-formula Gini is noise at tiny n.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cell = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("x"),
+        F.col("o_orderkey").alias("k"),
+    )
+    w = Window.partitionBy("pri", "ym").orderBy("x", "k")
+    r = cell.withColumn("rn", F.row_number().over(w))
+    n, sx = F.count("*"), F.sum("x")
+    srx = F.sum(F.col("rn") * F.col("x"))
+    gini = (2.0 * srx - (n + 1) * sx.cast("double")) / (n * sx.cast("double"))
+    return (
+        r.groupBy("pri", "ym")
+        .agg(
+            n.alias("n_orders"),
+            F.floor(gini * 1e6 + F.lit(0.5)).cast("bigint").alias("gini_1e6"),
+        )
+        .filter(F.col("n_orders") >= 20)
+    )
+
+
+_AB_TTEST_ORACLE = """
+    WITH t AS (
+      SELECT event_type,
+             CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) % 2 AS grp,
+             CAST(round(value * 100, 0) AS BIGINT) AS x
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             count(*) FILTER (grp = 0) AS n0,
+             sum(x)   FILTER (grp = 0) AS sx0,
+             sum(x*x) FILTER (grp = 0) AS sxx0,
+             count(*) FILTER (grp = 1) AS n1,
+             sum(x)   FILTER (grp = 1) AS sx1,
+             sum(x*x) FILTER (grp = 1) AS sxx1
+      FROM t GROUP BY event_type
+    ),
+    s AS (
+      SELECT event_type, n0, n1,
+             CAST(sx0 AS DOUBLE) / n0 AS m0,
+             CAST(sx1 AS DOUBLE) / n1 AS m1,
+             (sxx0 - CAST(sx0 AS DOUBLE) * sx0 / n0) / (n0 - 1) AS v0,
+             (sxx1 - CAST(sx1 AS DOUBLE) * sx1 / n1) / (n1 - 1) AS v1
+      FROM g WHERE n0 >= 2 AND n1 >= 2
+    )
+    SELECT event_type, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           CAST(floor((m0 - m1) / sqrt(v0 / n0 + v1 / n1) * 1e4 + 0.5) AS BIGINT)
+             AS t_stat_1e4,
+           CAST(floor(
+             (v0/n0 + v1/n1) * (v0/n0 + v1/n1)
+             / ((v0/n0)*(v0/n0)/(n0-1) + (v1/n1)*(v1/n1)/(n1-1)) * 1e3 + 0.5
+           ) AS BIGINT) AS welch_dof_1e3
+    FROM s
+"""
+
+
+@register("analytics_ab_ttest", oracle=_AB_TTEST_ORACLE, tags=("analytics",))
+def analytics_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic per event type between the even-k
+    and odd-k property cohorts (the A/B assignment), with the
+    Welch–Satterthwaite degrees of freedom — the experiment-readout
+    aggregate, computed without ever materializing either cohort.
+
+    Shape: ONE conditional hash aggregate over the log (six FILTER
+    partials per type — n, Σx, Σx² per arm), then scalar algebra on the
+    per-type rows. Map-side combine collapses everything before the
+    shuffle; the statistic never sees a row twice, and adding arms or
+    metrics is more partials, not more passes. All partials are exact
+    integers over cents (Σx² ≤ ~6e12 at sf0.1, far under 2⁵³), so the
+    final float chain runs on identical operands in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        (F.regexp_extract("props", r"(\d+)", 1).cast("bigint") % 2).alias("grp"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+    )
+    g = t.groupBy("event_type").agg(
+        F.count(F.when(F.col("grp") == 0, 1)).alias("n0"),
+        F.sum(F.when(F.col("grp") == 0, F.col("x"))).alias("sx0"),
+        F.sum(F.when(F.col("grp") == 0, F.col("x") * F.col("x"))).alias("sxx0"),
+        F.count(F.when(F.col("grp") == 1, 1)).alias("n1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("x"))).alias("sx1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("x") * F.col("x"))).alias("sxx1"),
+    ).filter((F.col("n0") >= 2) & (F.col("n1") >= 2))
+    n0, n1 = F.col("n0"), F.col("n1")
+    m0 = F.col("sx0").cast("double") / n0
+    m1 = F.col("sx1").cast("double") / n1
+    v0 = (F.col("sxx0") - F.col("sx0").cast("double") * F.col("sx0") / n0) / (n0 - 1)
+    v1 = (F.col("sxx1") - F.col("sx1").cast("double") * F.col("sx1") / n1) / (n1 - 1)
+    se0, se1 = v0 / n0, v1 / n1
+    tstat = (m0 - m1) / F.sqrt(se0 + se1)
+    dof = (se0 + se1) * (se0 + se1) / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1))
+    return g.select(
+        "event_type",
+        n0.alias("n0"),
+        n1.alias("n1"),
+        F.floor(tstat * 1e4 + F.lit(0.5)).cast("bigint").alias("t_stat_1e4"),
+        F.floor(dof * 1e3 + F.lit(0.5)).cast("bigint").alias("welch_dof_1e3"),
+    )

@@ -276,3 +276,67 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("weight"))
         .filter(F.col("weight") >= 2)
     )
+
+
+_JACCARD_NEIGHBORS_ORACLE = """
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    deg AS (SELECT p, count(*) AS d FROM e GROUP BY p),
+    kept AS (SELECT e.p, e.s FROM e JOIN deg USING (p) WHERE deg.d <= 50),
+    sdeg AS (SELECT s, count(*) AS ds FROM kept GROUP BY s),
+    common AS (
+      SELECT a.s AS s1, b.s AS s2, count(*) AS c
+      FROM kept a JOIN kept b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s
+      HAVING count(*) >= 2
+    )
+    SELECT s1, s2,
+           CAST(floor(CAST(c AS DOUBLE) / (d1.ds + d2.ds - c) * 1e6 + 0.5) AS BIGINT)
+             AS jaccard_1e6
+    FROM common
+    JOIN sdeg d1 ON d1.s = common.s1
+    JOIN sdeg d2 ON d2.s = common.s2
+"""
+
+
+@register("graph_jaccard_neighbors", oracle=_JACCARD_NEIGHBORS_ORACLE, tags=("graph",))
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity between supplier nodes of the
+    part–supplier bipartite graph — the classic link-prediction /
+    entity-similarity score: |N(a)∩N(b)| / |N(a)∪N(b)| with the union
+    computed as d(a)+d(b)−common, so neighbor SETS are never shipped.
+
+    Pipeline piggybacks on the bipartite-projection shape: distinct
+    edges → hub cap (parts with > 50 suppliers dropped before the pair
+    join — the Σd² bound) → per-part equi-join counts the intersection →
+    two broadcast-sized degree joins supply |N(x)|. The pair join is the
+    only super-linear stage and the cap bounds it linear in edges; the
+    degree table is one row per supplier (AQE broadcasts it on its own).
+    Pairs with < 2 shared parts are cut before the degree joins — the
+    same sparsification a similarity-graph clustering pass would demand.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    deg = e.groupBy("p").agg(F.count("*").alias("d"))
+    kept = e.join(deg.filter(F.col("d") <= 50).select("p"), "p")
+    sdeg = kept.groupBy("s").agg(F.count("*").alias("ds"))
+    a, b = kept.alias("a"), kept.alias("b")
+    common = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    d1 = sdeg.select(F.col("s").alias("s1"), F.col("ds").alias("ds1"))
+    d2 = sdeg.select(F.col("s").alias("s2"), F.col("ds").alias("ds2"))
+    jac = F.col("c").cast("double") / (F.col("ds1") + F.col("ds2") - F.col("c"))
+    return (
+        common.join(d1, "s1")
+        .join(d2, "s2")
+        .select(
+            "s1",
+            "s2",
+            F.floor(jac * 1e6 + F.lit(0.5)).cast("bigint").alias("jaccard_1e6"),
+        )
+    )

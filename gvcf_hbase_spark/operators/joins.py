@@ -668,3 +668,89 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("purchase_ts_us"),
         nearest.alias("nearest_click_ts_us"),
     )
+
+
+_BLOOM_CONFS = {
+    # enabled is the Spark 3.5+ default; the two thresholds are what make
+    # the rule fire at fixture scale (the application side is far below
+    # the 10 GB default). At 100 TB the DEFAULTS fire on their own — these
+    # overrides exist so the tested plan is the plan production gets.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    # bloom pruning only matters for shuffle joins; park the broadcast
+    # threshold so the tested plan IS the 100 TB shuffle-join shape
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy joined plan `join_runtime_bloom` materializes; factored
+    out so tests can assert `might_contain` on the optimized plan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "bigint"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(rev).alias("revenue_cents"),
+        )
+    )
+
+
+_BLOOM_ORACLE = """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+"""
+
+
+@register("join_runtime_bloom", oracle=_BLOOM_ORACLE, tags=("join",))
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime row-level bloom pruning on a selective shuffle join:
+    Catalyst builds a bloom filter from the filtered orders side
+    (`bloom_filter_agg` subquery) and injects `might_contain(l_orderkey)`
+    into the lineitem SCAN — ~80% of fact rows die before the shuffle
+    instead of after it, the row-level sibling of dynamic partition
+    pruning (which needs a partitioned layout; this needs nothing).
+
+    The bloom confs are scoped: injection happens at OPTIMIZATION time,
+    so the operator materializes the join to a temp parquet while the
+    confs are set, restores every conf, and returns the (tiny, 3-row)
+    scan — conf leakage would otherwise re-plan every later query in the
+    session (notably `autoBroadcastJoinThreshold=-1`, parked here only so
+    the tested plan is the 100 TB shuffle-join shape rather than a
+    fixture-scale broadcast). Plan proof (`might_contain` on the fact
+    scan's filters) is asserted in tests/test_plans.py via
+    :func:`bloom_pruned_join`; the oracle proves pruning never drops a
+    matching row. False-positive rate only affects how much the shuffle
+    shrinks, never the result.
+    """
+    import tempfile
+
+    saved = {}
+    for k, v in _BLOOM_CONFS.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        out = tempfile.mkdtemp(prefix="gvcf_bloom_") + "/out"
+        bloom_pruned_join(spark, sf_dir).write.mode("overwrite").parquet(out)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(out)

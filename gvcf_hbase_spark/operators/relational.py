@@ -914,3 +914,57 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", F.col("v").alias("mode_bucket"), F.col("n").cast("bigint").alias("n"))
     )
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             AS balance_cents
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+    tags=("source",),
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured interchange format end-to-end: supplier written as
+    XML (Spark 4's built-in xml source, one <row> element per record),
+    read back with an EXPLICIT schema — no inference pass over the files
+    — and aggregated, hash-matched against the parquet oracle. The
+    explicit read schema is the 100 TB posture: schema inference is a
+    full extra scan, and on XML an expensive one (every file parsed
+    twice); production readers declare the contract and let malformed
+    records hit the configurable mode instead.
+
+    XML is row-oriented text — no pushdown, no pruning, ~10× parquet scan
+    cost — so the engine treats it strictly as an INGEST format: parse
+    once, land columnar, query the landing table (the same posture as
+    `source_gvcf_lines`). The doubles round-trip losslessly because the
+    xml writer emits full-precision decimal strings and the explicit
+    schema parses them straight back to double.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    key = f"gvcf_xml_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    out = f"{tempfile.gettempdir()}/{key}"
+    if not os.path.isdir(out):
+        sup.write.format("xml").option("rowTag", "supplier").mode("overwrite").save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema("s_suppkey long, s_nationkey int, s_acctbal double")
+        .load(out)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.round(F.col("s_acctbal") * 100, 0).cast("bigint")).alias(
+            "balance_cents"
+        ),
+    )

@@ -569,3 +569,52 @@ def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(arr).alias("n_long"),
         F.coalesce(F.try_element_at(arr, F.lit(1)), F.lit("")).alias("first_long"),
     )
+
+
+_URL_PARSE_ORACLE = """
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           'lang=' || lang || '&page=' || CAST(doc_id % 7 AS VARCHAR) AS query,
+           lang AS q_lang,
+           CAST(doc_id % 7 AS VARCHAR) AS q_page
+    FROM documents
+"""
+
+
+@register("fn_url_parse", oracle=_URL_PARSE_ORACLE, tags=("fn",))
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with the JVM ``parse_url`` family: HOST, PATH,
+    QUERY, and per-parameter QUERY:key extraction — the clickstream /
+    referrer-log workhorse. URLs are synthesized deterministically from
+    the documents table, so the oracle can state the expected parts
+    directly from the source columns instead of re-implementing a URL
+    parser in SQL — a construction-inverse oracle, like the codec
+    round trips.
+
+    All five extractions are per-row JVM expressions inside one
+    whole-stage-codegen span: no UDF, no regex in Python, column-pruned
+    scan (doc_id, source, lang only). ``try_parse_url`` (Spark 4) is the
+    ANSI-safe variant that yields NULL on malformed input instead of
+    killing the job — the right default when the URL column is scraped
+    web data rather than synthesized, and what this op uses.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&page="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.try_parse_url(url, F.lit("HOST")).alias("host"),
+        F.try_parse_url(url, F.lit("PATH")).alias("path"),
+        F.try_parse_url(url, F.lit("QUERY")).alias("query"),
+        F.try_parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+        F.try_parse_url(url, F.lit("QUERY"), F.lit("page")).alias("q_page"),
+    )

@@ -435,3 +435,206 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint"),
     )
     return s.select("event_id", "user_id", corr.alias("corr_1e6"))
+
+
+_CUSUM_ORACLE = """
+    WITH t AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 100, 0) AS BIGINT) - 5500 AS y
+      FROM events
+    ),
+    p AS (
+      SELECT event_id, user_id, us,
+             CAST(sum(y) OVER w AS BIGINT) AS pf
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           pf - least(CAST(0 AS BIGINT), min(pf) OVER w2) AS cusum_cents,
+           (pf - least(CAST(0 AS BIGINT), min(pf) OVER w2)) > 20000 AS drift_flag
+    FROM p
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("anomaly_cusum", oracle=_CUSUM_ORACLE, tags=("timeseries", "anomaly"))
+def anomaly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector per user: Page's recursion
+    C_t = max(0, C_{t−1} + (x_t − target − slack)) with an alarm when C
+    crosses h — the sequential change-point statistic behind metric-drift
+    monitors (target 55.00, slack absorbed into it, h = 200.00).
+
+    The recursion LOOKS inherently sequential (each C depends on the
+    previous), but it has a closed form Spark's window engine can run:
+    C_t = P_t − min(0, min_{j≤t} P_j), where P is the plain prefix sum of
+    the excess series — "the drift since the most recent reset point".
+    Two running windows over ONE (user_id) exchange and one in-partition
+    sort replace what would otherwise be a per-key Python fold in
+    applyInPandas; state never leaves the JVM and a 10⁹-row user history
+    streams through the frame in O(1) memory per row. Everything is exact
+    integer cents — no float drift across engines, no rounding gate
+    needed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us_long", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = ev.select(
+        "event_id",
+        "user_id",
+        "ts_us_long",
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint") - 5500)
+        .over(w)
+        .alias("pf"),
+    )
+    # Identical spec to w (different frame aggregate): Catalyst collapses
+    # both into one Window node — one exchange, one sort, two passes.
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us_long", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = F.col("pf") - F.least(F.lit(0).cast("bigint"), F.min("pf").over(w2))
+    return p.select(
+        "event_id",
+        "user_id",
+        cusum.alias("cusum_cents"),
+        (cusum > 20000).alias("drift_flag"),
+    )
+
+
+_SEASONAL_ORACLE = """
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, hr, cnt,
+             CASE WHEN count(*) OVER w = 7
+                  THEN CAST(floor(CAST(sum(cnt) OVER w * 100 AS DOUBLE) / 7) AS BIGINT)
+             END AS trend_1e2
+      FROM h
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    d AS (
+      SELECT *, cnt * 100 - trend_1e2 AS detr_1e2, hr % 24 AS hod FROM tr
+    ),
+    s AS (
+      SELECT event_type, hod,
+             CAST(floor(CAST(sum(detr_1e2) AS DOUBLE) / count(detr_1e2)) AS BIGINT)
+               AS seasonal_1e2
+      FROM d WHERE detr_1e2 IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.hr, d.cnt, d.trend_1e2, s.seasonal_1e2,
+           d.detr_1e2 - s.seasonal_1e2 AS resid_1e2
+    FROM d LEFT JOIN s ON d.event_type = s.event_type AND d.hod = s.hod
+"""
+
+
+@register("ts_seasonal_decompose", oracle=_SEASONAL_ORACLE, tags=("timeseries",))
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the hourly event-rate series
+    per type: trend (centered 7-hour moving average, full windows only),
+    seasonal (mean detrended value per hour-of-day), remainder — the
+    STL-lite any metric-monitoring stack runs before alerting on the
+    residual.
+
+    The raw log is touched ONCE (the hourly count aggregate, map-side
+    combined); every later stage — the centered-MA window, the
+    hour-of-day seasonal aggregate, the join-back — operates on
+    #types × #hours rows, input-size independent. The seasonal table
+    re-joins by (type, hod): dimension-sized, AQE broadcasts it. Edge
+    hours (< 7-row window) get NULL trend, and are excluded from the
+    seasonal means rather than polluting them. Arithmetic is scaled
+    integers with floor-after-double-division on exact operands — the
+    ×100 fixed-point convention shared with the resample op.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.groupBy(
+            "event_type",
+            (F.col("ts_us_long") / F.lit(3_600_000_000)).cast("bigint").alias("hr"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-3, 3)
+    trend = F.when(
+        F.count("*").over(w) == 7,
+        F.floor((F.sum("cnt").over(w) * 100).cast("double") / 7).cast("bigint"),
+    )
+    d = h.withColumn("trend_1e2", trend).withColumn(
+        "detr_1e2", F.col("cnt") * 100 - F.col("trend_1e2")
+    ).withColumn("hod", F.col("hr") % 24)
+    s = (
+        d.filter(F.col("detr_1e2").isNotNull())
+        .groupBy("event_type", "hod")
+        .agg(
+            F.floor(
+                F.sum("detr_1e2").cast("double") / F.count("detr_1e2")
+            ).cast("bigint").alias("seasonal_1e2")
+        )
+    )
+    return d.join(s, ["event_type", "hod"], "left").select(
+        "event_type",
+        "hr",
+        "cnt",
+        "trend_1e2",
+        "seasonal_1e2",
+        (F.col("detr_1e2") - F.col("seasonal_1e2")).alias("resid_1e2"),
+    )
+
+
+_STREAK_ORACLE = """
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ),
+    i AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+      FROM d
+    ),
+    st AS (
+      SELECT user_id, island, CAST(count(*) AS BIGINT) AS len FROM i GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+           max(len) AS longest_streak, CAST(count(*) AS BIGINT) AS n_streaks
+    FROM st GROUP BY user_id
+"""
+
+
+@register("win_streak_longest", oracle=_STREAK_ORACLE, tags=("timeseries", "window"))
+def win_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user (plus total active
+    days and streak count) — the engagement-streak metric, via the
+    day − row_number() island identity: consecutive days share a
+    constant difference, any gap shifts it.
+
+    distinct(user, day) collapses the log first — the only stage that
+    sees raw rows, and the shuffle carries one row per user-day. The
+    island window and both aggregates then run on the collapsed table,
+    all partitioned by user_id, so the exchange from the distinct is
+    REUSED (one shuffle total; the window sort is in-partition). Integer
+    day arithmetic end-to-end — no calendar functions, no timezone trap:
+    day = floor(µs / 86.4e9) pins the same UTC bucketing on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", (F.col("ts_us_long") / F.lit(86_400_000_000)).cast("bigint").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    i = d.withColumn("island", F.col("day") - F.row_number().over(w))
+    st = i.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return st.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.max("len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )

@@ -573,3 +573,26 @@ def test_merge_upsert_base_side_has_no_shuffle(spark):
     makes MERGE affordable when updates << base."""
     plan = explain_str(SPECS["sink_merge_upsert"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """The bloom confs must inject a bloom_filter_agg/might_contain pair
+    into the optimized join plan: filter built from the selective orders
+    side, applied to the lineitem scan BEFORE its shuffle."""
+    from gvcf_hbase_spark.operators.joins import _BLOOM_CONFS, bloom_pruned_join
+
+    saved = {}
+    for k, v in _BLOOM_CONFS.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        df = bloom_pruned_join(spark, SF_DIR)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt
+        assert "bloom_filter_agg" in opt
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

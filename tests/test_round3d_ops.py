@@ -1,0 +1,129 @@
+"""Semantic micro-tests for the round-3d additions: CUSUM reset/alarm
+behavior, Gini closed forms, and Welch t-test symmetry. Oracle hash
+comparison runs in test_queries.py; these pin the closed-form behaviors a
+hash match alone wouldn't localize.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from gvcf_hbase_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def _write_events_props(spark, tmp_path, rows):
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (eid, base + datetime.timedelta(seconds=s), uid, et, val, props)
+            for eid, s, uid, et, val, props in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def _write_orders(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    return str(tmp_path)
+
+
+def test_cusum_resets_and_alarms(spark, tmp_path):
+    """Page's recursion hand-unrolled: a dip below target resets the
+    statistic to 0 (never negative), sustained drift accumulates linearly
+    and crosses the alarm threshold."""
+    rows = [(i, i, 1, "view", v, "{}") for i, v in enumerate([60.0, 60.0, 40.0, 70.0, 70.0, 70.0])]
+    rows += [(100 + i, i, 2, "view", 100.0, "{}") for i in range(10)]
+    sf = _write_events_props(spark, tmp_path, rows)
+    out = {r.event_id: (r.cusum_cents, r.drift_flag) for r in SPECS["anomaly_cusum"].fn(spark, sf).collect()}
+    # y = 100*value - 5500: +500 +500 -1500 +1500 +1500 +1500
+    assert [out[i][0] for i in range(6)] == [500, 1000, 0, 1500, 3000, 4500]
+    assert not any(out[i][1] for i in range(6))
+    # user 2: y = +4500/event; C = 4500*(t+1); alarm strictly above 20000
+    assert out[104] == (22500, True) and out[103][1] is False
+
+
+def test_gini_closed_forms(spark, tmp_path):
+    """Uniform cell → G = 0; one whale + zeros → G = (n-1)/n."""
+    d = datetime.datetime(2024, 3, 1)
+    rows = [(i, 1, "O", 100.0, d, "UNIFORM") for i in range(25)]
+    rows += [(100 + i, 1, "O", 0.0, d, "WHALE") for i in range(24)]
+    rows += [(200, 1, "O", 9999.0, d, "WHALE")]
+    sf = _write_orders(spark, tmp_path, rows)
+    out = {r.pri: (r.n_orders, r.gini_1e6) for r in SPECS["analytics_gini"].fn(spark, sf).collect()}
+    assert out["UNIFORM"] == (25, 0)
+    assert out["WHALE"] == (25, 960000)  # (n-1)/n = 24/25
+
+
+def test_ab_ttest_symmetry_and_closed_form(spark, tmp_path):
+    """Identical arms → t = 0 with Welch dof = n0+n1-2 = 4; shifted arms
+    with equal variance → t = -1/sqrt(2), dof = 2."""
+    rows = []
+    for i, (v, k) in enumerate([(10.0, 0), (20.0, 0), (30.0, 0), (10.0, 1), (20.0, 1), (30.0, 1)]):
+        rows.append((i, i, 1, "same", v, '{"k": %d}' % k))
+    for i, (v, k) in enumerate([(10.0, 0), (30.0, 0), (20.0, 1), (40.0, 1)]):
+        rows.append((100 + i, i, 2, "shift", v, '{"k": %d}' % k))
+    sf = _write_events_props(spark, tmp_path, rows)
+    out = {r.event_type: r for r in SPECS["analytics_ab_ttest"].fn(spark, sf).collect()}
+    assert (out["same"].t_stat_1e4, out["same"].welch_dof_1e3) == (0, 4000)
+    assert (out["shift"].t_stat_1e4, out["shift"].welch_dof_1e3) == (-7071, 2000)
+    assert (out["shift"].n0, out["shift"].n1) == (2, 2)
+
+
+def _write_lineitem_edges(spark, tmp_path, edges):
+    rows = [(1, p, s) for p, s in edges]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long, l_suppkey long")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    return str(tmp_path)
+
+
+def test_jaccard_neighbors_closed_form(spark, tmp_path):
+    """Suppliers 1,2 share parts {10,11}; supplier 1 also has {12},
+    supplier 2 also has {13,14}: J(1,2) = 2/(3+4-2) = 0.4."""
+    sf = _write_lineitem_edges(
+        spark, tmp_path, [(10, 1), (11, 1), (12, 1), (10, 2), (11, 2), (13, 2), (14, 2)]
+    )
+    out = [(r.s1, r.s2, r.jaccard_1e6) for r in
+           SPECS["graph_jaccard_neighbors"].fn(spark, sf).collect()]
+    assert out == [(1, 2, 400000)]
+
+
+def test_streak_islands(spark, tmp_path):
+    """Days {0,1,2, 5,6, 9} → longest 3, n_streaks 3, active 6."""
+    from tests.test_round3c_ops import _write_events
+
+    rows = [(i, d * 86400 + 10, 1, "view", 1.0) for i, d in enumerate([0, 1, 2, 5, 6, 9])]
+    sf = _write_events(spark, tmp_path, rows)
+    r = SPECS["win_streak_longest"].fn(spark, sf).collect()[0]
+    assert (r.n_active_days, r.longest_streak, r.n_streaks) == (6, 3, 3)
+
+
+def test_seasonal_decompose_identities(spark, tmp_path):
+    """Wherever trend is defined: cnt*100 == trend + seasonal + resid
+    (additive identity), and edge hours (incomplete centered window)
+    carry NULL trend."""
+    from tests.test_round3c_ops import _write_events
+
+    rows = []
+    eid = 0
+    for hr in range(24):
+        for j in range(1 + (hr % 3)):  # varying hourly counts
+            rows.append((eid, hr * 3600 + 60 * j, 1, "view", 1.0))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = SPECS["ts_seasonal_decompose"].fn(spark, sf).collect()
+    assert len(out) == 24
+    for r in sorted(out, key=lambda r: r.hr):
+        if r.trend_1e2 is None:
+            assert r.hr < 3 or r.hr > 20  # only the 3-row edges
+            assert r.resid_1e2 is None
+        else:
+            assert r.cnt * 100 == r.trend_1e2 + r.seasonal_1e2 + r.resid_1e2
