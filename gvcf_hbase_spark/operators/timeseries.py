@@ -397,8 +397,10 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark has no corr() window aggregate over arbitrary frames with this
     null discipline, but corr is algebra over five running sums — n, Σx,
     Σy, Σxy, Σx², Σy² — and window SUMs it has. All six ride ONE
-    (user_id) exchange and one in-partition sort (same spec ⇒ one Window
-    node). Every sum is over exact integer cents, so cross-engine the
+    (user_id) exchange and one in-partition sort: the lag pass and the
+    frame-sum pass stack as two Window nodes over the same partitioning
+    (plan-verified — 1 Exchange, no re-sort between them). Every sum is
+    over exact integer cents, so cross-engine the
     only floats are the final sqrt/divide on identical operands;
     degenerate frames (constant series ⇒ zero variance) yield NULL by
     the same guard on both engines rather than a 0/0. The lag-feature
@@ -491,8 +493,9 @@ def anomaly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("pf"),
     )
-    # Identical spec to w (different frame aggregate): Catalyst collapses
-    # both into one Window node — one exchange, one sort, two passes.
+    # Identical partitioning+ordering as w: the second Window node stacks
+    # on the first's exchange and sort (plan-verified: 1 Exchange, 1 Sort,
+    # 2 Window passes) — the recursion costs one shuffle total.
     w2 = (
         Window.partitionBy("user_id")
         .orderBy("ts_us_long", "event_id")
@@ -620,9 +623,9 @@ def win_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     distinct(user, day) collapses the log first — the only stage that
     sees raw rows, and the shuffle carries one row per user-day. The
-    island window and both aggregates then run on the collapsed table,
-    all partitioned by user_id, so the exchange from the distinct is
-    REUSED (one shuffle total; the window sort is in-partition). Integer
+    island window and both aggregates then run on the collapsed table:
+    one more exchange (user_id,day → user_id), but it moves one row per
+    user-day, not per event — the raw log shuffles exactly once. Integer
     day arithmetic end-to-end — no calendar functions, no timezone trap:
     day = floor(µs / 86.4e9) pins the same UTC bucketing on both engines.
     """
