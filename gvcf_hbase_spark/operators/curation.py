@@ -717,3 +717,150 @@ def curate_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         ((F.row_number().over(w) - 1) % _N_SHARDS).cast("int").alias("shard"),
     )
+
+
+_BOILERPLATE_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             array_to_string(toks[i.i:i.i+4], ' ') AS gram
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i
+      ) i
+    ),
+    df AS (
+      SELECT source, gram, count(DISTINCT doc_id) AS docs_with
+      FROM grams GROUP BY 1, 2
+    ),
+    nsrc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+    bp AS (
+      SELECT df.source, df.gram
+      FROM df JOIN nsrc USING (source)
+      WHERE docs_with * 10 >= n_docs * 3
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(bp.gram) AS BIGINT) AS n_boilerplate,
+           CAST(floor(CAST(count(bp.gram) AS DOUBLE) / count(*) * 1e6 + 0.5) AS BIGINT)
+             AS boilerplate_1e6
+    FROM grams g
+    LEFT JOIN bp ON g.source = bp.source AND g.gram = bp.gram
+    GROUP BY g.doc_id
+"""
+
+
+@register("curate_boilerplate_ngrams", oracle=_BOILERPLATE_ORACLE, tags=("curation", "text"))
+def curate_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection per source domain — the C4/RefinedWeb
+    boilerplate-removal rule re-expressed at 5-gram granularity (this
+    corpus has no line structure): a 5-gram occurring in ≥ 30% of a
+    source's documents is template text (headers, footers, nav chrome),
+    and each document reports how much of it is boilerplate — the
+    upstream signal for the strip-or-drop curation decision.
+
+    Two shuffles over gram rows, never the corpus twice: (1) the
+    per-(source, gram) distinct-doc count — map-side combine collapses a
+    doc's repeated grams before the exchange; (2) the gram-level join
+    of each doc's grams against its source's boilerplate set, equi on
+    (source, gram) so the hot template grams co-locate with the docs
+    they came from (a skewed template gram is ONE key in ONE task, and
+    its per-doc count collapses map-side too). The per-source doc count
+    is a dimension row; the ≥30% threshold uses integer cross-multiply
+    (docs_with·10 ≥ n_docs·3) — no float in the filter. Gram explosion
+    is the same slice+explode machinery as `text_chunk_sliding`; output
+    cardinality is one row per doc.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.split("text", " ").alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("toks") - 4, F.lit(0))
+                ),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, 5)),
+            )
+        ).alias("gram"),
+    )
+    dfreq = grams.groupBy("source", "gram").agg(
+        F.count_distinct("doc_id").alias("docs_with")
+    )
+    nsrc = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    bp = (
+        dfreq.join(nsrc, "source")
+        .filter(F.col("docs_with") * 10 >= F.col("n_docs") * 3)
+        .select("source", "gram", F.lit(True).alias("is_bp"))
+    )
+    tagged = grams.join(bp, ["source", "gram"], "left")
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.count("is_bp").alias("n_boilerplate"),
+        F.floor(
+            F.count("is_bp").cast("double") / F.count("*") * 1e6 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("boilerplate_1e6"),
+    )
+
+
+_WINSORIZE_ORACLE = """
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS x
+      FROM events
+    ),
+    q AS (
+      SELECT event_type,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY x) AS lo,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY x) AS hi
+      FROM c GROUP BY 1
+    )
+    SELECT c.event_id, c.event_type,
+           CAST(floor(least(greatest(CAST(c.x AS DOUBLE), lo), hi) * 100 + 0.5)
+                AS BIGINT) AS clipped_1e4,
+           (c.x < lo OR c.x > hi) AS was_clipped
+    FROM c JOIN q USING (event_type)
+"""
+
+
+@register("curate_winsorize", oracle=_WINSORIZE_ORACLE, tags=("curation", "agg"))
+def curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each event's value to its type's exact
+    [p05, p95] band — the outlier-capping transform feature pipelines
+    apply before normalization so one fat-finger row can't set the
+    scale. Flags which rows were clipped (the audit column a data-QC
+    report wants).
+
+    Two-pass shape, raw log touched twice but shuffled never: pass one
+    is the per-type exact percentile aggregate (5 rows); pass two is a
+    map-only broadcast join applying the clip — no exchange carries
+    event rows at any point. Exact (interpolated) percentiles on
+    integer-cent operands: both engines interpolate on identical
+    integers, yielding identical doubles, and the ×100-scaled floor
+    quantization turns the possibly-fractional interpolated bound into
+    an integer output column (the §5.4 convention). At 100 TB swap
+    percentile for percentile_approx and the plan is unchanged — the
+    documented exact/sketch trade.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+    )
+    q = c.groupBy("event_type").agg(
+        F.percentile("x", F.lit(0.05)).alias("lo"),
+        F.percentile("x", F.lit(0.95)).alias("hi"),
+    )
+    j = c.join(F.broadcast(q), "event_type")
+    clipped = F.least(F.greatest(F.col("x").cast("double"), F.col("lo")), F.col("hi"))
+    return j.select(
+        "event_id",
+        "event_type",
+        F.floor(clipped * 100 + F.lit(0.5)).cast("bigint").alias("clipped_1e4"),
+        ((F.col("x") < F.col("lo")) | (F.col("x") > F.col("hi"))).alias("was_clipped"),
+    )

@@ -641,3 +641,72 @@ def win_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest_streak"),
         F.count("*").alias("n_streaks"),
     )
+
+
+_MAD_ORACLE = """
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS x
+      FROM events
+    ),
+    med AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY x) AS med
+      FROM c GROUP BY 1
+    ),
+    dev AS (
+      SELECT c.event_id, c.event_type, c.x, med.med,
+             abs(CAST(c.x AS DOUBLE) - med.med) AS ad
+      FROM c JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_id, d.event_type,
+           CAST(floor(abs(CAST(d.x AS DOUBLE) - d.med)
+                      / (1.4826 * mad.mad) * 1e4 + 0.5) AS BIGINT)
+             AS robust_z_1e4
+    FROM dev d JOIN mad USING (event_type)
+    WHERE abs(CAST(d.x AS DOUBLE) - d.med) > 3 * 1.4826 * mad.mad
+"""
+
+
+@register("anomaly_mad", oracle=_MAD_ORACLE, tags=("timeseries", "anomaly"))
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flagging via median absolute deviation: flag rows
+    where |x − median| > 3·1.4826·MAD per event type, reporting the
+    robust z-score — the detector `anomaly_zscore` should have been
+    when the data has outliers, because mean/std are themselves dragged
+    by the very rows being hunted (50% breakdown point vs 0%).
+
+    MAD needs two dependent medians, so the plan is two aggregate
+    passes with a broadcast stitch between: per-type median (5-row
+    dim) → broadcast join → per-type median of |x − med| (5-row dim) →
+    broadcast join → flag filter. The event log crosses NO exchange in
+    any pass (percentile partials aggregate map-side; both joins are
+    broadcast), which is the property that survives 100 TB — swap exact
+    percentile for approx_percentile there and nothing else moves.
+    Integer-cent operands make both engines' interpolated medians
+    identical doubles; the flag compares the same exact quantities on
+    both sides, so the boundary rows agree.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+    )
+    med = c.groupBy("event_type").agg(F.percentile("x", F.lit(0.5)).alias("med"))
+    dev = c.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("x").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
+    j = dev.join(F.broadcast(mad), "event_type")
+    scale = 1.4826 * F.col("mad")
+    return j.filter(F.col("ad") > 3 * scale).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("ad") / scale * 1e4 + F.lit(0.5)).cast("bigint").alias("robust_z_1e4"),
+    )

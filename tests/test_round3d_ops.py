@@ -127,3 +127,60 @@ def test_seasonal_decompose_identities(spark, tmp_path):
             assert r.resid_1e2 is None
         else:
             assert r.cnt * 100 == r.trend_1e2 + r.seasonal_1e2 + r.resid_1e2
+
+
+def _write_documents(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, text, "en", src, len(text)) for i, (text, src) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_boilerplate_ngrams_threshold(spark, tmp_path):
+    """A 5-gram shared by 2 of 4 docs in a source (50% ≥ 30%) is
+    boilerplate; a unique tail is not; a doc from another source with
+    the SAME gram is untouched (threshold is per-source)."""
+    shared = "one two three four five"
+    rows = [
+        (shared + " aaa bbb", "s1"),      # 4 grams: 2 bp (positions 1-2... )
+        (shared + " ccc ddd", "s1"),
+        ("xxx yyy zzz www vvv uuu", "s1"),
+        ("ppp qqq rrr sss ttt", "s1"),
+        (shared, "s2"),                    # sole doc in s2: 100% >= 30%
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in SPECS["curate_boilerplate_ngrams"].fn(spark, sf).collect()}
+    # doc 0: tokens = 7 -> 3 grams; only the first gram (the shared 5) is
+    # common to docs 0 and 1 => 1 boilerplate of 3
+    assert (out[0].n_grams, out[0].n_boilerplate) == (3, 1)
+    assert out[2].n_boilerplate == 0
+    assert out[4].n_boilerplate == 1  # sole-doc source: its gram is 100%
+
+
+def test_winsorize_clips_and_flags(spark, tmp_path):
+    """21 values 0..20: p05 = 1.0, p95 = 19.0 exactly (index formula on
+    n=21) — 0 clips up to 1, 20 clips down to 19, 10 unchanged."""
+    from tests.test_round3c_ops import _write_events
+
+    rows = [(i, i, 1, "t", float(i)) for i in range(21)]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r.event_id: (r.clipped_1e4, r.was_clipped) for r in
+           SPECS["curate_winsorize"].fn(spark, sf).collect()}
+    assert out[0] == (1_0000, True)     # clipped up to 100 cents = 1.0
+    assert out[20] == (19_0000, True)
+    assert out[10] == (10_0000, False)
+
+
+def test_mad_flags_outlier_not_mean_dragged(spark, tmp_path):
+    """9 values near 10 plus one at 1000: MAD flags only the spike.
+    zscore with the dragged mean/std would see z≈2.85 < 2.5σ? — the
+    robust detector must flag it regardless."""
+    from tests.test_round3c_ops import _write_events
+
+    vals = [9.0, 9.5, 10.0, 10.0, 10.0, 10.5, 10.5, 11.0, 11.0, 1000.0]
+    rows = [(i, i, 1, "t", v) for i, v in enumerate(vals)]
+    sf = _write_events(spark, tmp_path, rows)
+    out = SPECS["anomaly_mad"].fn(spark, sf).collect()
+    assert [r.event_id for r in out] == [9]
