@@ -558,3 +558,75 @@ def analytics_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(tstat * 1e4 + F.lit(0.5)).cast("bigint").alias("t_stat_1e4"),
         F.floor(dof * 1e3 + F.lit(0.5)).cast("bigint").alias("welch_dof_1e3"),
     )
+
+
+_PARETO_ORACLE = """
+    WITH r AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT rev, ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile FROM r
+    ),
+    g AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(rev) AS BIGINT) AS revenue_cents
+      FROM d GROUP BY 1
+    )
+    SELECT decile, n_customers, revenue_cents,
+           CAST(floor(CAST(revenue_cents AS DOUBLE)
+                      / sum(revenue_cents) OVER () * 1e6 + 0.5) AS BIGINT)
+             AS share_1e6,
+           CAST(floor(CAST(sum(revenue_cents) OVER (ORDER BY decile) AS DOUBLE)
+                      / sum(revenue_cents) OVER () * 1e6 + 0.5) AS BIGINT)
+             AS cum_share_1e6
+    FROM g
+"""
+
+
+@register("analytics_pareto_share", oracle=_PARETO_ORACLE, tags=("analytics", "window"))
+def analytics_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration curve by customer decile — the 80/20 readout
+    ("the top 10% of customers carry X% of revenue"): customers ranked by
+    lifetime spend, dealt into deciles, each decile's share and the
+    cumulative share down the curve.
+
+    The log collapses in the per-customer aggregate (one shuffle); the
+    decile assignment is ONE global ntile window over the customer-level
+    table — the only global sort, on (rev, custkey) rows, with the pinned
+    tiebreak making decile boundaries deterministic. Everything after
+    runs on 10 rows (decile agg + two windows over it). At 100 TB the
+    global ntile over customers is the pressure point; the two-phase
+    distributed rank (`curate_pack_batches`' prefix-sum pattern) is the
+    drop-in replacement, leaving the decile table identical.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("rev")
+    )
+    d = r.select(
+        "rev",
+        F.ntile(10).over(Window.orderBy(F.col("rev").desc(), "o_custkey")).alias("decile"),
+    )
+    g = d.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("rev").alias("revenue_cents"),
+    )
+    total = Window.partitionBy()
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return g.select(
+        "decile",
+        "n_customers",
+        "revenue_cents",
+        F.floor(
+            F.col("revenue_cents").cast("double") / F.sum("revenue_cents").over(total) * 1e6
+            + F.lit(0.5)
+        ).cast("bigint").alias("share_1e6"),
+        F.floor(
+            F.sum("revenue_cents").over(cum).cast("double")
+            / F.sum("revenue_cents").over(total) * 1e6
+            + F.lit(0.5)
+        ).cast("bigint").alias("cum_share_1e6"),
+    )

@@ -864,3 +864,130 @@ def curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(clipped * 100 + F.lit(0.5)).cast("bigint").alias("clipped_1e4"),
         ((F.col("x") < F.col("lo")) | (F.col("x") > F.col("hi"))).alias("was_clipped"),
     )
+
+
+_CANONICAL_ORACLE = """
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(l) - 1, 0) + 1),
+               i -> l[i] || ' ' || l[i+1])) AS grams
+      FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, ' +', ' ', 'g'))), ' ') AS l
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.6
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    ),
+    all_docs AS (
+      SELECT doc.doc_id, coalesce(l.cluster_id, doc.doc_id) AS cluster_id,
+             doc.n_chars
+      FROM documents doc LEFT JOIN labels l USING (doc_id)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+      ) AS rn FROM all_docs
+    )
+    SELECT doc_id, cluster_id, rn = 1 AS keep FROM ranked
+"""
+
+
+@register(
+    "dedup_canonical_select",
+    oracle=_CANONICAL_ORACLE,
+    tags=("curation", "dedup", "iterative"),
+)
+def dedup_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION step the pair/cluster ops feed: pick one
+    canonical document per near-duplicate cluster — the longest, with
+    doc_id as the deterministic tiebreak (keep-longest is the standard
+    heuristic: truncated copies lose to their originals) — and emit the
+    full per-doc verdict table (doc, cluster, keep) that the curation
+    pipeline's filter consumes downstream.
+
+    Singletons never enter the cluster machinery: the CC labeling only
+    covers docs with at least one near-dup edge (node set of the pair
+    graph), so the corpus LEFT JOINs the label table — cluster-of-one ≡
+    own id — and the argmax window runs per cluster, where clusters are
+    near-dup-sized (tiny) and singletons are 1-row partitions. The
+    expensive stages are exactly `dedup_cluster_cc`'s (SSJoin pairs +
+    label propagation, see its scale notes); this op adds one
+    dimension-small left join against the corpus and a per-cluster
+    row_number — nothing new touches the raw text.
+    """
+    labels = dedup_cluster_cc(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ad = d.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        "n_chars",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    return ad.select(
+        "doc_id", "cluster_id", (F.row_number().over(w) == 1).alias("keep")
+    )
+
+
+_PROFILE_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_distinct_keys,
+           CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+             AS n_key_dups,
+           CAST(count(*) - count(l_shipdate) AS BIGINT) AS n_null_shipdate,
+           CAST(count_if(l_quantity <= 0) AS BIGINT) AS n_nonpos_qty,
+           CAST(count_if(l_discount < 0 OR l_discount > 1) AS BIGINT)
+             AS n_bad_discount,
+           CAST(min(epoch_us(CAST(l_shipdate AS TIMESTAMP))) AS BIGINT) AS min_ship_us,
+           CAST(max(epoch_us(CAST(l_shipdate AS TIMESTAMP))) AS BIGINT) AS max_ship_us
+    FROM lineitem
+"""
+
+
+@register("profile_table_quality", oracle=_PROFILE_ORACLE, tags=("curation", "agg"))
+def profile_table_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile of the fact table — the dbt-test /
+    Deequ-style assertion inputs (key uniqueness, null counts, domain
+    violations, freshness bounds) computed as ONE aggregate so profiling
+    a 100 TB table costs one scan, not one scan per check.
+
+    Everything partial-aggregates: counts and count_ifs are trivial;
+    the two distinct counts ride Spark's partial-distinct machinery
+    (per-task dedup before the exchange). At 100 TB the exact distincts
+    are the expensive checks — swap to approx_count_distinct and the
+    row stays one row (the documented exact/sketch trade, same as the
+    percentile family); the rest of the profile is unchanged. The
+    composite key check (count − distinct(key)) is the dup-rate
+    numerator a uniqueness assertion compares to 0.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.struct("l_orderkey", "l_linenumber")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.count_distinct(key).alias("n_distinct_keys"),
+        (F.count("*") - F.count_distinct(key)).alias("n_key_dups"),
+        (F.count("*") - F.count("l_shipdate")).alias("n_null_shipdate"),
+        F.count_if(F.col("l_quantity") <= 0).alias("n_nonpos_qty"),
+        F.count_if((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "n_bad_discount"
+        ),
+        F.min(F.unix_micros(F.col("l_shipdate").cast("timestamp"))).alias("min_ship_us"),
+        F.max(F.unix_micros(F.col("l_shipdate").cast("timestamp"))).alias("max_ship_us"),
+    )

@@ -10,7 +10,7 @@ scale horizontally. No Python UDF in any hot path.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from gvcf_hbase_spark.functions.textfns import STOPWORDS, stable_hash32, tokens
 from gvcf_hbase_spark.registry import register
@@ -545,4 +545,82 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         norm.alias("norm"),
         F.size(F.split(norm, " ")).alias("n_toks"),
+    )
+
+
+_KEYWORD_ORACLE = """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term <> '' GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, count(DISTINCT source) AS df FROM tf GROUP BY 1
+    ),
+    ns AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf,
+             CAST(floor(tf.tf * ln(CAST(ns.n_sources AS DOUBLE) / df.df) * 1e6 + 0.5)
+                  AS BIGINT) AS score_1e6
+      FROM tf JOIN df USING (term) CROSS JOIN ns
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY score_1e6 DESC, term
+      ) AS rnk FROM scored
+    )
+    SELECT source, CAST(rnk AS INT) AS rnk, term, tf, score_1e6
+    FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("text_keyword_topk", oracle=_KEYWORD_ORACLE, tags=("text", "window"))
+def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinguishing keywords per source domain: top-3 terms by
+    source-level tf·idf, where idf treats each SOURCE as the document
+    unit (ln(#sources / #sources-containing-term)) — the corpus-triage
+    readout ("what is this domain about") that guides mixture and
+    filter decisions before any model sees the data.
+
+    One corpus explode feeding one (source, term) aggregate — raw text
+    is tokenized exactly once; df re-aggregates from tf's output (the
+    `text_tfidf` trick: #terms-sized input, not a second corpus pass)
+    and the total-source count is a 1-row cross join. The top-k window
+    partitions by source over the scored term table — vocabulary-sized,
+    not corpus-sized. Scores quantize through the shared floor(x·1e6 +
+    0.5) convention: tf is an exact integer, ln runs on an exact integer
+    ratio, so both engines rank identical doubles and the (score, term)
+    tiebreak pins the boundary.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = tok.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count_distinct("source").alias("df"))
+    ns = d.agg(F.count_distinct("source").alias("n_sources"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "term",
+            "tf",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n_sources").cast("double") / F.col("df"))
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("score_1e6"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score_1e6").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("source", F.col("rnk").cast("int"), "term", "tf", "score_1e6")
     )

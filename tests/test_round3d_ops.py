@@ -184,3 +184,66 @@ def test_mad_flags_outlier_not_mean_dragged(spark, tmp_path):
     sf = _write_events(spark, tmp_path, rows)
     out = SPECS["anomaly_mad"].fn(spark, sf).collect()
     assert [r.event_id for r in out] == [9]
+
+
+def test_pareto_shares_sum_and_order(spark, tmp_path):
+    """10 customers with revenue 10..1 → one per decile, shares are
+    rev/55, cumulative share hits exactly 1e6 at decile 10."""
+    import datetime
+    d = datetime.datetime(2024, 1, 1)
+    rows = [(i, i, "O", float(11 - (i + 1)), d, "P") for i in range(10)]
+    sf = _write_orders(spark, tmp_path, rows)
+    out = {r.decile: r for r in SPECS["analytics_pareto_share"].fn(spark, sf).collect()}
+    assert len(out) == 10 and all(out[i].n_customers == 1 for i in out)
+    assert out[1].revenue_cents == 1000  # top decile = richest customer
+    assert out[1].share_1e6 == round(1000 / 5500 * 1e6)
+    assert out[10].cum_share_1e6 == 1_000_000
+
+
+def test_canonical_select_keeps_longest(spark, tmp_path):
+    """Two near-dup docs cluster; the longer one is kept. A singleton
+    is its own cluster and kept."""
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(a, "s"), (a + " iota", "s"), ("totally different words here now", "s")]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r.doc_id: (r.cluster_id, r.keep) for r in
+           SPECS["dedup_canonical_select"].fn(spark, sf).collect()}
+    assert out[0] == (0, False) and out[1] == (0, True)  # longer doc 1 kept
+    assert out[2] == (2, True)
+
+
+def test_profile_flags_dups_and_domain_violations(spark, tmp_path):
+    import datetime
+    d = datetime.datetime(1995, 6, 1)
+    rows = [
+        (1, 1, 1, 5.0, 100.0, 0.05, 0.0, "N", "O", d),
+        (1, 1, 2, 5.0, 100.0, 0.05, 0.0, "N", "O", d),
+        (1, 1, 2, -3.0, 100.0, 1.50, 0.0, "N", "O", d),  # dup key + bad qty + bad disc
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_linenumber long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    r = SPECS["profile_table_quality"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.n_rows, r.n_distinct_keys, r.n_key_dups) == (3, 2, 1)
+    assert (r.n_nonpos_qty, r.n_bad_discount) == (1, 1)
+    assert r.min_ship_us == r.max_ship_us
+
+
+def test_keyword_topk_distinguishes_sources(spark, tmp_path):
+    """A term exclusive to one source outranks shared vocabulary; terms
+    present in every source get idf 0 and never surface above it."""
+    rows = [
+        ("shared shared shared unique1 unique1", "s1"),
+        ("shared shared shared unique2", "s2"),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {(r.source, r.rnk): (r.term, r.score_1e6) for r in
+           SPECS["text_keyword_topk"].fn(spark, sf).collect()}
+    import math
+    assert out[("s1", 1)] == ("unique1", round(2 * math.log(2) * 1e6))
+    assert out[("s2", 1)][0] == "unique2"
+    assert out[("s1", 2)][1] == 0  # 'shared' in both sources: idf = ln(1) = 0
