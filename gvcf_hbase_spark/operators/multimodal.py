@@ -444,3 +444,53 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= 3)
     )
+
+
+_BYTE_HIST_ORACLE = """
+    SELECT ascii(substr(d.text, i.i, 1)) AS byte,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM documents d, LATERAL (
+      SELECT unnest(generate_series(1, length(d.text))) AS i
+    ) i
+    GROUP BY 1
+"""
+
+
+@register("multimodal_byte_histogram", oracle=_BYTE_HIST_ORACLE, tags=("multimodal",))
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide byte-value histogram over binary payloads — the
+    cheapest content fingerprint there is (codec detection, corruption
+    scans, entropy estimates all start here), and the pattern for ANY
+    distributive statistic over binary columns: per-batch numpy
+    ``bincount`` partials inside mapInPandas, then one 256-row-bounded
+    aggregate merges them.
+
+    The shuffle carries ≤ 256 rows per Arrow batch no matter how many
+    terabytes of payload stream through — the map side collapses each
+    batch to its local histogram (the same partial-aggregate discipline
+    as the JVM's hash aggregates, done in numpy because the JVM can't
+    fold over binary content). Payloads here are UTF-8 bytes of the
+    ASCII fixture corpus, so the oracle can replay byte counts with
+    character arithmetic (ascii ≡ byte below 0x80); a real media corpus
+    changes the payload source, not this plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wp = d.select(F.encode("text", "UTF-8").alias("payload"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            counts = np.zeros(256, dtype="int64")
+            for payload in pdf["payload"]:
+                b = np.frombuffer(bytes(payload), dtype="uint8")
+                counts += np.bincount(b, minlength=256)
+            nz = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {"byte": nz.astype("int32"), "cnt": counts[nz]}
+            )
+
+    partials = wp.mapInPandas(gen, "byte int, cnt long")
+    return partials.groupBy("byte").agg(F.sum("cnt").alias("cnt"))

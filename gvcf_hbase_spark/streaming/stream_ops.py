@@ -500,3 +500,43 @@ def stream_join_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     ).select("click_id", F.col("c_user").alias("user_id"), "purchase_id")
     return run_available_now(joined, "append")
+
+
+_COMPLETE_TOPK_ORACLE = """
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, total_cents
+    FROM c ORDER BY n_events DESC, user_id LIMIT 10
+"""
+
+
+@register("stream_complete_topk", oracle=_COMPLETE_TOPK_ORACLE, tags=("streaming",))
+def stream_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-output-mode leaderboard: top-10 users by event count,
+    maintained as a streaming aggregate — the third output mode, whose
+    contract differs from append/update in kind: every trigger REWRITES
+    the whole result table, which is what lets a sort+limit sit on top
+    of a streaming aggregation at all (append forbids it — row set
+    isn't monotone; a user can leave the top 10).
+
+    After the availableNow drain the memory sink holds the LAST rewrite
+    = the aggregate over the full fixture, so the batch top-k SQL is an
+    exact oracle (with the (n_events desc, user_id) tiebreak pinned so
+    the cut at rank 10 is deterministic). No watermark: complete-mode
+    aggregates keep all group state forever — correct and bounded here
+    (state = #users), the documented cost at 100 TB: complete mode fits
+    leaderboard-sized cardinalities, not raw-key ones; for unbounded
+    keys use update mode + an external upsert sink
+    (`stream_foreach_batch_upsert`).
+    """
+    base = read_events_stream(spark, sf_dir)
+    agg = base.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("total_cents"),
+    )
+    top = agg.orderBy(F.col("n_events").desc(), "user_id").limit(10)
+    return run_available_now(top, "complete")

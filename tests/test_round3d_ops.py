@@ -247,3 +247,13 @@ def test_keyword_topk_distinguishes_sources(spark, tmp_path):
     assert out[("s1", 1)] == ("unique1", round(2 * math.log(2) * 1e6))
     assert out[("s2", 1)][0] == "unique2"
     assert out[("s1", 2)][1] == 0  # 'shared' in both sources: idf = ln(1) = 0
+
+
+def test_byte_histogram_conservation(spark, tmp_path):
+    """Histogram counts sum to total corpus bytes; a known tiny corpus
+    yields exact per-byte counts."""
+    rows = [("aab", "s"), ("b c", "s")]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r.byte: r.cnt for r in SPECS["multimodal_byte_histogram"].fn(spark, sf).collect()}
+    assert out == {ord("a"): 2, ord("b"): 2, ord(" "): 1, ord("c"): 1}
+    assert sum(out.values()) == len("aab") + len("b c")

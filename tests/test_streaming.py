@@ -289,3 +289,66 @@ def test_stream_outer_join_containment_and_inner_exactness(spark):
     horizon_us = 12 * 3600 * 1_000_000
     overdue = {cid for cid, cts in unmatched_batch.items() if cts < mx - horizon_us}
     assert overdue <= nulls, f"withheld beyond horizon: {sorted(overdue - nulls)[:5]}"
+
+
+def test_complete_mode_topk_across_micro_batches(spark, tmp_path):
+    """Complete mode must REWRITE the leaderboard each trigger: drive the
+    top-10 aggregate through 4 forced micro-batches and the final memory
+    table must equal the batch top-10 over everything — no leftover rows
+    from earlier rewrites (a user who ranked top-10 mid-stream but not at
+    the end must be gone)."""
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as _F
+
+    from gvcf_hbase_spark.sources.tables import load_table, with_event_time
+
+    ev = load_table(spark, SF_DIR, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    pdf = ev.select(*cols).orderBy("ts_us_long", "event_id").toPandas()
+    d = tmp_path / "events_4files_topk"
+    d.mkdir()
+    for i, q in enumerate(np.array_split(pdf, 4)):
+        pq.write_table(
+            pa.Table.from_pandas(q.reset_index(drop=True), preserve_index=False),
+            str(d / f"{i:02d}.parquet"),
+        )
+
+    schema = spark.read.parquet(str(d)).schema
+    raw = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    agg = with_event_time(raw).groupBy("user_id").agg(
+        _F.count("*").alias("n_events"),
+        _F.sum(_F.round(_F.col("value") * 100, 0).cast("bigint")).alias("total_cents"),
+    )
+    top = agg.orderBy(_F.col("n_events").desc(), "user_id").limit(10)
+    name = f"topk_{uuid.uuid4().hex[:10]}"
+    q = (
+        top.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+
+    stream = [(r.user_id, r.n_events, r.total_cents) for r in spark.table(name).collect()]
+    batch = [
+        (r.user_id, r.n_events, r.total_cents)
+        for r in ev.groupBy("user_id")
+        .agg(
+            _F.count("*").alias("n_events"),
+            _F.sum(_F.round(_F.col("value") * 100, 0).cast("bigint")).alias("total_cents"),
+        )
+        .orderBy(_F.col("n_events").desc(), "user_id")
+        .limit(10)
+        .collect()
+    ]
+    assert sorted(stream) == sorted(batch)
+    assert len(stream) == 10
