@@ -49,6 +49,13 @@ HEADLINE = [
     "graph_pagerank",
     "ts_resample_interpolate",
     "text_chunk_sliding",
+    # round-3 batch 3: the heaviest round-3d shapes — the capped pair
+    # join (quadratic-pressure canary), the gram-level dual-shuffle
+    # boilerplate scan, and the two-window CUSUM recursion over the
+    # event log
+    "graph_bipartite_projection",
+    "curate_boilerplate_ngrams",
+    "anomaly_cusum",
 ]
 
 

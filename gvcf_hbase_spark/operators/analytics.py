@@ -630,3 +630,69 @@ def analytics_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("bigint").alias("cum_share_1e6"),
     )
+
+
+_PATTERN_ORACLE = """
+    WITH t AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    s AS (
+      SELECT event_id, user_id, event_type, us,
+             lead(event_type, 1) OVER w AS e1,
+             lead(event_type, 2) OVER w AS e2,
+             lead(us, 2) OVER w AS us2
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT event_id AS start_event_id, user_id, us AS start_us,
+           us2 - us AS span_us
+    FROM s
+    WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+      AND us2 - us <= 172800000000
+"""
+
+
+@register("analytics_pattern_match", oracle=_PATTERN_ORACLE, tags=("analytics", "window"))
+def analytics_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern detection (the MATCH_RECOGNIZE / Flink-CEP
+    kernel): find every STRICTLY CONSECUTIVE view → click → purchase run
+    per user completing within 48 hours — "no distraction between
+    intent and conversion" (the bound is sized to the fixture's ~9 h per-user
+    inter-event gap; the shape is bound-agnostic), a stricter signal than the funnel op's
+    anywhere-in-history chain.
+
+    A fixed-length pattern over consecutive rows needs no NFA: it
+    compiles to k−1 lead() columns + one conjunctive filter — every
+    pattern position becomes a column, the contiguity is the window
+    ordering itself, and the time bound is one subtraction. ONE
+    (user_id) exchange and sort; matching is a codegen'd filter, no
+    state machine, no UDF, and overlapping matches fall out for free
+    (each row starts its own candidate). Variable-length patterns
+    (A B* C) are where this shape ends — that's the documented boundary:
+    they need the island machinery (`win_gaps_islands`) or a stateful
+    processor (`stream_stateful`), both already in the inventory.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us_long", "event_id")
+    s = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts_us_long").alias("us"),
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+        F.lead("ts_us_long", 2).over(w).alias("us2"),
+    )
+    return s.filter(
+        (F.col("event_type") == "view")
+        & (F.col("e1") == "click")
+        & (F.col("e2") == "purchase")
+        & (F.col("us2") - F.col("us") <= 172_800_000_000)
+    ).select(
+        F.col("event_id").alias("start_event_id"),
+        "user_id",
+        F.col("us").alias("start_us"),
+        (F.col("us2") - F.col("us")).alias("span_us"),
+    )

@@ -618,3 +618,48 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
         F.try_parse_url(url, F.lit("QUERY"), F.lit("page")).alias("q_page"),
     )
+
+
+_MASKING_ORACLE = """
+    SELECT c_custkey,
+           'Customer#' || right(md5(CAST(c_custkey AS VARCHAR) || ':px'), 12)
+             AS masked_name,
+           CAST(round(c_acctbal / 100, 0) * 100 AS BIGINT) AS balance_band,
+           CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY')
+                THEN c_mktsegment ELSE 'OTHER' END AS segment_coarse
+    FROM customer
+"""
+
+
+@register("fn_data_masking", oracle=_MASKING_ORACLE, tags=("fn", "curation"))
+def fn_data_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance masking surface: pseudonymization (keyed-hash token that
+    is DETERMINISTIC — the same customer masks identically across tables
+    and runs, so joins still work on masked data), numeric generalization
+    (balance rounded to 100-currency bands), and category coarsening
+    (rare segments collapsed to OTHER) — the k-anonymity-style transforms
+    a data-sharing pipeline applies before export.
+
+    All three are per-row JVM expressions in one codegen span — masking a
+    100 TB table is exactly one scan+write, nothing shuffles. The token
+    is md5 over key+salt (md5 exists on both engines, making the oracle a
+    true independent replay; production would swap in sha2/aes_encrypt —
+    same plan, different expression). round-half-up banding on positive
+    and negative balances matches because both engines round |x|/100 on
+    exactly-representable cents-derived doubles.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    token = F.concat(
+        F.lit("Customer#"),
+        F.substring(F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(":px"))), -12, 12),
+    )
+    return c.select(
+        "c_custkey",
+        token.alias("masked_name"),
+        (F.round(F.col("c_acctbal") / 100, 0) * 100).cast("bigint").alias("balance_band"),
+        F.when(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY"), F.col("c_mktsegment")
+        )
+        .otherwise(F.lit("OTHER"))
+        .alias("segment_coarse"),
+    )

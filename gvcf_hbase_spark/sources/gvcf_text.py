@@ -481,3 +481,84 @@ def _register_depth_query() -> None:
 
 
 _register_depth_query()
+
+
+_GVCF_AF_ORACLE = r"""
+    WITH lines AS (
+      SELECT concat('s', o_orderkey % 4) AS sample_id,
+             concat('chr', 1 + o_orderkey % 2) AS contig,
+             o_orderkey AS start,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey + 2
+                  ELSE o_orderkey END AS fin,
+             CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE 1 END AS is_var,
+             CASE WHEN o_orderkey % 3 = 0 THEN '0/0' ELSE '0/1' END AS gt
+      FROM orders
+    ),
+    expanded AS (
+      SELECT sample_id, contig, CAST(p AS BIGINT) AS pos, is_var,
+             len(string_split(gt, '/')) AS ploidy,
+             len(list_filter(string_split(gt, '/'), x -> x = '1')) AS alt_alleles
+      FROM lines, unnest(range(start, fin + 1)) AS t(p)
+    )
+    SELECT contig, pos,
+           CAST(sum(alt_alleles) AS BIGINT) AS ac,
+           CAST(sum(ploidy) AS BIGINT) AS an,
+           CAST(floor(CAST(sum(alt_alleles) AS DOUBLE) / sum(ploidy) * 1e6 + 0.5)
+                AS BIGINT) AS af_1e6
+    FROM expanded
+    GROUP BY contig, pos
+    HAVING max(is_var) = 1
+"""
+
+
+def _register_af_query() -> None:
+    from gvcf_hbase_spark.registry import register
+
+    @register("gvcf_allele_freq", oracle=_GVCF_AF_ORACLE, tags=("gvcf",))
+    def gvcf_allele_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cohort allele frequency per variant site — THE downstream
+        consumer of the gVCF model: AC (alt allele count, from each
+        covering genotype's '1' entries), AN (total called alleles =
+        Σ ploidy over covering samples), AF = AC/AN. The reason gVCF
+        reference blocks exist at all is to make AN correct — a
+        variants-only representation can't distinguish "0/0 here" from
+        "no data here", and this query is where that distinction pays
+        (an AF with hom-ref samples missing from AN is inflated).
+
+        Same single-shuffle shape as the combine: expand blocks to
+        positions, aggregate on (contig, pos) with integer conditional
+        partials (allele counts parsed from GT by JVM split/filter,
+        ploidy = GT arity so haploid/triploid rows need no special
+        case), keep sites where any covering record is a variant. AC,
+        AN exact integers; only the final AF ratio is floated, floor-
+        quantized under the shared §5.4 convention.
+        """
+        from gvcf_hbase_spark.operators.gvcf import expand_blocks
+
+        recs = parse_gvcf_lines(_fixture_lines(spark, sf_dir, span=2))
+        gt_parts = F.split(F.col("gt"), "/")
+        pos = expand_blocks(
+            recs.withColumn("ploidy", F.size(gt_parts).cast("long")).withColumn(
+                "alt_alleles",
+                F.size(F.filter(gt_parts, lambda x: x == "1")).cast("long"),
+            )
+        )
+        return (
+            pos.groupBy("contig", "pos")
+            .agg(
+                F.sum("alt_alleles").alias("ac"),
+                F.sum("ploidy").alias("an"),
+                F.floor(
+                    F.sum("alt_alleles").cast("double") / F.sum("ploidy") * 1e6
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("af_1e6"),
+                F.max(F.col("is_variant").cast("int")).alias("__v"),
+            )
+            .filter(F.col("__v") == 1)
+            .drop("__v")
+        )
+
+
+_register_af_query()

@@ -353,3 +353,45 @@ def test_operators_on_empty_inputs(spark):
         ]
         == 0
     )
+
+
+def test_allele_freq_counts_ref_blocks_in_an(spark):
+    """The gVCF raison d'être: AN at a variant site must include samples
+    whose hom-ref BLOCK covers the site. s1 has 0/1 at pos 5 (AC=1); s2's
+    ref block [4,6] covers pos 5 (adds 2 to AN, 0 to AC) → AF = 1/4.
+    Without block expansion AF would wrongly be 1/2. Also: a 1/1 genotype
+    contributes AC=2."""
+    import pyspark.sql.functions as F
+
+    from gvcf_hbase_spark.operators.gvcf import expand_blocks
+    from gvcf_hbase_spark.sources.gvcf_text import parse_gvcf_lines
+
+    lines = spark.createDataFrame(
+        [
+            ("s1", "chr1\t5\t.\tA\tT,<NON_REF>\t50\tPASS\tDP=9\tGT:DP\t0/1:9"),
+            ("s2", "chr1\t4\t.\tA\t<NON_REF>\t50\tPASS\tEND=6\tGT:DP\t0/0:8"),
+            ("s3", "chr1\t9\t.\tA\tT,<NON_REF>\t50\tPASS\tDP=9\tGT:DP\t1/1:9"),
+        ],
+        "sample_id string, line string",
+    )
+    recs = parse_gvcf_lines(lines)
+    gt_parts = F.split(F.col("gt"), "/")
+    pos = expand_blocks(
+        recs.withColumn("ploidy", F.size(gt_parts).cast("long")).withColumn(
+            "alt_alleles", F.size(F.filter(gt_parts, lambda x: x == "1")).cast("long")
+        )
+    )
+    out = (
+        pos.groupBy("contig", "pos")
+        .agg(
+            F.sum("alt_alleles").alias("ac"),
+            F.sum("ploidy").alias("an"),
+            F.max(F.col("is_variant").cast("int")).alias("v"),
+        )
+        .filter(F.col("v") == 1)
+        .collect()
+    )
+    by_pos = {r.pos: (r.ac, r.an) for r in out}
+    assert by_pos[5] == (1, 4)   # ref block counted in AN
+    assert by_pos[9] == (2, 2)   # hom-alt: both alleles count
+    assert 4 not in by_pos and 6 not in by_pos  # pure-ref positions dropped

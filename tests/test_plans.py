@@ -67,6 +67,7 @@ def test_relational_paths_are_jvm_only(spark):
         "multimodal_resize", "stream_stateful", "agg_heavy_hitters",
         "sim_cosine_pairs_blocked", "sim_knn_blocked", "multimodal_audio_energy",
         "udf_arrow_scalar", "multimodal_phash_neardup",
+        "multimodal_byte_histogram",
     }
     for key, spec in SPECS.items():
         if key in python_ok or "streaming" in spec.tags:
@@ -87,6 +88,8 @@ def test_no_cartesian_products_anywhere(spark):
     one_row_cross_ok = {"text_tfidf", "curate_mix_weights", "subquery_scalar",
                         "q11_important_parts", "q22_idle_customers",
                         "agg_heavy_hitters", "text_unigram_logprob",
+                        # 1-row n_sources total for the idf denominator
+                        "text_keyword_topk",
                         # fixture-graph construction crosses a 1-row count
                         "graph_triangle_count",
                         # deliberate B-row broadcast replication (query side

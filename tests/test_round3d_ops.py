@@ -257,3 +257,32 @@ def test_byte_histogram_conservation(spark, tmp_path):
     out = {r.byte: r.cnt for r in SPECS["multimodal_byte_histogram"].fn(spark, sf).collect()}
     assert out == {ord("a"): 2, ord("b"): 2, ord(" "): 1, ord("c"): 1}
     assert sum(out.values()) == len("aab") + len("b c")
+
+
+def test_pattern_match_contiguity(spark, tmp_path):
+    """v->c->p strictly consecutive matches; an interleaved error event
+    breaks contiguity (the CEP semantics, vs the funnel's anywhere
+    chain); overlapping candidates each report their own start."""
+    from tests.test_round3c_ops import _write_events
+
+    rows = [(0, 0, 1, "view", 1.0), (1, 10, 1, "click", 1.0), (2, 20, 1, "purchase", 1.0)]
+    rows += [(10, 0, 2, "view", 1.0), (11, 10, 2, "click", 1.0),
+             (12, 20, 2, "error", 1.0), (13, 30, 2, "purchase", 1.0)]
+    sf = _write_events(spark, tmp_path, rows)
+    out = [(r.start_event_id, r.user_id, r.span_us) for r in
+           SPECS["analytics_pattern_match"].fn(spark, sf).collect()]
+    assert out == [(0, 1, 20_000_000)]
+
+
+def test_masking_deterministic_and_join_safe(spark):
+    """The pseudonym is stable across invocations (join-safe) and
+    distinct per customer; banding rounds half away from zero on both
+    signs."""
+    from tests.conftest import SF_DIR
+
+    a = {r.c_custkey: r.masked_name for r in SPECS["fn_data_masking"].fn(spark, SF_DIR).collect()}
+    b = {r.c_custkey: r.masked_name for r in SPECS["fn_data_masking"].fn(spark, SF_DIR).collect()}
+    assert a == b
+    assert len(set(a.values())) == len(a)  # no token collisions at this scale
+    bands = {r.c_custkey: r.balance_band for r in SPECS["fn_data_masking"].fn(spark, SF_DIR).collect()}
+    assert all(v % 100 == 0 for v in bands.values())
