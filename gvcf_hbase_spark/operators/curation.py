@@ -991,3 +991,69 @@ def profile_table_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros(F.col("l_shipdate").cast("timestamp"))).alias("min_ship_us"),
         F.max(F.unix_micros(F.col("l_shipdate").cast("timestamp"))).alias("max_ship_us"),
     )
+
+
+_BUDGET_SELECT_ORACLE = """
+    WITH q AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(floor(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                        / len(string_split(text, ' ')) * 1e6 + 0.5) AS BIGINT)
+               AS quality_1e6
+      FROM documents
+    ),
+    r AS (
+      SELECT *, sum(n_tokens) OVER (
+        ORDER BY quality_1e6 DESC, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS cum_tokens
+      FROM q
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality_1e6,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           cum_tokens <= 10000 AS selected
+    FROM r
+"""
+
+
+@register("curate_budget_select", oracle=_BUDGET_SELECT_ORACLE, tags=("curation", "window"))
+def curate_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection: fill a 10k-token training budget with
+    the highest-quality documents — greedy by quality (type-token ratio
+    here; any scalar score plugs in), cut where the running token total
+    crosses the budget. The verdict column keeps rejected docs visible,
+    so budget sweeps re-rank without recomputing scores.
+
+    Scoring is a per-row map over the corpus (one pass, no shuffle); the
+    greedy selection is ONE global running-sum window ordered on the
+    (score, doc_id)-pinned rank — the same global-order pressure point
+    as `curate_shard_balance`, with the same documented 100 TB swap:
+    two-phase distributed prefix sum (per-bucket totals → bucket offsets
+    → local cumsum), which `curate_pack_batches` already implements for
+    its packing pass. Greedy-by-score is the industry-standard knapsack
+    relaxation (items ≪ budget ⇒ within one doc of optimal).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    q = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.floor(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("quality_1e6"),
+    )
+    w = (
+        Window.orderBy(F.col("quality_1e6").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = q.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return r.select(
+        "doc_id",
+        "n_tokens",
+        "quality_1e6",
+        "cum_tokens",
+        (F.col("cum_tokens") <= 10_000).alias("selected"),
+    )

@@ -500,3 +500,69 @@ def win_frame_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 4).alias("hour_sum"),
         F.count("*").over(w).cast("bigint").alias("hour_n"),
     )
+
+
+_SESSION_ROLLUP_ORACLE = """
+    WITH ordered AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             lag(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_t
+      FROM events
+    ),
+    tagged AS (
+      SELECT *, CAST(sum(CASE WHEN prev_t IS NULL OR t - prev_t >= 1800000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, session_id,
+           min(t) AS start_us, max(t) AS end_us,
+           max(t) - min(t) AS duration_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM tagged
+    GROUP BY user_id, session_id
+"""
+
+
+@register("win_session_rollup", oracle=_SESSION_ROLLUP_ORACLE, tags=("window", "analytics"))
+def win_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-LEVEL metrics (start, end, duration, events, spend) on top
+    of gaps-and-islands sessionization — the table a product-analytics
+    team actually reads; `win_gaps_islands` tags events, this rolls the
+    tags up. 30-minute inactivity boundary, same as the streaming
+    session-window twin.
+
+    The rollup groups on (user_id, session_id) — a REFINEMENT of the
+    window's user_id partitioning, so the aggregate's exchange
+    requirement is already satisfied by the window stage's shuffle:
+    one full-data exchange end-to-end, aggregate runs partial→final on
+    co-located rows. Duration stays exact integer µs; session_id is the
+    running-flag sum, deterministic under the (t, event_id) tiebreak.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us_long", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts_us_long", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev_t = F.lag("ts_us_long").over(w)
+    new_s = F.when(
+        prev_t.isNull() | (F.col("ts_us_long") - prev_t >= 1_800_000_000), 1
+    ).otherwise(0)
+    tagged = ev.select(
+        "user_id",
+        "ts_us_long",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.sum(new_s).over(run).alias("session_id"),
+    )
+    return tagged.groupBy("user_id", "session_id").agg(
+        F.min("ts_us_long").alias("start_us"),
+        F.max("ts_us_long").alias("end_us"),
+        (F.max("ts_us_long") - F.min("ts_us_long")).alias("duration_us"),
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("total_cents"),
+    )

@@ -286,3 +286,31 @@ def test_masking_deterministic_and_join_safe(spark):
     assert len(set(a.values())) == len(a)  # no token collisions at this scale
     bands = {r.c_custkey: r.balance_band for r in SPECS["fn_data_masking"].fn(spark, SF_DIR).collect()}
     assert all(v % 100 == 0 for v in bands.values())
+
+
+def test_session_rollup_boundaries(spark, tmp_path):
+    """Events at 0s, 100s, then 1900s (>=30 min gap) → two sessions:
+    first spans 100s with 2 events, second is a singleton."""
+    from tests.test_round3c_ops import _write_events
+
+    rows = [(0, 0, 1, "view", 1.0), (1, 100, 1, "view", 2.0), (2, 1900, 1, "view", 3.0)]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r.session_id: r for r in SPECS["win_session_rollup"].fn(spark, sf).collect()}
+    assert len(out) == 2
+    assert (out[1].n_events, out[1].duration_us, out[1].total_cents) == (2, 100_000_000, 300)
+    assert (out[2].n_events, out[2].duration_us) == (1, 0)
+
+
+def test_budget_select_greedy_cut(spark, tmp_path):
+    """Docs with quality 1.0 (all-distinct tokens) fill the budget in
+    doc_id order until the running total crosses 10k tokens; the first
+    doc past the boundary is rejected."""
+    rows = []
+    for i in range(4):
+        toks = [f"w{i}_{j}" for j in range(4000)]  # 4000 distinct tokens
+        rows.append((" ".join(toks), "s"))
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r.doc_id: (r.cum_tokens, r.selected) for r in
+           SPECS["curate_budget_select"].fn(spark, sf).collect()}
+    assert out[0] == (4000, True) and out[1] == (8000, True)
+    assert out[2] == (12000, False) and out[3] == (16000, False)
