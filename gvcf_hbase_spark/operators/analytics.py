@@ -696,3 +696,73 @@ def analytics_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("us").alias("start_us"),
         (F.col("us2") - F.col("us")).alias("span_us"),
     )
+
+
+_WILSON_ORACLE = """
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(count(DISTINCT CASE WHEN value > 15 THEN user_id END) AS BIGINT)
+               AS n_converted
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n_users, n_converted,
+           CAST(floor(CAST(n_converted AS DOUBLE) / n_users * 1e6 + 0.5) AS BIGINT)
+             AS rate_1e6,
+           CAST(floor(
+             ((CAST(n_converted AS DOUBLE) / n_users + 3.8416 / (2 * n_users)
+               - 1.96 * sqrt((CAST(n_converted AS DOUBLE) / n_users)
+                             * (1 - CAST(n_converted AS DOUBLE) / n_users) / n_users
+                             + 3.8416 / (4.0 * n_users * n_users)))
+              / (1 + 3.8416 / n_users)) * 1e6 + 0.5) AS BIGINT) AS wilson_lo_1e6,
+           CAST(floor(
+             ((CAST(n_converted AS DOUBLE) / n_users + 3.8416 / (2 * n_users)
+               + 1.96 * sqrt((CAST(n_converted AS DOUBLE) / n_users)
+                             * (1 - CAST(n_converted AS DOUBLE) / n_users) / n_users
+                             + 3.8416 / (4.0 * n_users * n_users)))
+              / (1 + 3.8416 / n_users)) * 1e6 + 0.5) AS BIGINT) AS wilson_hi_1e6
+    FROM s
+"""
+
+
+@register("analytics_rate_wilson", oracle=_WILSON_ORACLE, tags=("analytics",))
+def analytics_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type user conversion rate with its 95% Wilson score interval —
+    the uncertainty band a rate should never ship without (the naive
+    Wald interval collapses to zero width at p→0/1 and small n; Wilson
+    stays calibrated, which is why it's the standard for funnel and CTR
+    readouts).
+
+    One distinct-count aggregate produces (n, k) per type; the interval
+    is pure scalar algebra on those two integers — computed in the
+    SELECT, no second pass, no UDF. z = 1.96 enters only as the
+    constants z² = 3.8416 and z — both engines evaluate the identical
+    IEEE expression tree on identical integer-derived operands, so the
+    floor-quantized bounds agree exactly. At 100 TB the exact distincts
+    are the only cost — the same sketch swap as `profile_table_quality`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct(
+            F.when(F.col("value") > 15, F.col("user_id"))
+        ).alias("n_converted"),
+    )
+    n = F.col("n_users").cast("double")
+    p = F.col("n_converted").cast("double") / n
+    z2 = 3.8416
+    center = p + z2 / (2 * n)
+    margin = 1.96 * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    denom = 1 + z2 / n
+    return s.select(
+        "event_type",
+        "n_users",
+        "n_converted",
+        F.floor(p * 1e6 + F.lit(0.5)).cast("bigint").alias("rate_1e6"),
+        F.floor((center - margin) / denom * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("wilson_lo_1e6"),
+        F.floor((center + margin) / denom * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("wilson_hi_1e6"),
+    )

@@ -710,3 +710,76 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("ad") / scale * 1e4 + F.lit(0.5)).cast("bigint").alias("robust_z_1e4"),
     )
+
+
+_FORECAST_ORACLE = """
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 % 24 AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    ),
+    mx AS (SELECT max(day) AS last_day FROM h),
+    train AS (
+      SELECT event_type, hod,
+             CAST(floor(CAST(sum(cnt) * 100 AS DOUBLE) / count(*)) AS BIGINT)
+               AS forecast_1e2
+      FROM h, mx WHERE day < last_day GROUP BY 1, 2
+    ),
+    actual AS (
+      SELECT event_type, hod, cnt AS actual FROM h, mx WHERE day = last_day
+    )
+    SELECT t.event_type, t.hod, t.forecast_1e2,
+           coalesce(a.actual, 0) AS actual,
+           abs(coalesce(a.actual, 0) * 100 - t.forecast_1e2) AS abs_err_1e2
+    FROM train t LEFT JOIN actual a USING (event_type, hod)
+"""
+
+
+@register("ts_forecast_seasonal_naive", oracle=_FORECAST_ORACLE, tags=("timeseries",))
+def ts_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast WITH its backtest: predict the final day's
+    hourly event rate per type as the mean of the same hour-of-day over
+    all prior days, and score |actual − forecast| — the baseline every
+    fancier forecaster must beat, and the shape of a proper backtest
+    (train strictly before the scored day; an hour absent from the held-
+    out day scores as 0 actual, not a dropped row).
+
+    The log collapses in ONE (type, day, hod) aggregate; the train/test
+    split is a filter against a 1-row max-day aggregate (broadcast),
+    so no event row is read twice and nothing about the plan changes if
+    the holdout becomes a date literal from a scheduler. Train means are
+    floor-scaled exact integers (sum·100/count on day-count operands);
+    the error column stays in the same 1e2 fixed-point domain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        (F.col("ts_us_long") / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        ((F.col("ts_us_long") / F.lit(3_600_000_000)).cast("bigint") % 24).alias("hod"),
+    ).agg(F.count("*").alias("cnt"))
+    mx = h.agg(F.max("day").alias("last_day"))
+    hh = h.crossJoin(F.broadcast(mx))
+    train = (
+        hh.filter(F.col("day") < F.col("last_day"))
+        .groupBy("event_type", "hod")
+        .agg(
+            F.floor((F.sum("cnt") * 100).cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("forecast_1e2")
+        )
+    )
+    actual = hh.filter(F.col("day") == F.col("last_day")).select(
+        "event_type", "hod", F.col("cnt").alias("actual")
+    )
+    j = train.join(actual, ["event_type", "hod"], "left").withColumn(
+        "actual", F.coalesce(F.col("actual"), F.lit(0))
+    )
+    return j.select(
+        "event_type",
+        "hod",
+        "forecast_1e2",
+        "actual",
+        F.abs(F.col("actual") * 100 - F.col("forecast_1e2")).alias("abs_err_1e2"),
+    )

@@ -314,3 +314,41 @@ def test_budget_select_greedy_cut(spark, tmp_path):
            SPECS["curate_budget_select"].fn(spark, sf).collect()}
     assert out[0] == (4000, True) and out[1] == (8000, True)
     assert out[2] == (12000, False) and out[3] == (16000, False)
+
+
+def test_forecast_seasonal_naive_closed_form(spark, tmp_path):
+    """3 train days with counts 1,2,3 at hour 0 → forecast 2.00; holdout
+    day has 5 events at hour 0 → abs error 3.00. An hour active only in
+    train scores actual 0."""
+    from tests.test_round3c_ops import _write_events
+
+    rows = []
+    eid = 0
+    for day, n in [(0, 1), (1, 2), (2, 3)]:
+        for j in range(n):
+            rows.append((eid, day * 86400 + j, 1, "view", 1.0)); eid += 1
+    # train-only hour 5 on day 0
+    rows.append((eid, 5 * 3600, 1, "view", 1.0)); eid += 1
+    # holdout day 3: 5 events at hour 0
+    for j in range(5):
+        rows.append((eid, 3 * 86400 + j, 1, "view", 1.0)); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r.hod: r for r in SPECS["ts_forecast_seasonal_naive"].fn(spark, sf).collect()}
+    assert (out[0].forecast_1e2, out[0].actual, out[0].abs_err_1e2) == (200, 5, 300)
+    assert (out[5].forecast_1e2, out[5].actual) == (100, 0)
+
+
+def test_wilson_interval_bounds(spark, tmp_path):
+    """k=n (all converted): Wilson hi = 1 exactly, lo = n/(n+z²) — both
+    inside [0,1], unlike Wald's degenerate zero-width band; rate is
+    monotone inside the interval."""
+    from tests.test_round3c_ops import _write_events
+
+    rows = [(i, i, i, "t", 20.0) for i in range(4)]  # 4 users, all > 15
+    sf = _write_events(spark, tmp_path, rows)
+    r = SPECS["analytics_rate_wilson"].fn(spark, sf).collect()[0]
+    assert (r.n_users, r.n_converted, r.rate_1e6) == (4, 4, 1_000_000)
+    assert r.wilson_hi_1e6 == 1_000_000
+    lo_expected = round(4 / (4 + 3.8416) * 1e6)  # p=1 ⇒ lo = n/(n+z²)
+    assert abs(r.wilson_lo_1e6 - lo_expected) <= 1
+    assert 0 < r.wilson_lo_1e6 < r.rate_1e6 <= r.wilson_hi_1e6
