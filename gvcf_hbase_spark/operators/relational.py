@@ -968,3 +968,47 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balance_cents"
         ),
     )
+
+
+@register(
+    "agg_geometric_mean",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(exp(avg(ln(CAST(round(l_extendedprice * 100, 0) AS BIGINT))))
+                      * 100 + 0.5) AS BIGINT) AS geo_mean_1e2
+    FROM lineitem
+    WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean per group via the exp∘avg∘ln decomposition — the
+    correct central tendency for ratio/multiplicative data (speedups,
+    growth factors, price indices) where the arithmetic mean is biased
+    by construction.
+
+    No engine ships geo_mean as an aggregate, but the log-domain
+    identity turns it into a plain partial-aggregable AVG: per-row ln
+    (codegen), map-side partial sums, one tiny shuffle — identical plan
+    shape to any sum/avg, so it scales like one. ln runs on exact
+    integer cents so both engines see identical operands; avg's
+    summation order can differ across engines by ±ulps, which the 1e2
+    output quantization absorbs (a looser gate than the integer ops use
+    — the documented cost of a transcendental aggregate). Positive-only
+    filter is part of the contract: ln(0) is the caller's bug, not a
+    NULL to paper over.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    return (
+        li.filter(F.col("l_extendedprice") > 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.floor(F.exp(F.avg(F.log(cents))) * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("geo_mean_1e2"),
+        )
+    )

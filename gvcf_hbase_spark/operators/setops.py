@@ -104,3 +104,25 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_orderpriority").alias("prio"))
     b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("prio"))
     return a.intersectAll(b)
+
+
+@register(
+    "set_except_distinct",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("setop",),
+)
+def set_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI set difference (EXCEPT DISTINCT) — completes the six-operator
+    set algebra alongside the bag form (`set_except`): customers holding
+    open orders but no finished ones, one row per distinct key. Plans as
+    a left-anti join on the whole row after per-side dedup — duplicates
+    collapse BEFORE the anti probe, so the shuffle carries distinct rows
+    only (the bag form must carry multiplicities instead)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.subtract(b)

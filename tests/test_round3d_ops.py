@@ -352,3 +352,24 @@ def test_wilson_interval_bounds(spark, tmp_path):
     lo_expected = round(4 / (4 + 3.8416) * 1e6)  # p=1 ⇒ lo = n/(n+z²)
     assert abs(r.wilson_lo_1e6 - lo_expected) <= 1
     assert 0 < r.wilson_lo_1e6 < r.rate_1e6 <= r.wilson_hi_1e6
+
+
+def test_geometric_mean_closed_form(spark, tmp_path):
+    """Prices 1.00 and 100.00 → geometric mean exactly 10.00 (1000
+    cents): exp(avg(ln)) on exact cents, floor-quantized."""
+    import datetime
+    d = datetime.datetime(1995, 1, 1)
+    rows = [
+        (1, 1, 1, 1.0, 1.0, 0.0, 0.0, "A", "O", d),
+        (1, 1, 2, 1.0, 100.0, 0.0, 0.0, "A", "O", d),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_linenumber long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    r = SPECS["agg_geometric_mean"].fn(spark, str(tmp_path)).collect()[0]
+    # cents 100 and 10000: geo mean 1000 cents -> x100 fixed point
+    assert (r.n, r.geo_mean_1e2) == (2, 100_000)
