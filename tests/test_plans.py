@@ -90,6 +90,8 @@ def test_no_cartesian_products_anywhere(spark):
                         "agg_heavy_hitters", "text_unigram_logprob",
                         # 1-row n_sources total for the idf denominator
                         "text_keyword_topk",
+                        # 1-row max-day broadcast for the train/test split
+                        "ts_forecast_seasonal_naive",
                         # fixture-graph construction crosses a 1-row count
                         "graph_triangle_count",
                         # deliberate B-row broadcast replication (query side
