@@ -107,3 +107,84 @@ def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(nxt - 1, F.lit(9223372036854775807)).alias("valid_to_us"),
         nxt.isNull().alias("is_current"),
     )
+
+
+_PIT_JOIN_ORACLE = """
+    WITH dim AS (
+      SELECT user_id, event_id AS version_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS state_cents,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+             coalesce(lead(epoch_us(CAST(ts AS TIMESTAMP)))
+                        OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) - 1,
+                      9223372036854775807) AS valid_to_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    probe AS (
+      SELECT event_id AS click_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.click_id, p.user_id, d.version_id, d.state_cents
+    FROM probe p JOIN dim d
+      ON p.user_id = d.user_id
+     AND p.t BETWEEN d.valid_from_us AND d.valid_to_us
+"""
+
+
+@register("join_point_in_time", oracle=_PIT_JOIN_ORACLE, tags=("cdc", "join"))
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against a versioned SCD2 dimension:
+    each click is joined to the purchase-state version VALID at the
+    click's timestamp — the feature-store join that prevents training-
+    data leakage (a feature computed after the label's timestamp must
+    never be visible; the validity interval enforces it structurally).
+
+    Same ANSWER as the as-of join, different physical contract: `join_asof`
+    rebuilds carry-forward state from the raw history each run (one
+    union+window, no join), while this op consumes a dimension ALREADY
+    STORED as SCD2 intervals — the shape a warehouse maintains
+    incrementally (`cdc_scd2_intervals` builds it; this joins it). Plan:
+    equi join on the key with the interval predicate as a post-join
+    filter — versions-per-key is small and bounded (a dimension, not an
+    event log), so the per-key match scan is cheap and no BETWEEN-driven
+    BNL appears; clicks before a user's first purchase drop out (inner),
+    matching the interval semantics exactly. MAX_LONG open intervals mean
+    the predicate needs no NULL branch on either engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us_long", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("state_cents"),
+            F.col("ts_us_long").alias("valid_from_us"),
+            "event_id",
+        )
+        .withColumn(
+            "valid_to_us",
+            F.coalesce(
+                F.lead("valid_from_us").over(
+                    Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+                )
+                - 1,
+                F.lit(9223372036854775807),
+            ),
+        )
+        .drop("event_id")
+    )
+    probe = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts_us_long").alias("t"),
+    )
+    return (
+        probe.join(dim, "user_id")
+        .filter(
+            (F.col("t") >= F.col("valid_from_us"))
+            & (F.col("t") <= F.col("valid_to_us"))
+        )
+        .select("click_id", "user_id", "version_id", "state_cents")
+    )

@@ -373,3 +373,24 @@ def test_geometric_mean_closed_form(spark, tmp_path):
     r = SPECS["agg_geometric_mean"].fn(spark, str(tmp_path)).collect()[0]
     # cents 100 and 10000: geo mean 1000 cents -> x100 fixed point
     assert (r.n, r.geo_mean_1e2) == (2, 100_000)
+
+
+def test_point_in_time_join_versions(spark, tmp_path):
+    """Purchases at t=10 (v), t=30 (v') version the user's state: a click
+    at t=5 predates all versions (dropped — no leakage), t=15 sees v,
+    t=35 sees the open current version v'."""
+    from tests.test_round3c_ops import _write_events
+
+    rows = [
+        (1, 10, 7, "purchase", 11.0),
+        (2, 30, 7, "purchase", 22.0),
+        (3, 5, 7, "click", 0.0),
+        (4, 15, 7, "click", 0.0),
+        (5, 35, 7, "click", 0.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r.click_id: (r.version_id, r.state_cents) for r in
+           SPECS["join_point_in_time"].fn(spark, sf).collect()}
+    assert 3 not in out             # pre-history click never sees a future version
+    assert out[4] == (1, 1100)
+    assert out[5] == (2, 2200)
