@@ -1012,3 +1012,71 @@ def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("geo_mean_1e2"),
         )
     )
+
+
+@register(
+    "source_csv_corrupt_recovery",
+    oracle="""
+    WITH lines AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 13 = 0
+                  THEN concat('garbage-', c_mktsegment)
+                  ELSE concat_ws(',', CAST(c_custkey AS VARCHAR), c_mktsegment,
+                                 CAST(CAST(round(c_acctbal * 100, 0) AS BIGINT)
+                                      AS VARCHAR))
+             END AS line
+      FROM customer
+    )
+    SELECT
+      CAST(count_if(c_custkey % 13 <> 0) AS BIGINT) AS n_good,
+      CAST(count_if(c_custkey % 13 = 0) AS BIGINT) AS n_corrupt,
+      CAST(sum(CASE WHEN c_custkey % 13 <> 0
+                    THEN CAST(split_part(line, ',', 3) AS BIGINT) END) AS BIGINT)
+        AS good_balance_cents
+    FROM lines
+"""
+    ,
+    tags=("scan", "source"),
+)
+def source_csv_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record RECOVERY on delimited ingest — the property that
+    separates an engine from a script: poisoned rows (1-in-13 here,
+    deterministically) must neither kill the job (FAILFAST would) nor
+    vanish silently (DROPMALFORMED would), but land in a quarantine
+    column for audit. PERMISSIVE mode + columnNameOfCorruptRecord is
+    that contract; this op reports the good/corrupt split and an
+    aggregate over the clean rows only.
+
+    The corrupt row's typed columns parse to NULL and the raw line is
+    preserved in ``_bad`` — count(_bad) IS the quarantine metric a
+    100 TB ingest dashboards on (and the rows it would divert to a
+    dead-letter table). from_csv carries mode options exactly like the
+    file reader, so the tested semantics transfer to spark.read.csv
+    unchanged. A row is corrupt here when its numeric column can't
+    type — schema violation, not just delimiter damage.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint").cast("string")
+    line = F.when(
+        F.col("c_custkey") % 13 == 0,
+        F.concat(F.lit("garbage-"), F.col("c_mktsegment")),
+    ).otherwise(
+        F.concat_ws(",", F.col("c_custkey").cast("string"), F.col("c_mktsegment"), cents)
+    )
+    parsed = F.from_csv(
+        line,
+        "k BIGINT, segment STRING, balance_cents BIGINT, _bad STRING",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_bad"},
+    )
+    t = c.select(parsed.alias("p")).select(
+        F.col("p.k").alias("k"),
+        F.col("p.balance_cents").alias("balance_cents"),
+        F.col("p._bad").alias("_bad"),
+    )
+    return t.agg(
+        F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_good"),
+        F.count("_bad").alias("n_corrupt"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("balance_cents"))).alias(
+            "good_balance_cents"
+        ),
+    )

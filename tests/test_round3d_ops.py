@@ -394,3 +394,17 @@ def test_point_in_time_join_versions(spark, tmp_path):
     assert 3 not in out             # pre-history click never sees a future version
     assert out[4] == (1, 1100)
     assert out[5] == (2, 2200)
+
+
+def test_csv_corrupt_recovery_split(spark, tmp_path):
+    """Custkeys 12,13,14: only 13 (13%13==0) is poisoned → 2 good rows,
+    1 quarantined, and the good-row aggregate excludes the bad row's
+    value entirely."""
+    rows = [(k, f"Customer#{k}", 1, float(k), "BUILDING") for k in (12, 13, 14)]
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    r = SPECS["source_csv_corrupt_recovery"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.n_good, r.n_corrupt) == (2, 1)
+    assert r.good_balance_cents == 1200 + 1400
