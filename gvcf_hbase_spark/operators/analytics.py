@@ -481,7 +481,7 @@ def analytics_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AB_TTEST_ORACLE = """
     WITH t AS (
       SELECT event_type,
-             CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) % 2 AS grp,
+             TRY_CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) % 2 AS grp,
              CAST(round(value * 100, 0) AS BIGINT) AS x
       FROM events
     ),
@@ -532,7 +532,11 @@ def analytics_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     t = ev.select(
         "event_type",
-        (F.regexp_extract("props", r"(\d+)", 1).cast("bigint") % 2).alias("grp"),
+        # try_cast, not cast: regexp_extract returns '' when props has no
+        # digit, and ANSI CAST('' AS BIGINT) aborts the query. Digit-free
+        # rows fall into a NULL cohort that the n0>=2/n1>=2 gate and the
+        # grp==0/1 partials already ignore; oracle mirrors with TRY_CAST.
+        (F.regexp_extract("props", r"(\d+)", 1).try_cast("bigint") % 2).alias("grp"),
         F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
     )
     g = t.groupBy("event_type").agg(

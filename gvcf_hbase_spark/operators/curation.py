@@ -777,13 +777,19 @@ def curate_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.select(
         "doc_id",
         "source",
+        # Docs with <5 tokens yield NO grams: sequence(1, size-4) would
+        # count DOWN to 0 when size<=4 (Spark's sequence is bidirectional)
+        # and slice(toks, 0, 5) then throws under ANSI — so short docs get
+        # an explicit empty array, which explode drops, matching the
+        # oracle's empty generate_series(1, 0).
         F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("toks") - 4, F.lit(0))
+            F.when(
+                F.size("toks") >= 5,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 4),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, 5)),
                 ),
-                lambda i: F.concat_ws(" ", F.slice("toks", i, 5)),
-            )
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
     )
     dfreq = grams.groupBy("source", "gram").agg(
@@ -1025,13 +1031,17 @@ def curate_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     so budget sweeps re-rank without recomputing scores.
 
     Scoring is a per-row map over the corpus (one pass, no shuffle); the
-    greedy selection is ONE global running-sum window ordered on the
-    (score, doc_id)-pinned rank — the same global-order pressure point
-    as `curate_shard_balance`, with the same documented 100 TB swap:
-    two-phase distributed prefix sum (per-bucket totals → bucket offsets
-    → local cumsum), which `curate_pack_batches` already implements for
-    its packing pass. Greedy-by-score is the industry-standard knapsack
-    relaxation (items ≪ budget ⇒ within one doc of optimal).
+    greedy selection is the same distributed two-phase prefix sum
+    `curate_pack_batches` uses — NOT a single global running-sum window.
+    Docs bucket by quality band (descending bands = descending score
+    order), cumsum runs within each band in parallel, and the exclusive
+    band offsets come from a window over ONE ROW PER BAND (≤1001 rows
+    regardless of corpus size) broadcast back. Bit-identical to the
+    naive global window the oracle uses to prove it. Band skew (many
+    docs sharing one score) widens one window partition, never the plan
+    shape; a finer score or a secondary doc_id sub-band bounds it.
+    Greedy-by-score is the industry-standard knapsack relaxation
+    (items ≪ budget ⇒ within one doc of optimal).
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -1045,11 +1055,24 @@ def curate_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("quality_1e6"),
     )
-    w = (
-        Window.orderBy(F.col("quality_1e6").desc(), "doc_id")
+    # quality_1e6 ∈ [0, 1e6]; band width 1000 → ≤1001 bands, ascending
+    # band = descending quality, so (band ASC, quality DESC, doc_id) is
+    # exactly the global greedy order.
+    q = q.withColumn("band", ((F.lit(1_000_000) - F.col("quality_1e6")) / 1000).cast("long"))
+    in_band = (
+        Window.partitionBy("band")
+        .orderBy(F.col("quality_1e6").desc(), "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    r = q.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    local = q.withColumn("local_cum", F.sum("n_tokens").over(in_band))
+    band_tot = q.groupBy("band").agg(F.sum("n_tokens").alias("band_sum"))
+    off_w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = band_tot.select(
+        "band", F.coalesce(F.sum("band_sum").over(off_w), F.lit(0)).alias("band_off")
+    )
+    r = local.join(F.broadcast(offsets), "band").withColumn(
+        "cum_tokens", (F.col("band_off") + F.col("local_cum")).cast("bigint")
+    )
     return r.select(
         "doc_id",
         "n_tokens",

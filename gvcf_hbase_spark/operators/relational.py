@@ -947,15 +947,31 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import hashlib
     import os
+    import shutil
     import tempfile
+    import uuid
 
     sup = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey", "s_acctbal"
     )
     key = f"gvcf_xml_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
     out = f"{tempfile.gettempdir()}/{key}"
-    if not os.path.isdir(out):
-        sup.write.format("xml").option("rowTag", "supplier").mode("overwrite").save(out)
+    # Cache validity keys on Spark's _SUCCESS marker, not bare isdir: a
+    # crashed prior write leaves a partial dir that isdir would silently
+    # trust. The export lands in a unique temp dir and renames into place
+    # atomically, so concurrent runs never read a half-written export —
+    # the loser of the rename race just discards its copy.
+    if not os.path.isfile(f"{out}/_SUCCESS"):
+        tmp = f"{out}.{uuid.uuid4().hex[:8]}.tmp"
+        sup.write.format("xml").option("rowTag", "supplier").mode("overwrite").save(tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:  # lost the race or stale partial dir at `out`
+            if os.path.isfile(f"{out}/_SUCCESS"):
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                shutil.rmtree(out, ignore_errors=True)
+                os.rename(tmp, out)
     back = (
         spark.read.format("xml")
         .option("rowTag", "supplier")

@@ -172,7 +172,7 @@ def fn_case_null(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(string_split(text, ' ')) AS n_tokens,
            len(list_distinct(string_split(text, ' '))) AS n_distinct,
            list_contains(string_split(text, ' '), 'the') AS has_the,
-           list_sort(string_split(text, ' '))[1:3] AS first3_sorted,
+           array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS first3_sorted,
            CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum') AS BIGINT) AS total_token_chars
     FROM documents
     """,
@@ -180,7 +180,12 @@ def fn_case_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array + higher-order function family (transform/aggregate — the
-    same machinery the vector ops in §2B.9 use for dot products)."""
+    same machinery the vector ops in §2B.9 use for dot products).
+
+    Output columns are all scalar: the sorted-prefix array is flattened
+    with array_join because the driver's canonicalizer sorts raw pandas
+    columns and cannot hash ndarray cells (SURVEY §5.4 hashable-output
+    rule; r03 driver ERR)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     return d.select(
@@ -188,7 +193,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.array_contains(toks, "the").alias("has_the"),
-        F.slice(F.sort_array(toks), 1, 3).alias("first3_sorted"),
+        F.array_join(F.slice(F.sort_array(toks), 1, 3), ",").alias("first3_sorted"),
         F.aggregate(
             F.transform(toks, lambda t: F.length(t)),
             F.lit(0),
@@ -246,7 +251,7 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(keys3) AS INT) AS n_entries,
-           keys3 AS keys_sorted,
+           array_to_string(keys3, ',') AS keys_sorted,
            CAST(length(keys3[1]) AS INT) AS first_key_len
     FROM ks
     """,
@@ -260,14 +265,16 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the flattened outputs independently (DuckDB's map
     extraction returns lists, so the check targets values, not the map
     mechanism). All JVM-side; maps stay inside Tungsten rows — no
-    shuffle added."""
+    shuffle added. Output columns are all scalar: keys_sorted is
+    flattened with concat_ws because the driver's canonicalizer cannot
+    hash ndarray cells (SURVEY §5.4 hashable-output rule; r03 ERR)."""
     d = load_table(spark, sf_dir, "documents")
     keys3 = F.slice(F.sort_array(F.array_distinct(F.split("text", " "))), 1, 3)
     m = F.map_from_arrays(keys3, F.transform(keys3, lambda t: F.length(t)))
     return d.select(
         "doc_id",
         F.size(m).alias("n_entries"),
-        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("keys_sorted"),
         F.element_at(m, F.element_at(F.sort_array(F.map_keys(m)), 1)).alias("first_key_len"),
     )
 
@@ -537,7 +544,8 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REGEXP_EXTRACT_ALL_ORACLE = """
     SELECT doc_id,
-           regexp_extract_all(text, '[a-z]{6,}') AS long_words,
+           coalesce(array_to_string(regexp_extract_all(text, '[a-z]{6,}'), ','), '')
+             AS long_words,
            CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS INT) AS n_long,
            coalesce(regexp_extract_all(text, '[a-z]{6,}')[1], '') AS first_long
     FROM documents
@@ -550,8 +558,10 @@ def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     word per document) — the one-to-many sibling of regexp_extract that
     log parsing and PII scanning lean on constantly.
 
-    Per-row JVM regex; the array stays a column (no explode) so the op
-    composes with array functions downstream without a row-count change.
+    Per-row JVM regex; no explode, so the op composes downstream without
+    a row-count change. The match list is flattened with array_join in
+    the oracle-checked OUTPUT (driver hashable-output rule, §5.4) —
+    in-pipeline composition keeps the raw array form.
     Spark's third argument selects the capture group and must be 0 for
     whole-match semantics (its default is group 1, which would throw on
     a groupless pattern); DuckDB's group argument defaults to 0 — the
@@ -565,7 +575,7 @@ def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.regexp_extract_all(F.col("text"), F.lit("[a-z]{6,}"), 0)
     return d.select(
         "doc_id",
-        arr.alias("long_words"),
+        F.array_join(arr, ",").alias("long_words"),
         F.size(arr).alias("n_long"),
         F.coalesce(F.try_element_at(arr, F.lit(1)), F.lit("")).alias("first_long"),
     )

@@ -669,10 +669,10 @@ _QUANTIZE_ORACLE = """
     )
     SELECT e.vec_id,
            CAST(floor(s.scale * 1e9 + 0.5) AS BIGINT) AS scale_1e9,
-           list_transform(
+           array_to_string(list_transform(
              e.embedding,
-             x -> CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS INT)
-           ) AS q,
+             x -> CAST(CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS INT) AS VARCHAR)
+           ), ',') AS q,
            CAST(list_sum(list_transform(
              e.embedding,
              x -> abs(CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT))
@@ -691,9 +691,11 @@ def sim_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Entirely per-row JVM expression work (transform/aggregate over the
     array column): no shuffle, no Python boundary, trivially parallel at
-    any corpus size — the plan is scan → project. The l1_q checksum
-    makes the hash sensitive to every quantized component even if a
-    comparer ignores array columns. Determinism: both engines cast the
+    any corpus size — the plan is scan → project. The quantized vector
+    is emitted as a comma-joined string (driver hashable-output rule,
+    §5.4 — an int8 array column would ERR the canonicalizer), so the
+    hash is sensitive to every component; the l1_q checksum double-
+    covers it. Determinism: both engines cast the
     float32 element to double first (identical values), divide by the
     same double scale, and quantize via floor(x+0.5) — one IEEE op
     sequence, no round() convention in play. All-zero vectors (scale=0)
@@ -710,7 +712,9 @@ def sim_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.floor(F.col("scale") * 1e9 + F.lit(0.5)).cast("bigint").alias("scale_1e9"),
-            F.transform("embedding", lambda x: qi(x).cast("int")).alias("q"),
+            F.array_join(
+                F.transform("embedding", lambda x: qi(x).cast("int").cast("string")), ","
+            ).alias("q"),
             F.aggregate(
                 F.transform("embedding", lambda x: F.abs(qi(x).cast("bigint"))),
                 F.lit(0).cast("bigint"),

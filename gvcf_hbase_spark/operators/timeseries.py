@@ -669,7 +669,8 @@ _MAD_ORACLE = """
                       / (1.4826 * mad.mad) * 1e4 + 0.5) AS BIGINT)
              AS robust_z_1e4
     FROM dev d JOIN mad USING (event_type)
-    WHERE abs(CAST(d.x AS DOUBLE) - d.med) > 3 * 1.4826 * mad.mad
+    WHERE mad.mad > 0
+      AND abs(CAST(d.x AS DOUBLE) - d.med) > 3 * 1.4826 * mad.mad
 """
 
 
@@ -705,7 +706,11 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = dev.groupBy("event_type").agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
     j = dev.join(F.broadcast(mad), "event_type")
     scale = 1.4826 * F.col("mad")
-    return j.filter(F.col("ad") > 3 * scale).select(
+    # MAD = 0 (a majority of the type's values equal its median) means the
+    # robust scale is undefined — filter those types out BEFORE dividing,
+    # or ANSI mode turns ad/scale into DIVIDE_BY_ZERO on the first real
+    # constant-heavy type. Oracle mirrors with `mad.mad > 0`.
+    return j.filter((F.col("mad") > 0) & (F.col("ad") > 3 * scale)).select(
         "event_id",
         "event_type",
         F.floor(F.col("ad") / scale * 1e4 + F.lit(0.5)).cast("bigint").alias("robust_z_1e4"),

@@ -358,26 +358,30 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            round(CAST(quantile_cont(value, 0.5)
              OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+                   ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
              AS running_median
     FROM events
     """,
     tags=("window", "timeseries"),
 )
 def win_percentile_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running median per user (exact interpolated percentile as a
-    window aggregate over the growing frame) — the robust-centerline
-    monitor that a running avg can't give on heavy-tailed values. Cost
-    reality at 100 TB: a growing-frame percentile is O(frame) per row
-    (no incremental state), so per-key history length is the budget —
-    bound it with a trailing ROWS frame or demote to an approximate
-    sketch when keys grow unbounded; this query is the exact form on
-    bounded per-user history (≤~70 events/user on the fixture)."""
+    """Trailing-25 running median per user (exact interpolated
+    percentile over a BOUNDED rows frame) — the robust-centerline
+    monitor that a running avg can't give on heavy-tailed values.
+
+    The frame is bounded by design: a growing (UNBOUNDED PRECEDING)
+    percentile frame is O(frame) per row with no incremental state —
+    O(n²) per key on unbounded history, the r03-flagged scale hazard.
+    The trailing ROWS frame caps per-row cost at a constant 25-element
+    sort regardless of key history length, which is the form that
+    survives 100 TB; callers who need the full-history quantile at
+    scale demote to approx_percentile per key (one pass, mergeable
+    sketch) rather than a window."""
     ev = _events_us(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts_us_long", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(-24, Window.currentRow)
     )
     return ev.select(
         "event_id",

@@ -284,7 +284,8 @@ def _register_round3c_sinks() -> None:
         oracle="""
         SELECT user_id,
                CAST(count(*) AS BIGINT) AS n_purchases,
-               list(event_id ORDER BY event_id) AS event_ids
+               array_to_string(list(CAST(event_id AS VARCHAR) ORDER BY event_id), ',')
+                 AS event_ids
         FROM events
         WHERE event_type = 'purchase'
         GROUP BY user_id
@@ -303,7 +304,9 @@ def _register_round3c_sinks() -> None:
         index-only query — users with ≥3 purchases — WITHOUT touching the
         fact table again. The oracle recomputes from the base table:
         losslessness of the index build and the posting-list order are
-        both in the hash.
+        both in the hash. The STORED index keeps the posting list as a
+        real array column; only the oracle-checked OUTPUT flattens it to
+        a comma-joined string (driver hashable-output rule, §5.4).
 
         Scale: the index build is one filtered collapsing aggregate (the
         posting list per key); hot keys are bounded by per-key activity,
@@ -324,7 +327,11 @@ def _register_round3c_sinks() -> None:
         bulk_write_range_sorted(idx, path, ["user_id"], num_partitions=4)
         back = spark.read.parquet(path)
         return back.filter(F.col("n_purchases") >= 3).select(
-            "user_id", "n_purchases", "event_ids"
+            "user_id",
+            "n_purchases",
+            F.array_join(
+                F.transform("event_ids", lambda x: x.cast("string")), ","
+            ).alias("event_ids"),
         )
 
     @register(

@@ -23,7 +23,44 @@ def test_query_vs_oracle(key, spark, oracle, compare):
     if spec.oracle is None:
         assert df.count() >= 0, f"[{key}] rows-only query failed to execute"
     else:
+        _assert_driver_sortable(key, df)
         compare(df, spec.oracle, key)
+
+
+def _assert_driver_sortable(key, df):
+    """Driver-semantics guard (SURVEY §5.4 hashable-output rule): the
+    driver's canonicalizer pandas-sorts raw output columns, and an
+    ArrayType/MapType/StructType cell arrives as an unhashable
+    numpy.ndarray/dict — the exact ERR that hit agg_collect in r01 and
+    fn_array/fn_map_ops in r03. The local mirror's canon_cell is MORE
+    lenient (it tuple-izes arrays), so without this guard a nested
+    output passes the 400-test suite and dies at the driver. Flatten
+    with array_join/concat_ws/to_json before returning."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"[{key}] oracle-checked query returns nested column(s) {bad}; "
+        "the driver canonicalizer cannot hash these — flatten to scalars"
+    )
+
+
+def test_driver_sortable_guard_catches_r03_class(spark):
+    """The guard must flag the exact shape that ERR'd in r03: an
+    array<string> output column (fn_array's pre-fix first3_sorted)."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(1).select(
+        F.col("id"), F.split(F.lit("a b c"), " ").alias("first3_sorted")
+    )
+    with pytest.raises(AssertionError, match="first3_sorted"):
+        _assert_driver_sortable("synthetic_fn_array", df)
+    ok = df.select("id", F.array_join("first3_sorted", ",").alias("first3_sorted"))
+    _assert_driver_sortable("synthetic_fn_array_fixed", ok)
 
 
 def test_entry_smoke(spark):
