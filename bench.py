@@ -56,6 +56,31 @@ HEADLINE = [
     "graph_bipartite_projection",
     "curate_boilerplate_ngrams",
     "anomaly_cusum",
+    # round-4 widening (r03 verdict action 4): the two heaviest
+    # never-benched families — banded Hamming-LSH near-dup over binary
+    # media, and the two-phase prefix-sum budget selection
+    "multimodal_phash_neardup",
+    "curate_budget_select",
+]
+
+# The r01/r02-era comparable subset: round-over-round perf comparisons read
+# this subtotal so they stay like-for-like as HEADLINE widens.
+COMPARABLE_15 = [
+    "gvcf_combine",
+    "scan_range_key",
+    "agg_group",
+    "agg_grouping_sets",
+    "join_broadcast",
+    "join_shuffle",
+    "join_asof",
+    "win_topk_group",
+    "win_carry_forward",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "sim_knn_topk",
+    "text_tfidf",
+    "curate_pipeline_e2e",
+    "stream_tumbling",
 ]
 
 
@@ -101,6 +126,7 @@ def main() -> None:
         times[k] = round(min(timed(k) for _ in range(2)), 4)
 
     total = round(sum(times.values()), 4)
+    comparable_15 = round(sum(times[k] for k in COMPARABLE_15 if k in times), 4)
     print(
         json.dumps(
             {
@@ -108,6 +134,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "comparable_15_total": comparable_15,
                 "sf": float(sf),
             }
         )

@@ -72,76 +72,130 @@ def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # Driver-facing enumeration order. The correctness harness verifies only a
-# 50-key PREFIX of the inventory per round (r01 checked the first 50 of the
-# old order, r02 the first 50 of the reordered one — 96 distinct keys
-# driver-green across both). Round 3 rotates the window once more: the 49
-# keys that have NEVER earned a driver verdict (the whole subqueries/TPC-H
-# family, scalar fns, set ops, six curation keys, udaf_grouped,
-# win_nth_value) fill positions 1–49, the round-3 addition
-# `gvcf_sample_index` takes slot 50, and the three keys whose loader/impl
-# changed after their r01 green (stale evidence) queue right behind for the
-# next rotation. Everything else keeps its r01/r02 green row and follows in
-# registration order.
+# 50-key PREFIX of the inventory per round. r01–r03 windows earned 146
+# distinct driver verdicts; round 4 rotates the window to the cohort with
+# NO driver verdict ever (SURVEY §7.4 plan, r03 verdict action 3):
+# slots 1–3 the stale-evidence keys (r01 green predates an events-loader
+# change), 4–7 the gVCF flagship downstream family (verdict action 5),
+# 8–40 the analytics/timeseries/cdc/graphs/linkage modules (entirely
+# unverified), 41–48 the heaviest never-benched/never-verified
+# multimodal/curation/window/stream keys (including the two scale-shape
+# swaps this round so their rewrites earn fresh rows), and 49–50 the two
+# r03 driver ERRs (fn_array, fn_map_ops — array outputs flattened this
+# round, must re-earn green). The ~48 remaining never-verified keys queue
+# immediately after for the round-5 window.
 _PRIORITY = [
-    # ---- never driver-verified: subquery / TPC-H family (27) ----
-    "subquery_scalar",
-    "subquery_in",
-    "subquery_corr_scalar",
-    "agg_having",
-    "unpivot_melt",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    # ---- never driver-verified: scalar functions (9 incl. fn_map_json) ----
-    "fn_string",
-    "fn_date",
-    "fn_math",
-    "fn_case_null",
-    "fn_array",
-    "fn_hash",
-    "fn_map_json",
-    "fn_map_ops",
-    "fn_explode_pos",
-    "fn_struct_ops",
-    # ---- never driver-verified: set ops (4) ----
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_intersect_all",
-    # ---- never driver-verified: curation (6) + UDAF + window (2) ----
-    "curate_hash_split",
-    "curate_domain_cap",
-    "curate_pii_scrub",
-    "curate_mix_weights",
-    "curate_stratified_sample",
-    "agg_skew_salted",
-    "curate_decontaminate",
-    "udaf_grouped",
-    "win_nth_value",
-    # ---- round-3 addition (slot 50): A2 sample-name index parity ----
-    "gvcf_sample_index",
-    # ---- stale evidence (r01 green predates loader/impl changes) ----
+    # ---- stale evidence (r01 green predates loader change) ----
     "scan_events_ns",
     "win_carry_forward",
     "win_frame_range",
+    # ---- gVCF downstream family (reference raison d'être) ----
+    "gvcf_allele_freq",
+    "gvcf_coverage_depth",
+    "gvcf_export_vcf_lines",
+    "gvcf_split_multiallelic",
+    # ---- analytics module (12) ----
+    "funnel_steps",
+    "agg_retention_cohort",
+    "agg_heavy_hitters",
+    "agg_corr_matrix",
+    "analytics_event_transitions",
+    "agg_weighted_median",
+    "agg_entropy",
+    "analytics_gini",
+    "analytics_ab_ttest",
+    "analytics_pareto_share",
+    "analytics_pattern_match",
+    "analytics_rate_wilson",
+    # ---- timeseries module (11) ----
+    "ts_resample_interpolate",
+    "anomaly_zscore",
+    "win_distinct_running",
+    "ts_ewma",
+    "ts_lag_features",
+    "win_rolling_corr",
+    "anomaly_cusum",
+    "ts_seasonal_decompose",
+    "win_streak_longest",
+    "anomaly_mad",
+    "ts_forecast_seasonal_naive",
+    # ---- cdc (3) + graphs (5) + linkage (2) ----
+    "cdc_compact_latest",
+    "cdc_scd2_intervals",
+    "join_point_in_time",
+    "graph_triangle_count",
+    "graph_pagerank",
+    "graph_degree_histogram",
+    "graph_bipartite_projection",
+    "graph_jaccard_neighbors",
+    "join_fuzzy_levenshtein",
+    "linkage_best_match",
+    # ---- heaviest never-verified multimodal/curation/window/stream ----
+    "multimodal_phash_neardup",
+    "multimodal_audio_energy",
+    "multimodal_byte_histogram",
+    "curate_boilerplate_ngrams",
+    "curate_budget_select",
+    "win_percentile_running",
+    "stream_complete_topk",
+    "stream_join_stream_outer",
+    # ---- r03 driver ERRs, fixed this round (slots 49–50) ----
+    "fn_array",
+    "fn_map_ops",
+    # ================= round-5 window queue (never verified) =================
+    "agg_bool_logic",
+    "agg_geometric_mean",
+    "agg_histogram",
+    "agg_mode_deterministic",
+    "agg_rollup",
+    "source_csv_corrupt_recovery",
+    "source_jsonl_roundtrip",
+    "source_orc_roundtrip",
+    "source_schema_evolution",
+    "source_xml_roundtrip",
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "join_runtime_bloom",
+    "win_frame_time_range",
+    "win_gaps_islands",
+    "win_interval_merge",
+    "win_session_rollup",
+    "win_time_weighted_avg",
+    "set_except_distinct",
+    "join_lateral_topn",
+    "agg_bitmap_distinct",
+    "fn_bitwise",
+    "fn_collation",
+    "fn_data_masking",
+    "fn_explode_outer",
+    "fn_regexp_extract_all",
+    "fn_try_arith",
+    "fn_url_parse",
+    "fn_variant_json",
+    "dedup_containment",
+    "dedup_incremental",
+    "sim_centroid_label",
+    "sim_cosine_pairs_blocked",
+    "sim_embed_quantize",
+    "sim_knn_blocked",
+    "text_chunk_sliding",
+    "text_keyword_topk",
+    "text_ngram_counts",
+    "text_normalize",
+    "text_unigram_logprob",
+    "curate_oversample",
+    "curate_shard_balance",
+    "curate_winsorize",
+    "dedup_canonical_select",
+    "profile_table_quality",
+    "udf_arrow_batch",
+    "udf_arrow_scalar",
+    "source_binary_files",
+    "join_dpp_partitioned",
+    "sink_compact_small_files",
+    "sink_merge_upsert",
+    "sink_partition_stats",
+    "sink_secondary_index",
 ]
 
 _loaded = False
