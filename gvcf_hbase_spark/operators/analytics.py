@@ -674,9 +674,9 @@ def analytics_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id) exchange and sort; matching is a codegen'd filter, no
     state machine, no UDF, and overlapping matches fall out for free
     (each row starts its own candidate). Variable-length patterns
-    (A B* C) are where this shape ends — that's the documented boundary:
-    they need the island machinery (`win_gaps_islands`) or a stateful
-    processor (`stream_stateful`), both already in the inventory.
+    (A B+ C) are where this shape ends — that boundary is closed by
+    `analytics_pattern_kleene` (batch, gaps-and-islands) and
+    `stream_pattern_kleene` (incremental NFA on the state store).
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us_long", "event_id")
@@ -699,6 +699,108 @@ def analytics_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("us").alias("start_us"),
         (F.col("us2") - F.col("us")).alias("span_us"),
+    )
+
+
+_KLEENE_ORACLE = """
+    WITH t AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    s AS (
+      SELECT event_id, user_id, event_type, us,
+             row_number() OVER w AS rn,
+             lag(event_type) OVER w AS prev_type,
+             lag(event_id) OVER w AS prev_eid,
+             lag(us) OVER w AS prev_us,
+             lead(event_type) OVER w AS next_type,
+             lead(us) OVER w AS next_us
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    c AS (
+      SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS isl
+      FROM s WHERE event_type = 'click'
+    ),
+    runs AS (
+      SELECT user_id, isl,
+             CAST(count(*) AS BIGINT) AS n_clicks,
+             arg_min(prev_type, rn) AS open_type,
+             arg_min(prev_eid, rn) AS start_event_id,
+             arg_min(prev_us, rn) AS start_us,
+             arg_max(next_type, rn) AS close_type,
+             arg_max(next_us, rn) AS end_us
+      FROM c GROUP BY user_id, isl
+    )
+    SELECT start_event_id, user_id, n_clicks,
+           CAST(start_us AS BIGINT) AS start_us,
+           CAST(end_us - start_us AS BIGINT) AS span_us
+    FROM runs
+    WHERE open_type = 'view' AND close_type = 'purchase'
+      AND end_us - start_us <= 172800000000
+"""
+
+
+@register("analytics_pattern_kleene", oracle=_KLEENE_ORACLE, tags=("analytics", "window"))
+def analytics_pattern_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIABLE-LENGTH event-sequence pattern: ``view click+ purchase``
+    over strictly consecutive per-user events within 48 h — the Kleene-
+    plus case `analytics_pattern_match` documents as the boundary of the
+    fixed-length lead() compilation. This op closes that boundary for
+    batch: a B+ group is exactly a maximal island of consecutive B rows,
+    so the matcher compiles to the gaps-and-islands machinery instead of
+    an NFA — islands of 'click' (rn − rank-among-clicks is constant per
+    run), then one aggregate per island carrying the island's OPENING
+    context (lag row: must be 'view') and CLOSING context (lead row:
+    must be 'purchase') via min_by/max_by on rn.
+
+    Plan: ONE (user_id) exchange + sort for the lag/lead/rn window; the
+    click filter prunes before the island window (same partitioning —
+    no second exchange); the island aggregate shuffles only click rows
+    with constant-width context columns. No UDF, no state machine, no
+    per-row Python — matching is codegen'd expressions end-to-end, and
+    every stage partitions on user_id, so 100 TB parallelizes by user
+    exactly like the fixed-length op. Greedy/maximal-match semantics
+    (the MATCH_RECOGNIZE default) fall out of island maximality; the
+    oracle replays the identical construction in SQL.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us_long", "event_id")
+    s = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts_us_long").alias("us"),
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("event_id").over(w).alias("prev_eid"),
+        F.lag("ts_us_long").over(w).alias("prev_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts_us_long").over(w).alias("next_us"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("rn")
+    c = s.filter(F.col("event_type") == "click").withColumn(
+        "isl", F.col("rn") - F.row_number().over(wc)
+    )
+    runs = c.groupBy("user_id", "isl").agg(
+        F.count("*").alias("n_clicks"),
+        F.min_by("prev_type", "rn").alias("open_type"),
+        F.min_by("prev_eid", "rn").alias("start_event_id"),
+        F.min_by("prev_us", "rn").alias("start_us"),
+        F.max_by("next_type", "rn").alias("close_type"),
+        F.max_by("next_us", "rn").alias("end_us"),
+    )
+    return runs.filter(
+        (F.col("open_type") == "view")
+        & (F.col("close_type") == "purchase")
+        & (F.col("end_us") - F.col("start_us") <= 172_800_000_000)
+    ).select(
+        "start_event_id",
+        "user_id",
+        "n_clicks",
+        F.col("start_us").cast("bigint").alias("start_us"),
+        (F.col("end_us") - F.col("start_us")).cast("bigint").alias("span_us"),
     )
 
 

@@ -371,6 +371,97 @@ def carry_forward_stateful(ev: DataFrame) -> DataFrame:
     )
 
 
+def kleene_stateful(ev: DataFrame) -> DataFrame:
+    """``view click+ purchase`` CEP as a streaming NFA over any
+    (user_id, ts_us_long, event_id, event_type) stream — the variable-
+    length pattern the lead()-compiled fixed-length matcher
+    (`analytics_pattern_match`) cannot express, run incrementally. State
+    per user is the NFA register: phase (0 idle / 1 view seen / 2 in
+    click run) + the open match's start context + click count — four
+    scalars in the executor state store, surviving micro-batches, so a
+    run that starts in batch N and completes in batch N+3 still emits.
+
+    The transition loop is per-row Python over the batch BY DESIGN: a
+    Kleene NFA is inherently sequential per key (each transition reads
+    the previous state — no vectorization exists; Flink-CEP executes the
+    same way), the loop body is four scalar ops over pre-extracted numpy
+    arrays, and the vectorized twin for batch data is
+    `analytics_pattern_kleene`'s gaps-and-islands form. Correctness
+    needs per-key event-time-ordered batch arrival (same contract as
+    `carry_forward_stateful`; rows are sorted within each batch)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "start_event_id bigint, user_id bigint, n_clicks bigint, "
+        "start_us bigint, span_us bigint"
+    )
+    state_schema = "phase int, start_eid long, start_us long, n_clicks long"
+
+    def nfa(key, pdfs, state: GroupState):
+        (user_id,) = key
+        phase, start_eid, start_us, n_clicks = (
+            state.get if state.exists else (0, 0, 0, 0)
+        )
+        pdf = pd.concat(list(pdfs)).sort_values(["ts_us_long", "event_id"])
+        out = []
+        for eid, us, et in zip(
+            pdf["event_id"].to_numpy(),
+            pdf["ts_us_long"].to_numpy(),
+            pdf["event_type"].to_numpy(),
+        ):
+            if et == "view":
+                phase, start_eid, start_us, n_clicks = 1, int(eid), int(us), 0
+            elif et == "click":
+                if phase == 1:
+                    phase, n_clicks = 2, 1
+                elif phase == 2:
+                    n_clicks += 1
+            elif et == "purchase":
+                if phase == 2 and int(us) - start_us <= 172_800_000_000:
+                    out.append(
+                        (start_eid, user_id, n_clicks, start_us, int(us) - start_us)
+                    )
+                phase = 0
+            else:
+                phase = 0
+        state.update((phase, start_eid, start_us, n_clicks))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["start_event_id", "user_id", "n_clicks", "start_us", "span_us"],
+            )
+
+    return (
+        ev.select("user_id", "ts_us_long", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            nfa,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _kleene_oracle() -> str:
+    from gvcf_hbase_spark.operators.analytics import _KLEENE_ORACLE
+
+    return _KLEENE_ORACLE
+
+
+@register("stream_pattern_kleene", oracle=_kleene_oracle(), tags=("streaming", "cep"))
+def stream_pattern_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `analytics_pattern_kleene` (see
+    :func:`kleene_stateful`). Oracle-checked like `stream_stateful`: the
+    NFA pass is deterministic for any batching that respects per-key
+    time order, so its output must equal the batch gaps-and-islands SQL
+    row for row; tests additionally force 4 micro-batches through the
+    state store and assert the same equality."""
+    result = kleene_stateful(read_events_stream(spark, sf_dir))
+    return run_available_now(result, "append")
+
+
 _CARRY_ORACLE = """
     SELECT event_id, user_id,
            last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)

@@ -60,6 +60,58 @@ def test_funnel_ordering_semantics(spark, tmp_path):
     assert out[4].funnel_stage == 0
 
 
+def test_pattern_kleene_semantics(spark, tmp_path):
+    """view click+ purchase: maximal click islands, strict contiguity,
+    mandatory open/close context, 48 h bound."""
+    hours_49 = 49 * 3600
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            # u1: view c c c purchase -> ONE maximal match, n_clicks=3
+            (1, 0, 1, "view", 0.0),
+            (2, 10, 1, "click", 0.0),
+            (3, 20, 1, "click", 0.0),
+            (4, 30, 1, "click", 0.0),
+            (5, 40, 1, "purchase", 5.0),
+            # u2: single click (Kleene+ lower bound)
+            (6, 0, 2, "view", 0.0),
+            (7, 10, 2, "click", 0.0),
+            (8, 20, 2, "purchase", 5.0),
+            # u3: no opening view
+            (9, 0, 3, "click", 0.0),
+            (10, 10, 3, "click", 0.0),
+            (11, 20, 3, "purchase", 5.0),
+            # u4: no closing purchase
+            (12, 0, 4, "view", 0.0),
+            (13, 10, 4, "click", 0.0),
+            (14, 20, 4, "click", 0.0),
+            # u5: view c [view] c purchase -> only the SECOND island matches
+            (15, 0, 5, "view", 0.0),
+            (16, 10, 5, "click", 0.0),
+            (17, 20, 5, "view", 0.0),
+            (18, 30, 5, "click", 0.0),
+            (19, 40, 5, "purchase", 5.0),
+            # u6: contiguity broken by an interleaved scroll
+            (20, 0, 6, "view", 0.0),
+            (21, 10, 6, "click", 0.0),
+            (22, 20, 6, "scroll", 0.0),
+            (23, 30, 6, "purchase", 5.0),
+            # u7: complete run but outside the 48 h bound
+            (24, 0, 7, "view", 0.0),
+            (25, 10, 7, "click", 0.0),
+            (26, hours_49, 7, "purchase", 5.0),
+        ],
+    )
+    rows = SPECS["analytics_pattern_kleene"].fn(spark, sf).collect()
+    by_user = {r.user_id: r for r in rows}
+    assert set(by_user) == {1, 2, 5}
+    assert by_user[1].n_clicks == 3 and by_user[1].start_event_id == 1
+    assert by_user[1].span_us == 40_000_000
+    assert by_user[2].n_clicks == 1
+    assert by_user[5].n_clicks == 1 and by_user[5].start_event_id == 17
+
+
 def test_retention_cohort_identities(spark):
     """Week-0 actives of a cohort == cohort size (everyone is active in
     their first week by construction), offsets are non-negative, and the

@@ -105,7 +105,8 @@ def test_quantize_range_and_reconstruction(spark, tmp_path):
     sf = _write_embeddings(spark, tmp_path, vecs, [0, 1])
     rows = {r.vec_id: r for r in SPECS["sim_embed_quantize"].fn(spark, sf).collect()}
     for vid, v in enumerate(vecs):
-        q = rows[vid].q
+        # q is comma-joined (driver hashable-output rule); parse it back
+        q = [int(x) for x in rows[vid].q.split(",")]
         scale = max(abs(x) for x in v) / 127  # exact scale, not the 1e9-quantized report
         assert rows[vid].scale_1e9 == math.floor(scale * 1e9 + 0.5)
         assert max(abs(x) for x in q) == 127

@@ -100,6 +100,64 @@ def test_stateful_carry_forward_equals_batch_twin(spark):
     assert s == b
 
 
+def test_kleene_nfa_equals_batch_islands(spark):
+    """The streaming NFA and the batch gaps-and-islands matcher are two
+    implementations of the same pattern semantics — every match, click
+    count, start, and span must agree."""
+    stream = SPECS["stream_pattern_kleene"].fn(spark, SF_DIR)
+    batch = SPECS["analytics_pattern_kleene"].fn(spark, SF_DIR)
+    _assert_same(batch, stream, "kleene")
+
+
+def test_kleene_state_survives_micro_batches(spark, tmp_path):
+    """A click run opened in one micro-batch and closed in a later one
+    must still match: split events into 4 time-ordered files, force
+    maxFilesPerTrigger=1, and the NFA output must equal the batch form."""
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gvcf_hbase_spark.sources.tables import load_table, with_event_time
+    from gvcf_hbase_spark.streaming.stream_ops import kleene_stateful
+
+    ev = load_table(spark, SF_DIR, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    pdf = ev.select(*cols).orderBy("ts_us_long", "event_id").toPandas()
+    d = tmp_path / "events_4files_kleene"
+    d.mkdir()
+    for i, q in enumerate(np.array_split(pdf, 4)):
+        pq.write_table(
+            pa.Table.from_pandas(q.reset_index(drop=True), preserve_index=False),
+            str(d / f"{i:02d}.parquet"),
+        )
+
+    schema = spark.read.parquet(str(d)).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    result = kleene_stateful(with_event_time(raw))
+    name = f"mbk_{uuid.uuid4().hex[:10]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+    _assert_same(
+        SPECS["analytics_pattern_kleene"].fn(spark, SF_DIR),
+        spark.table(name),
+        "kleene-4batch",
+    )
+
+
 def test_stateful_state_survives_micro_batches(spark, tmp_path):
     """The claim that per-key state persists across micro-batches is only
     tested if there ARE multiple micro-batches — availableNow over the
