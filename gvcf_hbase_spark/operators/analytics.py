@@ -872,3 +872,79 @@ def analytics_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("wilson_hi_1e6"),
     )
+
+
+_ATTRIB_ORACLE = """
+    WITH t AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    s AS (
+      SELECT event_id, user_id, event_type, us,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_id END IGNORE NULLS) OVER w AS touch_event_id,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN us END IGNORE NULLS) OVER w AS touch_us
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_event_id, user_id, touch_event_id, touch_type,
+           CAST(us - touch_us AS BIGINT) AS gap_us
+    FROM s
+    WHERE event_type = 'purchase' AND touch_event_id IS NOT NULL
+      AND us - touch_us <= 3600000000
+"""
+
+
+@register("analytics_attribution_last_touch", oracle=_ATTRIB_ORACLE, tags=("analytics", "window"))
+def analytics_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent PRECEDING view/click within a 1-hour lookback — the
+    marketing-analytics primitive (and the general as-of-self-join on
+    one table, which `join_asof` does across two).
+
+    One (user_id) exchange + sort serves the whole query: the carry of
+    the candidate touch (id, type, timestamp) is last_value IGNORE
+    NULLS over an unbounded-to-1-preceding frame — Spark implements
+    this as a running O(1) state per partition, no frame re-scan — and
+    the purchase filter + lookback bound are codegen'd predicates on
+    the carried columns. Same carry-forward machinery as
+    `win_carry_forward`, applied to the attribution join shape; scales
+    per user key like every window op here."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us_long", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    s = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts_us_long").alias("us"),
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_event_id"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts_us_long")), ignorenulls=True)
+        .over(w)
+        .alias("touch_us"),
+    )
+    return s.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("touch_event_id").isNotNull()
+        & (F.col("us") - F.col("touch_us") <= 3_600_000_000)
+    ).select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        "touch_event_id",
+        "touch_type",
+        (F.col("us") - F.col("touch_us")).cast("bigint").alias("gap_us"),
+    )

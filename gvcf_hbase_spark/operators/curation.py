@@ -1080,3 +1080,75 @@ def curate_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_tokens",
         (F.col("cum_tokens") <= 10_000).alias("selected"),
     )
+
+
+_LR_STOP = ["a", "the"]
+
+_LR_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+             length(regexp_replace(lower(text), ' ', '', 'g')) AS n_alpha
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             ln(1 + len(toks)) AS f_len,
+             len(list_filter(toks, x -> x IN ('a', 'the'))) * 1.0 / len(toks) AS f_stop,
+             n_alpha * 1.0 / len(toks) AS f_wordlen,
+             len(list_distinct(toks)) * 1.0 / len(toks) AS f_distinct
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           round(f_len, 6) AS f_len, round(f_stop, 6) AS f_stop,
+           round(f_wordlen, 6) AS f_wordlen, round(f_distinct, 6) AS f_distinct,
+           round(1.0 / (1.0 + exp(-(0.8 * f_len - 2.0 * f_stop - 0.3 * f_wordlen
+                                    + 1.5 * f_distinct - 0.2))), 6) AS score,
+           (0.8 * f_len - 2.0 * f_stop - 0.3 * f_wordlen
+            + 1.5 * f_distinct - 0.2) >= 0 AS keep
+    FROM f
+"""
+
+
+@register("curate_quality_score_lr", oracle=_LR_ORACLE, tags=("curation", "text"))
+def curate_quality_score_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: a logistic-regression scorer with
+    FIXED published weights over four cheap text features (log-length,
+    stopword ratio, mean word length, distinct-token ratio) — the
+    second tier of a filter stack, after the wordlist gate
+    (`text_toxicity_wordlist`) and before anything neural. This is the
+    exact execution shape of fastText/LR quality classifiers in
+    production data pipelines: featurize + dot product + sigmoid, all
+    map-side.
+
+    The 'model' is literals compiled into the plan (a real coefficient
+    vector of any width ships the same way, or via one broadcast for
+    wide sparse vocab). Zero shuffles, zero UDFs — pure codegen'd
+    projection, scales as a scan; keep-decision is evaluated on the
+    pre-sigmoid margin (z ≥ 0) so the boundary doesn't depend on float
+    sigmoid rounding on either engine."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != ""
+    )
+    t = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), " ", "")).alias("n_alpha"),
+    ).filter(F.size("toks") > 0)
+    stop = F.array(*[F.lit(w) for w in _LR_STOP])
+    n = F.size("toks").cast("double")
+    f_len = F.log(F.lit(1.0) + n)
+    f_stop = F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stop, x))) / n
+    f_wordlen = F.col("n_alpha") / n
+    f_distinct = F.size(F.array_distinct("toks")) / n
+    z = 0.8 * f_len - 2.0 * f_stop - 0.3 * f_wordlen + 1.5 * f_distinct - 0.2
+    return t.select(
+        "doc_id",
+        F.round(f_len, 6).alias("f_len"),
+        F.round(f_stop, 6).alias("f_stop"),
+        F.round(f_wordlen, 6).alias("f_wordlen"),
+        F.round(f_distinct, 6).alias("f_distinct"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        (z >= 0).alias("keep"),
+    )

@@ -350,3 +350,168 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(jac * 1e6 + F.lit(0.5)).cast("bigint").alias("jaccard_1e6"),
         )
     )
+
+
+_KHOP_K = 3
+
+_KHOP_ORACLE = f"""
+    WITH RECURSIVE ids AS (SELECT c_custkey AS id, count(*) OVER () AS n FROM customer),
+    e AS (
+      SELECT least(id, (id + 1) % n) AS u, greatest(id, (id + 1) % n) AS v FROM ids
+      UNION
+      SELECT least(id, (id + 2) % n) AS u, greatest(id, (id + 2) % n) AS v FROM ids
+    ),
+    adj AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+    reach(seed, node, hop) AS (
+      SELECT id, id, 0 FROM ids WHERE id % 97 = 0
+      UNION
+      SELECT r.seed, a.dst, r.hop + 1
+      FROM reach r JOIN adj a ON a.src = r.node
+      WHERE r.hop < {_KHOP_K}
+    )
+    SELECT seed, CAST(count(DISTINCT node) AS BIGINT) AS n_reached
+    FROM reach GROUP BY seed
+"""
+
+
+@register("graph_khop_reach", oracle=_KHOP_ORACLE, tags=("graph", "iterative"))
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source k-hop reachability (k=3) over the ring-with-chords
+    fixture graph: for every seed (keys ≡ 0 mod 97), how many nodes lie
+    within ≤3 hops — the neighborhood-size primitive behind "blast
+    radius" queries on dedup-cluster graphs and feature graphs.
+
+    Engine side is frontier-style BFS as iterative dataflow: state is
+    the (seed, node) visited set; each round joins the current frontier
+    against the adjacency list, anti-joins the visited set, and unions —
+    all set algebra on int pairs, co-partitioned on node for the join
+    and on (seed, node) for the dedup. k is a fixed plan-unroll (3
+    joins), no driver loop state beyond the DataFrame lineage, and the
+    frontier is checkpoint-truncated per round like every iterative op
+    here. Multi-source BFS from s seeds costs s× the state of one BFS —
+    bounded here by the ball size (≤ 2k·deg per seed on a degree-4
+    graph); at 100 TB the shape is unchanged because every round is one
+    equi-join + one distinct on integers. The oracle replays the SAME
+    expansion as a recursive CTE with a hop bound and counts distinct
+    reached nodes per seed."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    n = c.count()
+    e = (
+        c.select(
+            F.least(F.col("id"), (F.col("id") + 1) % n).alias("u"),
+            F.greatest(F.col("id"), (F.col("id") + 1) % n).alias("v"),
+        )
+        .unionByName(
+            c.select(
+                F.least(F.col("id"), (F.col("id") + 2) % n).alias("u"),
+                F.greatest(F.col("id"), (F.col("id") + 2) % n).alias("v"),
+            )
+        )
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    seeds = c.filter(F.col("id") % 97 == 0)
+    visited = seeds.select(F.col("id").alias("seed"), F.col("id").alias("node"))
+    frontier = visited
+    for _ in range(_KHOP_K):
+        nxt = (
+            frontier.join(adj, frontier.node == adj.src)
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = nxt.join(visited, ["seed", "node"], "left_anti").localCheckpoint(
+            eager=False
+        )
+        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
+    return visited.groupBy("seed").agg(F.count("*").cast("bigint").alias("n_reached"))
+
+
+_SSSP_K = 3
+
+_SSSP_EDGES = """
+    ids AS (SELECT c_custkey AS id, count(*) OVER () AS n FROM customer),
+    edges AS (
+      SELECT src, dst, (src + dst) % 7 + 1 AS w FROM (
+        SELECT id AS src, (id + 1) % n AS dst FROM ids
+        UNION
+        SELECT id AS src, id // 2 AS dst FROM ids
+      ) WHERE src <> dst
+    )
+"""
+
+_SSSP_STEP = """
+    d{next} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{prev}
+        UNION ALL
+        SELECT e.dst AS node, p.dist + e.w AS dist
+        FROM d{prev} p JOIN edges e ON e.src = p.node
+      ) GROUP BY node
+    )
+"""
+
+_SSSP_ORACLE = (
+    "WITH "
+    + _SSSP_EDGES
+    + ", d0 AS (SELECT 0 AS node, CAST(0 AS BIGINT) AS dist)"
+    + "".join("," + _SSSP_STEP.format(next=k + 1, prev=k) for k in range(_SSSP_K))
+    + f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+    FROM d{_SSSP_K}
+"""
+)
+
+
+@register("graph_sssp_bounded", oracle=_SSSP_ORACLE, tags=("graph", "iterative"))
+def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths, k=3 Bellman-Ford rounds, over the
+    directed ring+funnel fixture graph (same topology as
+    `graph_pagerank`) with deterministic integer weights
+    (src+dst) mod 7 + 1 — min-plus iteration, the third distinct
+    iterative-dataflow algebra in the graph family (reachability = BFS,
+    mass = pagerank, min-plus = this).
+
+    Each round relaxes every edge out of the currently-reached set:
+    union(previous distances, dist[src]+w via one equi-join on src) →
+    min per node. Both legs partition on the node key, the reached set
+    grows monotonically and distances only tighten (safe to truncate
+    lineage per round), and the output after k rounds is exactly the
+    ≤k-hop shortest distance — a contract the oracle replays by
+    unrolling the same three relaxation steps as CTEs. At scale this is
+    the textbook Pregel lowering: iteration cost = one shuffle of the
+    (node, dist) state, state size = reached nodes, no driver-side data
+    beyond n."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    n = c.count()
+    ring = c.select(F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst"))
+    funnel = c.select(
+        F.col("id").alias("src"), F.floor(F.col("id") / 2).cast("long").alias("dst")
+    )
+    edges = (
+        ring.unionByName(funnel)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .select("src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    dist = c.filter(F.col("id") == 0).select(
+        F.col("id").alias("node"), F.lit(0).cast("bigint").alias("dist")
+    )
+    for _ in range(_SSSP_K):
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select(
+        F.col("node").cast("bigint").alias("node"), F.col("dist").cast("bigint").alias("dist")
+    )

@@ -673,3 +673,40 @@ def fn_data_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("OTHER"))
         .alias("segment_coarse"),
     )
+
+
+@register(
+    "fn_datetime_extra",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS TIMESTAMP) AS plus_2m,
+           quarter(o_orderdate) AS o_quarter,
+           isodow(o_orderdate) AS iso_dow,
+           CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS week_start,
+           dayofyear(o_orderdate) AS doy,
+           weekofyear(o_orderdate) AS iso_week
+    FROM orders
+    """,
+    tags=("fn",),
+)
+def fn_datetime_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-navigation function family, complementing `fn_date`'s
+    component extraction: month arithmetic WITH end-of-month clamping
+    (add_months: Jan 31 + 2m = Mar 31, Jan 31 + 1m = Feb 28/29 — both
+    engines clamp identically), quarter, ISO day-of-week (Spark's
+    weekday() is 0=Monday; +1 matches DuckDB's isodow 1=Monday — the
+    one encoding both engines can express without branches), ISO-week
+    Monday truncation, day-of-year, and ISO week number. All map-side
+    expression work; DATE-typed results ride the cast-to-TIMESTAMP
+    comparison convention `fn_date` documents."""
+    o = load_table(spark, sf_dir, "orders")
+    odate = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(odate, 2).cast("timestamp_ntz").alias("plus_2m"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        (F.weekday(odate) + 1).alias("iso_dow"),
+        F.date_trunc("week", odate).alias("week_start"),
+        F.dayofyear(odate).alias("doy"),
+        F.weekofyear(odate).alias("iso_week"),
+    )

@@ -770,3 +770,104 @@ def sim_centroid_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_1e6"),
         )
     )
+
+
+_SEMDEDUP_K = 8
+_SEMDEDUP_TAU = _NEARDUP_THRESHOLD  # same near-dup bar as dedup_embedding_cosine
+
+_SEMDEDUP_ORACLE = f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id < {_SEMDEDUP_K}
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6) AS cs
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS id_b
+      FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])), 6)
+            >= {_SEMDEDUP_TAU}
+    )
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster
+    FROM assigned a LEFT JOIN dropped d ON d.id_b = a.vec_id
+    WHERE d.id_b IS NULL
+"""
+
+
+@register("dedup_semantic_centroid", oracle=_SEMDEDUP_ORACLE, tags=("dedup", "embedding"))
+def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: partition the corpus into
+    k centroid cells, then near-dup (cosine ≥ 0.45) ONLY within each
+    cell, keeping the lowest id of each similar pair's members. The
+    cluster step is what makes embedding dedup feasible at corpus scale
+    — pairwise work drops from O(n²) to Σ|cell|², and each cell's
+    comparison runs as one local BLAS matmul instead of a pair join.
+
+    Centroids here are the k lowest-id vectors (deterministic medoids —
+    a production run plugs in k-means centroids from `sim_ann_ivf`'s
+    trainer without changing this dataflow; 8 rows collected once,
+    the bounded fixture-prep pattern). Assignment is an Arrow-batched
+    mapInPandas against the broadcast k×64 centroid matrix — map-side,
+    no shuffle. The dedup is ONE shuffle on cluster, then per-cell
+    numpy: rows sorted by vec_id, upper-triangular cos ≥ τ mask, drop
+    any row with a lower-id neighbor — identical keep semantics to
+    `dedup_embedding_cosine`, restricted to cells. Oversized cells are
+    the documented hazard (bound k so max |cell| fits task memory;
+    SemDeDup uses k ≈ n/1000). Scores are 6dp-rounded before every
+    decision so the oracle — which replays assignment and cell-local
+    pairs in pure SQL — makes identical choices."""
+    e = _emb(spark, sf_dir)
+    cent = sorted(
+        e.filter(F.col("vec_id") < _SEMDEDUP_K).select("vec_id", "emb").collect(),
+        key=lambda r: r.vec_id,
+    )
+    cids = np.array([r.vec_id for r in cent], dtype="int64")
+    cm = np.stack([np.asarray(r.emb, dtype="float64") for r in cent])
+    cmn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.stack([np.asarray(v, dtype="float64") for v in pdf["emb"]])
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            cs = np.round(qn @ cmn.T, 6)
+            # argmax returns the FIRST max; columns are cid-ascending, so
+            # ties break to the lowest centroid id — same as the oracle's
+            # ORDER BY cs DESC, cid.
+            best = cs.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
+                    "cluster": cids[best],
+                    "emb": pdf["emb"],
+                }
+            )
+
+    assigned = spread(e).mapInPandas(
+        assign, "vec_id bigint, cluster bigint, emb array<double>"
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        m = np.stack([np.asarray(v, dtype="float64") for v in pdf["emb"]])
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        s = np.round(mn @ mn.T, 6)
+        has_lower_neighbor = np.triu(s >= _SEMDEDUP_TAU, 1).any(axis=0)
+        return pdf.loc[~has_lower_neighbor, ["vec_id", "cluster"]]
+
+    return assigned.groupBy("cluster").applyInPandas(
+        dedup_cell, "vec_id bigint, cluster bigint"
+    )

@@ -624,3 +624,108 @@ def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("source", F.col("rnk").cast("int"), "term", "tf", "score_1e6")
     )
+
+
+_TOX_WORDS = ["slow", "dup", "drop", "crash"]
+
+_TOX_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> x IN ({_sql_list(_TOX_WORDS)}))) AS n_hits
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           round(n_hits * 1.0 / n_tokens, 6) AS tox_ratio,
+           n_hits * 1.0 / n_tokens >= 0.10 AS flagged
+    FROM t WHERE n_tokens > 0
+"""
+
+
+@register("text_toxicity_wordlist", oracle=_TOX_ORACLE, tags=("text", "curation"))
+def text_toxicity_wordlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist-based toxicity screen — the first, cheapest gate of a
+    training-data filter stack (real stacks chain this in front of a
+    model scorer; `curate_quality_score_lr` is that next tier). Per doc:
+    blocklist hit count, hit ratio, and the ≥10% flag.
+
+    The blocklist is compiled into the plan as an array literal — the
+    degenerate 'broadcast' (a production list of 10⁴ terms still fits in
+    every task's code). Everything is a map-side higher-order filter
+    over the token array: zero shuffles, zero UDFs, scales as a pure
+    scan. A blocklist too large for a literal graduates to a broadcast
+    join on exploded tokens — the same shape as `curate_decontaminate`.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens(F.lower(F.col("text"))), lambda x: x != "")
+    bad = F.array(*[F.lit(w) for w in _TOX_WORDS])
+    t = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.array_contains(bad, x))).cast("bigint").alias("n_hits"),
+    ).filter(F.col("n_tokens") > 0)
+    ratio = F.col("n_hits") / F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        "n_hits",
+        F.round(ratio, 6).alias("tox_ratio"),
+        (ratio >= 0.10).alias("flagged"),
+    )
+
+
+_READABILITY_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                         - 84.6 * (n_syllables * 1.0 / n_words), 4) AS flesch
+    FROM t WHERE n_words > 0
+"""
+
+
+@register("text_readability", oracle=_READABILITY_ORACLE, tags=("text", "curation"))
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a vowel-group syllable
+    proxy (the standard no-dictionary approximation: one syllable per
+    maximal [aeiouy]+ run). Low-readability outliers are a common
+    quality-filter axis alongside `text_quality`'s length/punct ratios.
+
+    Pure map-side string/regex expressions — no shuffle, no UDF; the
+    whole op is a projection that scales as a scan. The syllable count
+    runs one regexp_extract_all over the lowered text rather than
+    per-word loops (one pass per row, codegen'd)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(tokens(F.lower(F.col("text"))), lambda x: x != "")
+    t = d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)), F.lit(1)
+        ).cast("bigint").alias("n_sentences"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0))
+        .cast("bigint")
+        .alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    return t.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("n_words") / F.col("n_sentences"))
+            - 84.6 * (F.col("n_syllables") / F.col("n_words")),
+            4,
+        ).alias("flesch"),
+    )

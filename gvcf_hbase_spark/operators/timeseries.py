@@ -788,3 +788,96 @@ def ts_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actual",
         F.abs(F.col("actual") * 100 - F.col("forecast_1e2")).alias("abs_err_1e2"),
     )
+
+
+_AUTOCORR_ORACLE = """
+    WITH t AS (
+      SELECT user_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS c,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, c,
+             sum(c) OVER (PARTITION BY user_id) AS S,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             lag(c, 1) OVER w AS c1,
+             lag(c, 2) OVER w AS c2,
+             lag(c, 3) OVER w AS c3
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    d AS (
+      SELECT user_id, n,
+             sum((n * c - S) * (n * c - S)) AS den,
+             sum(CASE WHEN c1 IS NOT NULL THEN (n * c - S) * (n * c1 - S) END) AS num1,
+             sum(CASE WHEN c2 IS NOT NULL THEN (n * c - S) * (n * c2 - S) END) AS num2,
+             sum(CASE WHEN c3 IS NOT NULL THEN (n * c - S) * (n * c3 - S) END) AS num3
+      FROM s GROUP BY user_id, n
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           CAST(floor(num1 * 1.0 / den * 1000000 + 0.5) AS BIGINT) AS acf1_1e6,
+           CAST(floor(num2 * 1.0 / den * 1000000 + 0.5) AS BIGINT) AS acf2_1e6,
+           CAST(floor(num3 * 1.0 / den * 1000000 + 0.5) AS BIGINT) AS acf3_1e6
+    FROM d WHERE den > 0 AND n >= 4
+"""
+
+
+@register("ts_autocorr", oracle=_AUTOCORR_ORACLE, tags=("timeseries", "agg"))
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation (lags 1–3) of each user's event-value
+    series — the whiteness check a forecasting pipeline runs before
+    choosing model order (flat ACF ⇒ `ts_forecast_seasonal_naive` has
+    nothing to exploit; high lag-1 ⇒ `ts_ewma` smoothing pays).
+
+    ACF is a ratio of mean-centred sums; float centring drifts between
+    engines, so both sides multiply through by n — (x−μ) ∝ (n·x−S) with
+    S=Σx, n the series length — and all sums are EXACT int64 on cent-
+    quantized values (|n·x−S| ≤ n·max_cents keeps products ≪ 2⁶³ for
+    any realistic per-key series). Only the final ratio divides, then
+    1e-6 quantizes. One (user_id) exchange does everything: the
+    unbounded S/n window, the three lags, and the final aggregate all
+    share the same partitioning, so Spark plans a single sort+exchange
+    (no second shuffle — the groupBy key is the partition key).
+    Degenerate series (constant ⇒ den=0, or n<4 ⇒ missing lags) are
+    filtered identically on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100, 0).cast("bigint")
+    part = Window.partitionBy("user_id")
+    w = part.orderBy("ts_us_long", "event_id")
+    s = ev.select(
+        "user_id",
+        c.alias("c"),
+        F.sum(c).over(part).alias("S"),
+        F.count("*").over(part).alias("n"),
+        F.lag(c, 1).over(w).alias("c1"),
+        F.lag(c, 2).over(w).alias("c2"),
+        F.lag(c, 3).over(w).alias("c3"),
+    )
+    d = F.col("n") * F.col("c") - F.col("S")
+
+    def num(lagc):
+        return F.sum(
+            F.when(F.col(lagc).isNotNull(), d * (F.col("n") * F.col(lagc) - F.col("S")))
+        )
+
+    agg = s.groupBy("user_id", "n").agg(
+        F.sum(d * d).alias("den"),
+        num("c1").alias("num1"),
+        num("c2").alias("num2"),
+        num("c3").alias("num3"),
+    )
+
+    def acf(numcol):
+        return (
+            F.floor(F.col(numcol) / F.col("den") * 1_000_000 + F.lit(0.5))
+            .cast("bigint")
+            .alias(numcol.replace("num", "acf") + "_1e6")
+        )
+
+    return agg.filter((F.col("den") > 0) & (F.col("n") >= 4)).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        acf("num1"),
+        acf("num2"),
+        acf("num3"),
+    )

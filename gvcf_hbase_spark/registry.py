@@ -50,6 +50,7 @@ _MODULES = [
     "gvcf_hbase_spark.operators.linkage",
     "gvcf_hbase_spark.operators.cdc",
     "gvcf_hbase_spark.operators.graphs",
+    "gvcf_hbase_spark.operators.sketches",
     "gvcf_hbase_spark.operators.udfs",
     "gvcf_hbase_spark.streaming.batch_twins",
     "gvcf_hbase_spark.streaming.stream_ops",

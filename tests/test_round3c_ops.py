@@ -149,9 +149,10 @@ def test_regexp_extract_all_matches(spark, tmp_path):
     )
     rows = {r.doc_id: r for r in SPECS["fn_regexp_extract_all"].fn(spark, sf).collect()}
     # ≥6 lowercase letters: seventy(7), lengthy(7), worthwhile(10)
-    assert rows[0].long_words == ["seventy", "lengthy", "worthwhile"]
+    # long_words is comma-joined (driver hashable-output rule)
+    assert rows[0].long_words == "seventy,lengthy,worthwhile"
     assert rows[0].n_long == 3 and rows[0].first_long == "seventy"
-    assert rows[1].long_words == [] and rows[1].first_long == ""
+    assert rows[1].long_words == "" and rows[1].first_long == ""
 
 
 def test_degree_histogram_conservation(spark):
@@ -194,8 +195,10 @@ def test_secondary_index_posting_lists_sorted(spark):
     rows = SPECS["sink_secondary_index"].fn(spark, SF_DIR).collect()
     assert rows, "fixture must produce at least one >=3-purchase user"
     for r in rows:
-        assert list(r.event_ids) == sorted(r.event_ids)
-        assert r.n_purchases == len(r.event_ids) >= 3
+        # event_ids is comma-joined (driver hashable-output rule)
+        ids = [int(x) for x in r.event_ids.split(",")]
+        assert ids == sorted(ids)
+        assert r.n_purchases == len(ids) >= 3
 
 
 def test_rolling_corr_perfect_and_constant(spark, tmp_path):

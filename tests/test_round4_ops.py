@@ -1,0 +1,206 @@
+"""Semantic micro-tests for the round-4 additions: count-min one-sided
+error, Bloom no-false-negatives, toxicity/readability closed forms,
+exact-integer ACF, k-hop ball size, bounded Bellman-Ford vs a Python
+reference, LR-scorer decision boundary, calendar clamping, last-touch
+attribution windows, and SemDeDup cluster-local dropping. Oracle hash
+comparison runs in test_queries.py; these pin the closed-form behaviors
+a hash match alone wouldn't localize.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import numpy as np
+
+from tests.conftest import SF_DIR
+from gvcf_hbase_spark.registry import load_all
+from tests.test_round3c_ops import _write_documents, _write_events, _write_embeddings
+
+SPECS = load_all()
+
+
+def test_countmin_one_sided_error(spark):
+    """CMS estimates NEVER undercount: est ≥ exact for every probe,
+    and the report carries exactly the 25 hottest keys."""
+    rows = SPECS["agg_countmin_freq"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r.est_cnt >= r.exact_cnt
+        assert r.overcount == r.est_cnt - r.exact_cnt
+
+
+def test_bloom_no_false_negatives(spark):
+    """Bloom membership is one-sided: every true member tests positive;
+    false_positive is exactly in_bloom ∧ ¬in_truth."""
+    rows = SPECS["agg_bloom_membership"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r.in_truth:
+            assert r.in_bloom, f"false negative at {r.c_custkey}"
+        assert r.false_positive == (r.in_bloom and not r.in_truth)
+
+
+def test_toxicity_ratio_and_flag(spark, tmp_path):
+    sf = _write_documents(
+        spark, tmp_path,
+        [
+            ("slow slow fast", "en", "s"),       # 2/3 hits -> flagged
+            ("fast join merge scan", "en", "s"),  # 0 hits
+            ("dup " + "ok " * 19, "en", "s"),     # 1/20 = 0.05 < 0.10
+        ],
+    )
+    out = {r.doc_id: r for r in SPECS["text_toxicity_wordlist"].fn(spark, sf).collect()}
+    assert out[0].n_hits == 2 and out[0].flagged
+    assert round(out[0].tox_ratio, 6) == round(2 / 3, 6)
+    assert out[1].n_hits == 0 and not out[1].flagged
+    assert out[2].n_hits == 1 and not out[2].flagged
+
+
+def test_readability_closed_form(spark, tmp_path):
+    """'go on up': 3 words, 3 vowel groups, no terminator -> 1 sentence.
+    flesch = 206.835 - 1.015*3 - 84.6*1."""
+    sf = _write_documents(spark, tmp_path, [("go on up", "en", "s")])
+    r = SPECS["text_readability"].fn(spark, sf).collect()[0]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (3, 1, 3)
+    assert r.flesch == round(206.835 - 1.015 * 3 - 84.6 * 1, 4)
+
+
+def test_autocorr_alternating_series(spark, tmp_path):
+    """x = +1,-1,... (n=8): mean 0, acf_k = ±(n-k)/n exactly."""
+    sf = _write_events(
+        spark, tmp_path, [(i, i, 1, "a", 1.0 if i % 2 == 0 else -1.0) for i in range(8)]
+    )
+    r = SPECS["ts_autocorr"].fn(spark, sf).collect()[0]
+    assert r.n == 8
+    assert r.acf1_1e6 == -875_000
+    assert r.acf2_1e6 == 750_000
+    assert r.acf3_1e6 == -625_000
+
+
+def test_khop_ball_size_on_ring_with_chords(spark):
+    """Ring + distance-2 chords: every node reaches exactly offsets
+    −6..+6 in ≤3 hops → ball size 13 for every seed (seeds are ≥97
+    apart on a ≥28-node cycle, so balls never truncate)."""
+    rows = SPECS["graph_khop_reach"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_reached == 13
+
+
+def test_sssp_matches_python_bellman_ford(spark):
+    """3-round min-plus vs an independent dict-based Bellman-Ford over
+    the same deterministic edge construction."""
+    import duckdb
+
+    n = duckdb.sql(f"SELECT count(*) FROM '{SF_DIR}/customer.parquet'").fetchone()[0]
+    edges = set()
+    for i in range(n):
+        for dst in [(i + 1) % n, i // 2]:
+            if i != dst:
+                edges.add((i, dst, (i + dst) % 7 + 1))
+    dist = {0: 0}
+    for _ in range(3):
+        new = dict(dist)
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < new.get(d, math.inf):
+                new[d] = dist[s] + w
+        dist = new
+    out = {r.node: r.dist for r in SPECS["graph_sssp_bounded"].fn(spark, SF_DIR).collect()}
+    assert out == dist
+
+
+def test_quality_score_lr_boundary(spark, tmp_path):
+    """keep ⇔ margin z ≥ 0, recomputed independently in Python; an
+    all-stopword doc scores below a diverse one."""
+    docs = [("the the the the", "en", "s"), ("join hash scan merge filter", "en", "s")]
+    sf = _write_documents(spark, tmp_path, docs)
+    out = {r.doc_id: r for r in SPECS["curate_quality_score_lr"].fn(spark, sf).collect()}
+    for i, (text, _, _) in enumerate(docs):
+        toks = [t for t in text.lower().split(" ") if t]
+        f_len = math.log(1 + len(toks))
+        f_stop = sum(t in ("a", "the") for t in toks) / len(toks)
+        f_wordlen = sum(len(t) for t in toks) / len(toks)
+        f_distinct = len(set(toks)) / len(toks)
+        z = 0.8 * f_len - 2.0 * f_stop - 0.3 * f_wordlen + 1.5 * f_distinct - 0.2
+        assert out[i].keep == (z >= 0)
+        assert abs(out[i].score - 1 / (1 + math.exp(-z))) < 1e-5
+    assert out[1].score > out[0].score
+
+
+def _write_orders(spark, tmp_path, dates):
+    df = spark.createDataFrame(
+        [(i, datetime.datetime.combine(d, datetime.time())) for i, d in enumerate(dates)],
+        "o_orderkey long, o_orderdate timestamp_ntz",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    return str(tmp_path)
+
+
+def test_datetime_extra_clamping_and_iso(spark, tmp_path):
+    """Jan 31 + 2 months clamps to Mar 31; Dec 31 + 2m = Feb 28 (1995
+    non-leap); ISO dow is 1=Monday; week truncates to Monday."""
+    sf = _write_orders(
+        spark, tmp_path,
+        [datetime.date(1995, 1, 31), datetime.date(1994, 12, 31), datetime.date(1995, 1, 30)],
+    )
+    out = {r.o_orderkey: r for r in SPECS["fn_datetime_extra"].fn(spark, sf).collect()}
+    assert out[0].plus_2m == datetime.datetime(1995, 3, 31)
+    assert out[1].plus_2m == datetime.datetime(1995, 2, 28)
+    assert out[2].iso_dow == 1  # 1995-01-30 was a Monday
+    assert out[2].week_start == datetime.datetime(1995, 1, 30)
+    assert out[0].week_start == datetime.datetime(1995, 1, 30)  # Tue -> same Monday
+    assert out[0].o_quarter == 1 and out[0].doy == 31
+
+
+def test_attribution_last_touch_semantics(spark, tmp_path):
+    sf = _write_events(
+        spark, tmp_path,
+        [
+            # u1: view@0 click@10 error@15 purchase@20 -> credited to click
+            (1, 0, 1, "view", 0.0),
+            (2, 10, 1, "click", 0.0),
+            (3, 15, 1, "error", 0.0),
+            (4, 20, 1, "purchase", 9.0),
+            # u2: touch outside the 1h lookback
+            (5, 0, 2, "view", 0.0),
+            (6, 4000, 2, "purchase", 9.0),
+            # u3: purchase with no prior touch at all
+            (7, 0, 3, "purchase", 9.0),
+        ],
+    )
+    rows = SPECS["analytics_attribution_last_touch"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.purchase_event_id == 4 and r.touch_event_id == 2
+    assert r.touch_type == "click" and r.gap_us == 10_000_000
+
+
+def test_semantic_dedup_drops_within_cluster_only(spark, tmp_path):
+    """Vectors 0..7 are orthogonal basis directions (the centroids
+    themselves — mutually cos 0, all survive). Vec 8 ≈ vec 0 and vec 9
+    = 2·vec 1 land in clusters 0/1 and are dropped by their lower-id
+    neighbor; vec 10 is a weak mix assigned to cluster 2 but below τ
+    from everything -> survives."""
+    dim = 64
+    vecs = []
+    for i in range(8):
+        v = np.zeros(dim)
+        v[i] = 1.0
+        vecs.append(v)
+    near0 = np.zeros(dim)
+    near0[0] = 1.0
+    near0[63] = 0.1
+    vecs.append(near0)  # vec 8 -> cluster 0, cos~0.995 with vec 0
+    vecs.append(np.eye(dim)[1] * 2.0)  # vec 9 -> cluster 1, cos 1.0 with vec 1
+    mix = np.zeros(dim)
+    mix[2] = 0.4
+    mix[40] = 1.0  # dominated by an off-centroid axis: cos(c2)=0.371 < tau
+    vecs.append(mix)  # vec 10 -> cluster 2, survives
+    sf = _write_embeddings(spark, tmp_path, [list(v) for v in vecs], [0] * len(vecs))
+    out = {r.vec_id: r.cluster for r in SPECS["dedup_semantic_centroid"].fn(spark, sf).collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 5, 6, 7, 10}
+    assert out[10] == 2
+    for i in range(8):
+        assert out[i] == i
