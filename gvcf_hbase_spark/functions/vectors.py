@@ -42,12 +42,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def corpus_broadcast(e: DataFrame, id_col: str = "vec_id", vec_col: str = "emb"):
+def corpus_broadcast(
+    e: DataFrame, id_col: str = "vec_id", vec_col: str = "emb", normalize: bool = True
+):
     """Collect ``(ids int64[n], L2-normalized float64[n, d])`` to the driver
     and broadcast to executors. Row dot products of the normalized matrix
     ARE cosines. One driver collect + one broadcast per query — the
     standard Spark shape for brute-force vector search where the corpus
-    fits in executor memory.
+    fits in executor memory. ``normalize=False`` keeps raw magnitudes
+    (inner-product / MIPS scoring instead of cosine).
 
     Contract: call ONLY behind a size guard (operators/similarity.py's
     ``_fits_broadcast``, file-listing bytes vs the broadcast ceiling) —
@@ -57,5 +60,6 @@ def corpus_broadcast(e: DataFrame, id_col: str = "vec_id", vec_col: str = "emb")
     pdf = e.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy(dtype="int64")
     m = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-    return e.sparkSession.sparkContext.broadcast((ids, mn))
+    if normalize:
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    return e.sparkSession.sparkContext.broadcast((ids, m))

@@ -494,3 +494,95 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     partials = wp.mapInPandas(gen, "byte int, cnt long")
     return partials.groupBy("byte").agg(F.sum("cnt").alias("cnt"))
+
+
+_SCENE_FRAME_W = 32
+_SCENE_CUT_TAU = 300
+
+_SCENE_ORACLE = f"""
+    WITH f AS (
+      SELECT doc_id, text, CAST(ceil(len(text) / {_SCENE_FRAME_W}.0) AS BIGINT) AS nf
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+             CAST(list_sum(list_transform(
+               range(1, len(substr(text, CAST(i * {_SCENE_FRAME_W} + 1 AS INT),
+                                   {_SCENE_FRAME_W})) + 1),
+               j -> ascii(substr(substr(text, CAST(i * {_SCENE_FRAME_W} + 1 AS INT),
+                                        {_SCENE_FRAME_W}), CAST(j AS INT), 1))))
+             AS BIGINT) AS frame_sum
+      FROM f, unnest(range(0, nf)) AS t(i)
+    ),
+    d AS (
+      SELECT doc_id, frame_idx, frame_sum,
+             frame_sum - lag(frame_sum) OVER (PARTITION BY doc_id
+                                              ORDER BY frame_idx) AS delta
+      FROM fr
+    )
+    SELECT doc_id, frame_idx, frame_sum, delta,
+           abs(delta) > {_SCENE_CUT_TAU} AS is_cut
+    FROM d WHERE delta IS NOT NULL
+"""
+
+
+@register("multimodal_scene_cuts", oracle=_SCENE_ORACLE, tags=("multimodal", "udf"))
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over fake-video payloads: chunk each binary
+    payload into 32-byte frames, reduce each frame to a scalar signature
+    (byte sum — a real pipeline substitutes a decoded-frame statistic or
+    perceptual hash; the plan is identical), then flag frame boundaries
+    where the signature jumps by > τ. This is the shot-segmentation
+    primitive video curation runs before `multimodal_frame_sample`-style
+    per-scene sampling.
+
+    Two-stage split mirrors how this should execute at 100 TB: the
+    payload-touching reduction happens INSIDE Arrow-batched mapInPandas
+    (numpy frombuffer + per-frame add.reduceat — vectorized over the
+    whole batch, no per-frame Python loop), emitting only (doc, frame,
+    scalar) rows, so the shuffle carries signatures, never payload
+    bytes; the temporal diff is then a JVM lag() window per doc on those
+    scalars. The oracle replays frame sums with substr/ascii arithmetic
+    — exact because the fixture payload is ASCII text bytes."""
+    import numpy as np
+
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def frame_sums(batches):
+        for pdf in batches:
+            ids, fidx, fsum = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if b.size == 0:
+                    continue
+                starts = np.arange(0, b.size, _SCENE_FRAME_W)
+                sums = np.add.reduceat(b.astype(np.int64), starts)
+                ids.append(np.full(starts.size, doc_id, dtype=np.int64))
+                fidx.append(np.arange(starts.size, dtype=np.int64))
+                fsum.append(sums)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "frame_idx": np.concatenate(fidx),
+                        "frame_sum": np.concatenate(fsum),
+                    }
+                )
+
+    fr = with_payload.mapInPandas(
+        frame_sums, "doc_id long, frame_idx long, frame_sum long"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    out = fr.withColumn(
+        "delta", F.col("frame_sum") - F.lag("frame_sum").over(w)
+    ).filter(F.col("delta").isNotNull())
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "frame_sum",
+        "delta",
+        (F.abs("delta") > _SCENE_CUT_TAU).alias("is_cut"),
+    )

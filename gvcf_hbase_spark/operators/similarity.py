@@ -554,9 +554,14 @@ def knn_topk_ivf(
     )
 
 
-def knn_topk_blocked(e: DataFrame, k: int, blocks: int | None = None) -> DataFrame:
+def knn_topk_blocked(
+    e: DataFrame, k: int, blocks: int | None = None, normalize: bool = True
+) -> DataFrame:
     """EXACT top-k neighbors without any corpus broadcast — what
     ``sim_knn_topk`` dispatches to beyond the broadcast ceiling.
+    ``normalize=False`` scores raw inner products (MIPS) instead of
+    cosine; the merge logic is identical because top-k under
+    (score desc, id) is monotone for any score.
 
     The corpus is hash-assigned to B blocks; every query is replicated to
     all B blocks (one broadcast of a B-row block list, then a shuffle of
@@ -597,9 +602,12 @@ def knn_topk_blocked(e: DataFrame, k: int, blocks: int | None = None) -> DataFra
         if c.empty or q.empty:
             return empty
         ids_c = c["vec_id"].to_numpy(dtype="int64")
-        mc = _to_matrix(c["emb"])
         ids_q = q["vec_id"].to_numpy(dtype="int64")
-        mq = _to_matrix(q["emb"])
+        if normalize:
+            mc, mq = _to_matrix(c["emb"]), _to_matrix(q["emb"])
+        else:
+            mc = np.stack([np.asarray(v, dtype="float64") for v in c["emb"]])
+            mq = np.stack([np.asarray(v, dtype="float64") for v in q["emb"]])
         frames = []
         for s0 in range(0, len(ids_q), _SCORE_CHUNK):
             s1 = min(s0 + _SCORE_CHUNK, len(ids_q))
@@ -870,4 +878,68 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return assigned.groupBy("cluster").applyInPandas(
         dedup_cell, "vec_id bigint, cluster bigint"
+    )
+
+
+_MIPS_K = 5
+
+_MIPS_ORACLE = f"""
+    WITH scored AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             round(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS dot
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dot DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT vec_id, neighbor_id, dot, rn FROM ranked WHERE rn <= {_MIPS_K}
+"""
+
+
+@register("sim_mips_topk", oracle=_MIPS_ORACLE, tags=("similarity",))
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product top-5 per vector (MIPS — the
+    retrieval objective when magnitudes carry signal: recommendation
+    scores, unnormalized two-tower embeddings), as the ground-truth
+    twin of `sim_knn_topk`'s cosine ranking.
+
+    Same physical strategies as the cosine op — broadcast matmul under
+    the size ceiling, blocked exact merge beyond — with normalization
+    OFF (`knn_topk_blocked(normalize=False)`): top-k selection is
+    monotone under any (score desc, id) order, so the blocked merge
+    stays exact. The approximate scale path for MIPS is the standard
+    norm-augmentation reduction — append sqrt(M² − ‖x‖²) to each corpus
+    vector (M = max norm) and 0 to queries, making cosine order equal
+    inner-product order, then reuse `sim_ann_lsh`/`sim_ann_ivf`
+    unchanged; this exact op is the recall oracle for that path."""
+    e = _emb(spark, sf_dir)
+    if not _fits_broadcast(e):
+        return (
+            knn_topk_blocked(e, k=_MIPS_K, normalize=False)
+            .withColumnRenamed("cos_sim", "dot")
+        )
+    bc = corpus_broadcast(e, normalize=False)
+
+    def topk(batches):
+        ids_all, m = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.stack([np.asarray(v, dtype="float64") for v in pdf["emb"]])
+            s = np.round(q @ m.T, 6)
+            cols = {"vec_id": [], "neighbor_id": [], "dot": [], "rn": []}
+            for i, qid in enumerate(pdf["vec_id"].to_numpy(dtype="int64")):
+                idx = np.flatnonzero(ids_all != qid)
+                best = idx[np.lexsort((ids_all[idx], -s[i][idx]))][:_MIPS_K]
+                cols["vec_id"].append(np.full(len(best), qid, dtype="int64"))
+                cols["neighbor_id"].append(ids_all[best])
+                cols["dot"].append(s[i][best])
+                cols["rn"].append(np.arange(1, len(best) + 1, dtype="int32"))
+            yield pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
+
+    return spread(e).mapInPandas(
+        topk, "vec_id bigint, neighbor_id bigint, dot double, rn int"
     )

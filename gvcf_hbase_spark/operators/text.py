@@ -729,3 +729,56 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch"),
     )
+
+
+# GPT-2-style pretokenizer regex, ASCII-restricted (the fixture corpus is
+# ASCII; both Java regex and DuckDB's RE2 parse this identically, which a
+# \p{L}-based pattern would not guarantee across engines).
+_BPE_PAT = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+_BPE_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}')) AS n_bpe,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_bpe AS BIGINT) AS n_bpe, CAST(n_ws AS BIGINT) AS n_ws,
+           round(n_chars * 1.0 / n_bpe, 4) AS chars_per_token
+    FROM t WHERE n_bpe > 0
+"""
+
+
+@register("text_bpe_regex_tokens", oracle=_BPE_ORACLE, tags=("text", "curation"))
+def text_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-style pretokenizer regex (the GPT-2
+    split rule: contraction suffixes, space-prefixed letter runs, digit
+    runs, punctuation runs) next to the naive whitespace count — the
+    budget arithmetic every training-data pipeline runs (token budgets,
+    chars-per-token calibration, packing estimates in
+    `curate_pack_batches`). A real tokenizer adds a merges table after
+    this split; the COUNT is dominated by the pretokenizer, which is
+    why this regex is the standard cheap estimator.
+
+    One regexp pass per row, map-side only, no shuffle. The pattern is
+    ASCII-restricted so Java regex (Spark) and RE2 (DuckDB) agree
+    byte-for-byte — the engine-portability trap \\p{{L}} classes would
+    open is documented away."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), 0))
+        .cast("bigint")
+        .alias("n_bpe"),
+        F.size(F.filter(tokens(F.col("text")), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_ws"),
+        F.length("text").alias("n_chars"),
+    ).filter(F.col("n_bpe") > 0)
+    return t.select(
+        "doc_id",
+        "n_bpe",
+        "n_ws",
+        F.round(F.col("n_chars") / F.col("n_bpe"), 4).alias("chars_per_token"),
+    )

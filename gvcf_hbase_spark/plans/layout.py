@@ -577,3 +577,109 @@ def write_bucketed(
         .sortBy(*keys)
         .saveAsTable(table)
     )
+
+
+_Z_BITS = 16
+_Z_BUCKETS = 16
+
+# Bit-interleave as pure integer arithmetic (sum of disjoint powers of
+# two) — the one formulation Spark and DuckDB evaluate identically with
+# no bitwise-operator dialect differences.
+_Z_SQL = " + ".join(
+    f"(((l_partkey & 65535) >> {b}) & 1) * {1 << (2 * b + 1)}"
+    f" + (((l_suppkey & 65535) >> {b}) & 1) * {1 << (2 * b)}"
+    for b in range(_Z_BITS)
+)
+
+
+def _zvalue_col():
+    import functools
+    import operator
+
+    def bit(col, b, shift):
+        masked = F.col(col).bitwiseAND(65535)
+        return F.shiftright(masked, b).bitwiseAND(1).cast("bigint") * (1 << shift)
+
+    return functools.reduce(
+        operator.add,
+        [
+            bit("l_partkey", b, 2 * b + 1) + bit("l_suppkey", b, 2 * b)
+            for b in range(_Z_BITS)
+        ],
+    )
+
+
+def _register_round4_sinks() -> None:
+    from gvcf_hbase_spark.registry import register
+    from gvcf_hbase_spark.sources.tables import load_table
+
+    @register(
+        "sink_zorder_layout",
+        oracle=f"""
+        WITH z AS (
+          SELECT l_partkey, l_suppkey, CAST({_Z_SQL} AS BIGINT) AS zval
+          FROM lineitem
+        ),
+        m AS (SELECT max(zval) AS zmax FROM z)
+        SELECT CAST(zval * {_Z_BUCKETS} // (zmax + 1) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(l_partkey) AS BIGINT) AS min_part,
+               CAST(max(l_partkey) AS BIGINT) AS max_part,
+               CAST(min(l_suppkey) AS BIGINT) AS min_supp,
+               CAST(max(l_suppkey) AS BIGINT) AS max_supp,
+               CAST(min(zval) AS BIGINT) AS min_z,
+               CAST(max(zval) AS BIGINT) AS max_z
+        FROM z CROSS JOIN m
+        GROUP BY 1
+        """,
+        tags=("sink", "layout"),
+    )
+    def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Z-order (Morton-curve) clustered write: interleave the low 16
+        bits of (l_partkey, l_suppkey) into a z-value, range-bucket rows
+        by it, write the layout bucket-partitioned and z-sorted within
+        each file, then read the layout back and report per-bucket
+        min/max bounds for BOTH dimensions — the multi-column data-
+        skipping layout Delta OPTIMIZE ZORDER / Iceberg sort orders
+        produce, and the 2-D generalization of the reference's
+        single-key range-sorted HFile layout (`sink_bulk_put`). The
+        payoff the stats exhibit: every bucket bounds part AND supplier
+        ranges simultaneously, so a predicate on EITHER key prunes
+        buckets (a 1-D sort bounds only its own key).
+
+        The z-value is a codegen'd integer expression (sum of disjoint
+        powers of two — identical arithmetic in the DuckDB oracle, no
+        bitwise-dialect traps); bucketing divides by the max z from a
+        broadcast 1-row aggregate; the write is one range shuffle, the
+        same cost as any sorted sink. The oracle recomputes the stats
+        from the plain table, proving the clustered write lossless and
+        the bucket bounds exact — wrong bounds would admit wrong prunes
+        downstream."""
+        import tempfile
+
+        li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+        z = li.withColumn("zval", _zvalue_col())
+        zmax = z.agg(F.max("zval").alias("zmax"))
+        bucketed = z.crossJoin(F.broadcast(zmax)).select(
+            "l_partkey",
+            "l_suppkey",
+            "zval",
+            (F.col("zval") * _Z_BUCKETS / (F.col("zmax") + 1))
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        out = tempfile.mkdtemp(prefix="gvcf_zorder_") + "/lineitem_z"
+        write_hive_partitioned(bucketed, out, ["bucket"], sort_keys=["zval"])
+        back = spark.read.parquet(out)
+        return back.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+            F.min("zval").alias("min_z"),
+            F.max("zval").alias("max_z"),
+        )
+
+
+_register_round4_sinks()

