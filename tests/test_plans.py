@@ -68,6 +68,8 @@ def test_relational_paths_are_jvm_only(spark):
         "sim_cosine_pairs_blocked", "sim_knn_blocked", "multimodal_audio_energy",
         "udf_arrow_scalar", "multimodal_phash_neardup",
         "multimodal_byte_histogram",
+        # round 4: declared Python scorer/extractor boundaries
+        "dedup_semantic_centroid", "sim_mips_topk", "multimodal_scene_cuts",
     }
     for key, spec in SPECS.items():
         if key in python_ok or "streaming" in spec.tags:
@@ -601,3 +603,49 @@ def test_runtime_bloom_filter_injected(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_autocorr_single_exchange(spark):
+    """ts_autocorr's S/n window, three lags, and final aggregate must
+    share ONE (user_id) exchange (formatted explain lists each node
+    twice: tree + detail)."""
+    plan = explain_str(SPECS["ts_autocorr"].fn(spark, SF_DIR))
+    assert plan.count("Exchange") <= 2, "extra shuffle crept into ts_autocorr"
+    assert "Join" not in plan
+
+
+def test_attribution_single_exchange(spark):
+    plan = explain_str(SPECS["analytics_attribution_last_touch"].fn(spark, SF_DIR))
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+
+
+def test_pattern_kleene_single_exchange(spark):
+    """The click-island window must reuse the lag/lead window's user_id
+    partitioning — one exchange end-to-end, no join nodes."""
+    plan = explain_str(SPECS["analytics_pattern_kleene"].fn(spark, SF_DIR))
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+
+
+def test_sketch_probes_broadcast(spark):
+    """Count-min and Bloom probe joins must broadcast the sketch side
+    (≤ d·w / m rows), never sort-merge."""
+    for key in ["agg_countmin_freq", "agg_bloom_membership"]:
+        plan = explain_str(SPECS[key].fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, key
+        assert "SortMergeJoin" not in plan, key
+        assert plan.count("HashAggregate") >= 4, key  # partial+final on build & probe
+
+
+def test_scene_cuts_shuffle_after_reduction(spark):
+    """The binary payload must be reduced to scalars INSIDE mapInPandas
+    before the window exchange: one Python stage, one exchange, and the
+    exchanged schema carries no binary column."""
+    plan = explain_str(SPECS["multimodal_scene_cuts"].fn(spark, SF_DIR))
+    assert plan.count("MapInPandas") == 2  # one node (tree + detail)
+    assert plan.count("Exchange") <= 2
+    exchange_blocks = [
+        b for b in plan.split("\n\n") if b.lstrip().startswith("(") and "Exchange" in b.split("\n")[0]
+    ]
+    assert exchange_blocks and all("payload" not in b for b in exchange_blocks)
