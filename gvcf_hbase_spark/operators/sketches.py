@@ -22,7 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from gvcf_hbase_spark.registry import register
-from gvcf_hbase_spark.sources.tables import load_table
+from gvcf_hbase_spark.sources.tables import load_table, spread
 
 _CMS_D = 4  # hash rows
 _CMS_W = 512  # cells per row
@@ -45,16 +45,16 @@ _CMS_ORACLE = f"""
     ),
     cells AS (
       SELECT j,
-             CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':',
-                  CAST(item AS VARCHAR))), 1, 8)) AS BIGINT) % {_CMS_W} AS cell,
+             CAST(concat('0x', substr(md5(CAST(item AS VARCHAR)),
+                  j * 8 + 1, 8)) AS BIGINT) % {_CMS_W} AS cell,
              item
       FROM items CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
     ),
     cms AS (SELECT j, cell, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY j, cell),
     probe AS (
       SELECT DISTINCT e.item, k.j,
-             CAST(concat('0x', substr(md5(concat(CAST(k.j AS VARCHAR), ':',
-                  CAST(e.item AS VARCHAR))), 1, 8)) AS BIGINT) % {_CMS_W} AS cell
+             CAST(concat('0x', substr(md5(CAST(e.item AS VARCHAR)),
+                  k.j * 8 + 1, 8)) AS BIGINT) % {_CMS_W} AS cell
       FROM exact e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) k
     ),
     est AS (
@@ -83,25 +83,49 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch, not the table, no matter how many input rows (the whole
     point at 100 TB). The probe side joins against the ≤2048-row sketch
     — an automatic broadcast — and takes min over the d cells per key.
-    Hash family is the portable md5-prefix (functions.textfns idiom), so
-    the oracle rebuilds the identical sketch cell-for-cell. At
-    production scale the probe set is whatever keys you care about;
-    here it is all distinct keys so the error profile is fully visible.
+    Hash family is the portable md5 digest — ONE digest per row, its
+    four 32-bit hex slices as the d independent hashes — so the oracle
+    rebuilds the identical sketch cell-for-cell. md5 is the documented
+    oracle-replayability trade (same as dedup.py's signature path): a
+    production build swaps in xxhash64(item, seed=j), codegen-native
+    and ~5× cheaper, changing only this hash expression. At production
+    scale the probe set is whatever keys you care about; here it is all
+    distinct keys so the error profile is fully visible.
     """
-    items = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("item"))
+    # ONE md5 per row, four independent 32-bit slices of its 128-bit
+    # digest as the d hash functions (slices of a cryptographic digest
+    # are independent; 4× cheaper than four per-j digests — measured
+    # 4.3 s → ~1 s at sf0.1 where the build-side hashing dominates).
+    def slices(df):
+        h = F.md5(F.col("item").cast("string"))
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (F.conv(F.substring(h, j * 8 + 1, 8), 16, 10).cast("long") % _CMS_W).alias(
+                        "cell"
+                    ),
+                )
+                for j in range(_CMS_D)
+            ]
+        )
+        return df.select("item", F.explode(arr).alias("h")).select(
+            "item", F.col("h.j").alias("j"), F.col("h.cell").alias("cell")
+        )
+
+    # spread(): the fixture table arrives as ONE input split, which would
+    # serialize 600k md5s onto one core (guarded no-op when the input is
+    # already parallel — the 100 TB case).
+    items = spread(
+        load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("item"))
+    )
     exact = items.groupBy("item").agg(F.count("*").cast("bigint").alias("exact_cnt"))
-    hashes = F.array(*[F.struct(F.lit(j).alias("j"), _cell(j, F.col("item"), _CMS_W, ":")) for j in range(_CMS_D)])
     cms = (
-        items.select(F.explode(hashes).alias("h"))
-        .groupBy(F.col("h.j").alias("j"), F.col("h.cell").alias("cell"))
+        slices(items)
+        .groupBy("j", "cell")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
-    probe = exact.select(
-        "item",
-        F.explode(
-            F.array(*[F.struct(F.lit(j).alias("j"), _cell(j, F.col("item"), _CMS_W, ":")) for j in range(_CMS_D)])
-        ).alias("h"),
-    ).select("item", F.col("h.j").alias("j"), F.col("h.cell").alias("cell"))
+    probe = slices(exact.select("item"))
     est = (
         probe.join(cms, ["j", "cell"])
         .groupBy("item")
