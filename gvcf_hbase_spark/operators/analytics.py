@@ -948,3 +948,60 @@ def analytics_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFr
         "touch_type",
         (F.col("us") - F.col("touch_us")).cast("bigint").alias("gap_us"),
     )
+
+
+_SHARE_ORACLE = """
+    WITH g AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    )
+    SELECT o_orderpriority, o_orderstatus, cents,
+           CAST(cents * 1000000 // sum(cents) OVER (PARTITION BY o_orderpriority)
+                AS BIGINT) AS share_in_priority_1e6,
+           CAST(cents * 1000000 // sum(cents) OVER () AS BIGINT) AS share_of_grand_1e6,
+           CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY cents DESC, o_orderstatus) AS BIGINT) AS rnk
+    FROM g
+"""
+
+
+@register("agg_share_of_total", oracle=_SHARE_ORACLE, tags=("analytics", "window"))
+def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each (priority, status) cell's revenue share
+    within its priority group AND of the grand total, plus its in-group
+    rank — the classic OLAP reporting primitive (RATIO_TO_REPORT /
+    percent-of-parent in MDX terms).
+
+    Plan: ONE collapsing aggregate over the fact table (the only
+    full-data shuffle — map-side partial sums make the exchange carry
+    ≤ groups × tasks rows), then windows over the aggregated relation,
+    which is #groups-sized — at 100 TB the windows cost nothing because
+    they run on 15 rows, not 15 billion; the grand-total window's single
+    partition is bounded by the group count, never the data. Values are
+    cent-quantized and shares integer-floored so no float crosses the
+    hash."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    return g.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "cents",
+        F.floor(F.col("cents") * 1_000_000 / F.sum("cents").over(wp))
+        .cast("bigint")
+        .alias("share_in_priority_1e6"),
+        F.floor(
+            F.col("cents") * 1_000_000 / F.sum("cents").over(Window.partitionBy())
+        )
+        .cast("bigint")
+        .alias("share_of_grand_1e6"),
+        F.row_number()
+        .over(wp.orderBy(F.col("cents").desc(), "o_orderstatus"))
+        .cast("bigint")
+        .alias("rnk"),
+    )

@@ -253,13 +253,11 @@ _SIMHASH_ORACLE = f"""
 """
 
 
-@register("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup", "hash"))
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash signature per document (token-multiset weighted bit
-    vote). Near-dup pairs are then hamming-distance ≤ k over signatures —
-    see tests for the pairing; the signature table is the oracle-checked
-    artifact. Single explode + one 32-column aggregate."""
-    d = load_table(spark, sf_dir, "documents")
+def simhash_signatures(d: DataFrame) -> DataFrame:
+    """32-bit SimHash per document: token-multiset weighted bit vote over
+    the portable md5-prefix token hash. Single explode + one 32-column
+    aggregate; shared by `dedup_simhash` (the signature table) and
+    `dedup_simhash_recall` (the calibration op)."""
     ex = spread(d).select(
         "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("tok")
     ).select("doc_id", stable_hash32(F.col("tok")).alias("h"))
@@ -275,6 +273,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(0)
         sim = term if sim is None else sim + term
     return bits.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup", "hash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (token-multiset weighted bit
+    vote). Near-dup pairs are then hamming-distance ≤ k over signatures —
+    see tests for the pairing; the signature table is the oracle-checked
+    artifact. Single explode + one 32-column aggregate."""
+    return simhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
 def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -470,3 +477,91 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_in_batch"))
     )
+
+
+_RECALL_MAX_HAMMING = 12
+
+_SIMHASH_RECALL_ORACLE = f"""
+    WITH sims AS ({_SIMHASH_ORACLE}),
+    d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(l) - 2, 0) + 1),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, ' +', ' ', 'g'))), ' ') AS l
+            FROM documents)
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {_JACCARD_THRESHOLD}
+    ),
+    pred AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {_RECALL_MAX_HAMMING}
+    ),
+    hit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hit
+      FROM truth t JOIN pred p ON p.id_a = t.id_a AND p.id_b = t.id_b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM pred) AS n_pred,
+           n_hit,
+           CAST(n_hit * 1000000 // NULLIF((SELECT count(*) FROM truth), 0) AS BIGINT)
+             AS recall_1e6,
+           CAST(n_hit * 1000000 // NULLIF((SELECT count(*) FROM pred), 0) AS BIGINT)
+             AS precision_1e6
+    FROM hit
+"""
+
+
+def _register_simhash_recall() -> None:
+    @register("dedup_simhash_recall", oracle=_SIMHASH_RECALL_ORACLE, tags=("dedup", "eval"))
+    def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sketch calibration as a first-class op: how well does the
+        32-bit SimHash (hamming ≤ 12) RECALL the exact 3-shingle-Jaccard
+        ≥ 0.8 near-dup pairs, and at what precision? This is the QA
+        query every production dedup pipeline runs before trusting a
+        sketch tier — thresholds are tuned on exactly this confusion
+        table, and a corpus-distribution shift shows up here first.
+
+        Truth side reuses `dedup_near_minhash`'s verified pairs (exact
+        Jaccard, banding-complete on this corpus — the oracle recomputes
+        truth by brute force independently); predicted side is the
+        simhash pair set. Counts reduce to ONE row via three scalar
+        aggregates cross-joined as broadcasts (the 1-row-cross pattern);
+        ratios are integer-quantized so no float reaches the hash. The
+        simhash pairing is the documented ≤10⁵-doc all-pairs form —
+        at corpus scale swap in the pigeonhole band join
+        (`multimodal_phash_neardup`'s shape) without touching the
+        calibration arithmetic."""
+        d = load_table(spark, sf_dir, "documents")
+        truth = dedup_near_minhash(spark, sf_dir).select("id_a", "id_b")
+        pred = simhash_near_pairs(
+            simhash_signatures(d), _RECALL_MAX_HAMMING
+        ).select("id_a", "id_b")
+        nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+        npred = pred.agg(F.count("*").cast("bigint").alias("n_pred"))
+        nh = truth.join(pred, ["id_a", "id_b"], "left_semi").agg(
+            F.count("*").cast("bigint").alias("n_hit")
+        )
+        return (
+            nh.crossJoin(F.broadcast(nt))
+            .crossJoin(F.broadcast(npred))
+            .select(
+                "n_truth",
+                "n_pred",
+                "n_hit",
+                F.floor(F.col("n_hit") * 1_000_000 / F.nullif(F.col("n_truth"), F.lit(0)))
+                .cast("bigint")
+                .alias("recall_1e6"),
+                F.floor(F.col("n_hit") * 1_000_000 / F.nullif(F.col("n_pred"), F.lit(0)))
+                .cast("bigint")
+                .alias("precision_1e6"),
+            )
+        )
+
+
+_register_simhash_recall()

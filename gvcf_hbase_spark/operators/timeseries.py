@@ -881,3 +881,76 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         acf("num2"),
         acf("num3"),
     )
+
+
+_SLOPE_ORACLE = """
+    WITH t AS (
+      SELECT event_id, user_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS c,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    xed AS (
+      SELECT event_id, user_id, c, us,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+                  AS BIGINT) AS x
+      FROM t
+    ),
+    s AS (
+      SELECT event_id, user_id, x, c,
+             count(*) OVER wf AS n,
+             sum(c) OVER wf AS sy,
+             sum(x) OVER wf AS sx,
+             sum(x * c) OVER wf AS sxy,
+             sum(x * x) OVER wf AS sxx
+      FROM xed
+      WINDOW wf AS (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CAST(floor((n * sxy - sx * sy) * 1000000.0
+                      / (n * sxx - sx * sx) + 0.5) AS BIGINT) AS slope_1e6
+    FROM s WHERE n = 5
+"""
+
+
+@register("win_moving_slope", oracle=_SLOPE_ORACLE, tags=("timeseries", "window"))
+def win_moving_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS slope (trailing 5 rows) of each user's value series
+    against its row index — the local-trend feature that complements
+    `win_rolling_corr` (direction+magnitude rather than association)
+    and feeds `anomaly_cusum`-style drift monitors.
+
+    Slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), with x the per-user row
+    number: shift-invariant, so the ABSOLUTE row number works inside
+    every trailing frame — no per-frame re-indexing, which is what
+    makes this expressible as four plain windowed sums instead of a
+    UDAF. All sums are exact int64 on cent-quantized values (x ≤ series
+    length, products ≪ 2⁶³); the denominator for a full 5-row frame is
+    the constant 5·Σx²−(Σx)² = 50, never zero, so no divide guard is
+    needed — partial frames (n<5) are filtered identically on both
+    sides. One (user_id) exchange serves the row numbering, the four
+    frame sums, and the filter."""
+    ev = load_table(spark, sf_dir, "events")
+    part = Window.partitionBy("user_id").orderBy("ts_us_long", "event_id")
+    frame = part.rowsBetween(-4, Window.currentRow)
+    c = F.round(F.col("value") * 100, 0).cast("bigint")
+    x = F.row_number().over(part).cast("bigint")
+    s = ev.select(
+        "event_id",
+        "user_id",
+        x.alias("x"),
+        c.alias("c"),
+        F.count("*").over(frame).alias("n"),
+        F.sum(c).over(frame).alias("sy"),
+        F.sum(x).over(frame).alias("sx"),
+        F.sum(x * c).over(frame).alias("sxy"),
+        F.sum(x * x).over(frame).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.filter(F.col("n") == 5).select(
+        "event_id",
+        "user_id",
+        F.floor(num * 1_000_000.0 / den + F.lit(0.5)).cast("bigint").alias("slope_1e6"),
+    )

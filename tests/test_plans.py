@@ -98,7 +98,10 @@ def test_no_cartesian_products_anywhere(spark):
                         "graph_triangle_count",
                         # deliberate B-row broadcast replication (query side
                         # fans out to every vector block)
-                        "sim_knn_blocked"}
+                        "sim_knn_blocked",
+                        # three 1-row scalar aggregates cross-joined into the
+                        # confusion row
+                        "dedup_simhash_recall"}
     for key, spec in SPECS.items():
         if key == "join_cross" or "streaming" in spec.tags:
             continue

@@ -261,3 +261,40 @@ def test_zorder_buckets_partition_z_space(spark):
         assert a.max_z < b.min_z  # disjoint, ordered z ranges
     gspan = (max(r.max_part for r in rows) - min(r.min_part for r in rows))
     assert all(r.max_part - r.min_part <= gspan for r in rows)
+
+
+def test_share_of_total_invariants(spark):
+    """Within each priority: shares floor-sum to ≤ 1e6 (and > 1e6 - #cells
+    from flooring), rank 1 holds the max cents; grand shares likewise."""
+    rows = SPECS["agg_share_of_total"].fn(spark, SF_DIR).collect()
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r.o_orderpriority, []).append(r)
+    for grp in by_p.values():
+        s = sum(r.share_in_priority_1e6 for r in grp)
+        assert 1_000_000 - len(grp) < s <= 1_000_000
+        top = max(grp, key=lambda r: r.cents)
+        assert [r for r in grp if r.rnk == 1][0].cents == top.cents
+    g = sum(r.share_of_grand_1e6 for r in rows)
+    assert 1_000_000 - len(rows) < g <= 1_000_000
+
+
+def test_moving_slope_linear_series(spark, tmp_path):
+    """value_t = t/100 dollars (c = t cents) one second apart: every full
+    5-row frame has slope exactly 1 cent/row -> 1e6; a constant series
+    slopes 0."""
+    rows = [(i, i, 1, "a", i / 100.0) for i in range(1, 11)]
+    rows += [(100 + i, i, 2, "a", 7.0) for i in range(1, 8)]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r.event_id: r.slope_1e6 for r in SPECS["win_moving_slope"].fn(spark, sf).collect()}
+    assert all(out[i] == 1_000_000 for i in range(5, 11))
+    assert all(out[100 + i] == 0 for i in range(5, 8))
+    assert 4 not in out and 104 not in out  # partial frames filtered
+
+
+def test_simhash_recall_confusion_consistency(spark):
+    r = SPECS["dedup_simhash_recall"].fn(spark, SF_DIR).collect()[0]
+    assert r.n_truth > 0, "fixture must contain exact near-dup pairs"
+    assert r.n_hit <= min(r.n_truth, r.n_pred)
+    assert 0 <= r.recall_1e6 <= 1_000_000
+    assert 0 <= r.precision_1e6 <= 1_000_000
