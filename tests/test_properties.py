@@ -291,3 +291,101 @@ def test_chunking_reconstructs_token_stream(spark, tmp_path):
         sizes = list(chunks.n_tokens)
         assert all(sz == W for sz in sizes[:-1]) or n <= W
         assert sizes[-1] == n - (k - 1) * S
+
+
+# ---------------------------------------------------------------------------
+# round-4 families
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+
+def _cms_cells(item: int, d: int = 4, w: int = 512) -> list[int]:
+    """Python re-execution of the production count-min hash family: ONE
+    md5 digest of str(item), its d 8-hex-char slices mod w."""
+    h = hashlib.md5(str(item).encode()).hexdigest()
+    return [int(h[j * 8 : j * 8 + 8], 16) % w for j in range(d)]
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_countmin_never_undercounts(items):
+    """CMS one-sided error, re-executed over arbitrary multisets with the
+    production hash family: min-over-d cell counts >= true frequency for
+    EVERY item, with equality iff no colliding item shares all d cells."""
+    from collections import Counter
+
+    cms: Counter = Counter()
+    for it in items:
+        for j, c in enumerate(_cms_cells(it)):
+            cms[(j, c)] += 1
+    truth = Counter(items)
+    for it, n in truth.items():
+        est = min(cms[(j, c)] for j, c in enumerate(_cms_cells(it)))
+        assert est >= n
+
+
+@given(
+    st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=5, max_size=5),
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=200, deadline=None)
+def test_ols_slope_shift_invariant(ys, shift):
+    """The four-sums OLS slope with ABSOLUTE x indices equals the slope
+    with shifted indices — the invariance win_moving_slope relies on to
+    use per-user row numbers inside every trailing frame. Exact integer
+    identity, not approximate."""
+    def slope_num_den(xs, ys):
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        return n * sxy - sx * sy, n * sxx - sx * sx
+
+    x0 = list(range(1, 6))
+    x1 = [x + shift for x in x0]
+    n0, d0 = slope_num_den(x0, ys)
+    n1, d1 = slope_num_den(x1, ys)
+    assert d0 == d1 == 50
+    assert n0 == n1
+
+
+@given(
+    st.integers(min_value=0, max_value=65535),
+    st.integers(min_value=0, max_value=65535),
+)
+@settings(max_examples=300, deadline=None)
+def test_zorder_interleave_is_bijective(p, s):
+    """The Morton interleave used by sink_zorder_layout round-trips: both
+    16-bit keys are recoverable from the z-value, so z-clustering loses
+    no key information (the de-interleave is the pruning decoder)."""
+    z = sum((((p >> b) & 1) << (2 * b + 1)) + (((s >> b) & 1) << (2 * b)) for b in range(16))
+    p_back = sum(((z >> (2 * b + 1)) & 1) << b for b in range(16))
+    s_back = sum(((z >> (2 * b)) & 1) << b for b in range(16))
+    assert (p_back, s_back) == (p, s)
+
+
+def test_autocorr_matches_float_reference(spark):
+    """ts_autocorr's exact-integer form (multiply through by n) must agree
+    with the standard float ACF definition r_k = sum((x_t-mu)(x_{t-k}-mu))
+    / sum((x_t-mu)^2) to within one 1e-6 quantum on real fixture data."""
+    import duckdb
+
+    rows = SPECS["ts_autocorr"].fn(spark, SF_DIR).collect()
+    series = {}
+    for uid, c in duckdb.sql(
+        f"""SELECT user_id, list(CAST(round(value*100,0) AS BIGINT)
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+            FROM read_parquet('{SF_DIR}/events.parquet') GROUP BY user_id"""
+    ).fetchall():
+        series[uid] = np.asarray(c, dtype=np.float64)
+    checked = 0
+    for r in rows[:50]:
+        x = series[r.user_id]
+        mu = x.mean()
+        den = ((x - mu) ** 2).sum()
+        for k, got in ((1, r.acf1_1e6), (2, r.acf2_1e6), (3, r.acf3_1e6)):
+            ref = ((x[k:] - mu) * (x[:-k] - mu)).sum() / den
+            assert abs(got - round(ref * 1e6)) <= 1, (r.user_id, k, got, ref)
+            checked += 1
+    assert checked > 0
