@@ -835,7 +835,10 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documented hazard (bound k so max |cell| fits task memory;
     SemDeDup uses k ≈ n/1000). Scores are 6dp-rounded before every
     decision so the oracle — which replays assignment and cell-local
-    pairs in pure SQL — makes identical choices."""
+    pairs in pure SQL — makes identical choices. Zero-norm vectors
+    (padding rows) would NaN the normalize on both engines — the family
+    fixture contract excludes them (same posture as `cosine_pairs`);
+    a padded corpus pre-filters `dot(v,v) > 0` before this op."""
     e = _emb(spark, sf_dir)
     cent = sorted(
         e.filter(F.col("vec_id") < _SEMDEDUP_K).select("vec_id", "emb").collect(),

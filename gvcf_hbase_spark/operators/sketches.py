@@ -224,3 +224,46 @@ def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").isNotNull().alias("in_truth"),
         ((F.col("n_hit") == _BLOOM_K) & F.col("t").isNull()).alias("false_positive"),
     )
+
+
+@register("agg_hll_intersection", oracle=None, tags=("sketch", "approx"))
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA over persisted HLL sketches: estimate the overlap
+    between the urgent-order and high-priority-order customer
+    populations by inclusion–exclusion — |A∩B| ≈ est(A) + est(B) −
+    est(A∪B) — where the union is computed by MERGING the two sketches,
+    never rescanning the fact table. This is the audience-overlap /
+    cross-segment query a sketch store answers in O(sketch) after one
+    pass built the per-segment sketches (`agg_hll_sketch_merge` is the
+    rollup half of the same pattern; this is the set-algebra half).
+
+    Rows-only by design (HLL binaries and estimates are engine-
+    specific); the unit test bounds the estimate against the exact
+    overlap. Inclusion–exclusion amplifies HLL error on small overlaps
+    — the greatest(0, ...) clamp and the reported segment estimates
+    make that error profile visible to the caller; theta sketches are
+    the upgrade when set algebra is the primary workload."""
+    o = load_table(spark, sf_dir, "orders")
+    seg = o.select(
+        "o_custkey",
+        (F.col("o_orderpriority") == "1-URGENT").alias("in_a"),
+        (F.col("o_orderpriority") == "2-HIGH").alias("in_b"),
+    )
+    sk = seg.agg(
+        F.hll_sketch_agg(F.when(F.col("in_a"), F.col("o_custkey"))).alias("sk_a"),
+        F.hll_sketch_agg(F.when(F.col("in_b"), F.col("o_custkey"))).alias("sk_b"),
+    )
+    est = sk.select(
+        F.hll_sketch_estimate("sk_a").alias("est_a"),
+        F.hll_sketch_estimate("sk_b").alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias("est_union"),
+    )
+    return est.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).cast("bigint"),
+        ).alias("est_intersection"),
+    )

@@ -298,3 +298,21 @@ def test_simhash_recall_confusion_consistency(spark):
     assert r.n_hit <= min(r.n_truth, r.n_pred)
     assert 0 <= r.recall_1e6 <= 1_000_000
     assert 0 <= r.precision_1e6 <= 1_000_000
+
+
+def test_hll_intersection_tracks_exact_overlap(spark):
+    """Inclusion-exclusion over HLL sketches: the overlap estimate must
+    land within 10% + small-absolute slack of the exact overlap (HLL
+    default rsd amplified ~3x by the subtraction)."""
+    import duckdb
+
+    r = SPECS["agg_hll_intersection"].fn(spark, SF_DIR).collect()[0]
+    exact = duckdb.sql(f"""
+        SELECT count(*) FROM (
+          SELECT o_custkey FROM read_parquet('{SF_DIR}/orders.parquet')
+          WHERE o_orderpriority = '1-URGENT'
+          INTERSECT
+          SELECT o_custkey FROM read_parquet('{SF_DIR}/orders.parquet')
+          WHERE o_orderpriority = '2-HIGH'
+        )""").fetchone()[0]
+    assert abs(r.est_intersection - exact) <= 0.10 * exact + 30, (r, exact)
