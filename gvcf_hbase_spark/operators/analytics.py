@@ -1005,3 +1005,64 @@ def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rnk"),
     )
+
+
+_PERIOD_GROWTH_ORACLE = """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+               AS month_start,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month_start, cents, n_orders,
+           lag(cents) OVER w AS prev_cents,
+           CAST(floor((cents - lag(cents) OVER w) * 1000000.0
+                      / lag(cents) OVER w + 0.5) AS BIGINT) AS mom_growth_1e6,
+           lag(cents, 12) OVER w AS yoy_cents,
+           CAST(floor((cents - lag(cents, 12) OVER w) * 1000000.0
+                      / lag(cents, 12) OVER w + 0.5) AS BIGINT) AS yoy_growth_1e6
+    FROM m WINDOW w AS (ORDER BY month_start)
+"""
+
+
+@register("win_period_growth", oracle=_PERIOD_GROWTH_ORACLE, tags=("analytics", "window"))
+def win_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: monthly revenue with month-over-month
+    and year-over-year growth rates — the dashboard primitive behind
+    every trend chart (lag-12 is the seasonality-free comparison).
+
+    One collapsing aggregate to month grain (the only full-data
+    shuffle), then lag windows over the #months-sized result — the
+    single-partition ORDER BY window is bounded by the month count
+    (≤ a few hundred rows for decades of data), never by the data, the
+    same tiny-relation argument as `agg_share_of_total`. Growth is NULL
+    for the first month / first year — emitted as NULL on both sides
+    rather than a sentinel. Cents + integer-ppm quantization keep
+    floats out of the hash."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("month_start")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy("month_start")
+    prev = F.lag("cents").over(w)
+    yoy = F.lag("cents", 12).over(w)
+    return m.select(
+        "month_start",
+        "cents",
+        "n_orders",
+        prev.alias("prev_cents"),
+        F.floor((F.col("cents") - prev) * 1_000_000.0 / prev + F.lit(0.5))
+        .cast("bigint")
+        .alias("mom_growth_1e6"),
+        yoy.alias("yoy_cents"),
+        F.floor((F.col("cents") - yoy) * 1_000_000.0 / yoy + F.lit(0.5))
+        .cast("bigint")
+        .alias("yoy_growth_1e6"),
+    )

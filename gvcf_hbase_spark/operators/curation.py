@@ -1152,3 +1152,67 @@ def curate_quality_score_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
         (z >= 0).alias("keep"),
     )
+
+
+_INTERLEAVE_ORACLE = """
+    WITH s AS (
+      SELECT DISTINCT source FROM documents
+    ),
+    idx AS (
+      SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx,
+             CAST(count(*) OVER () AS BIGINT) AS n_sources
+      FROM s
+    ),
+    r AS (
+      SELECT d.doc_id, d.source, i.sidx, i.n_sources,
+             CAST(row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) - 1
+                  AS BIGINT) AS rk
+      FROM documents d JOIN idx i USING (source)
+    )
+    SELECT doc_id, source, rk AS rank_in_source,
+           rk * n_sources + sidx AS global_pos
+    FROM r
+"""
+
+
+@register("curate_interleave_roundrobin", oracle=_INTERLEAVE_ORACLE, tags=("curation",))
+def curate_interleave_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin interleave across sources — the
+    training-ORDER primitive that complements `curate_mix_weights`
+    (which decides HOW MUCH of each source; this decides the reading
+    sequence, so no source is consumed in a burst): position
+    = rank_in_source × n_sources + source_index.
+
+    The global position is ARITHMETIC, not a global sort: each doc's
+    slot is computed from its within-source rank (one window per
+    source — partitions by source, the natural parallel unit) and the
+    broadcast source index (≤ thousands of rows). Writing the corpus
+    ordered by global_pos is then a range-partitioned sort whose key is
+    already computed — no single-partition window ever touches the
+    data, which is what makes this the 100 TB shuffle-order recipe
+    (epoch reshuffles re-key rank_in_source with a seeded hash, same
+    plan). Uneven source sizes leave gaps in the position space —
+    harmless for ordering, documented rather than compacted (compaction
+    would need the global prefix sums `curate_pack_batches` shows)."""
+    d = load_table(spark, sf_dir, "documents")
+    srcs = d.select("source").distinct()
+    wsrc = Window.orderBy("source")
+    idx = srcs.select(
+        "source",
+        (F.row_number().over(wsrc) - 1).cast("bigint").alias("sidx"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n_sources"),
+    )
+    wr = Window.partitionBy("source").orderBy("doc_id")
+    r = d.join(F.broadcast(idx), "source").select(
+        "doc_id",
+        "source",
+        (F.row_number().over(wr) - 1).cast("bigint").alias("rk"),
+        "sidx",
+        "n_sources",
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        F.col("rk").alias("rank_in_source"),
+        (F.col("rk") * F.col("n_sources") + F.col("sidx")).alias("global_pos"),
+    )

@@ -316,3 +316,34 @@ def test_hll_intersection_tracks_exact_overlap(spark):
           WHERE o_orderpriority = '2-HIGH'
         )""").fetchone()[0]
     assert abs(r.est_intersection - exact) <= 0.10 * exact + 30, (r, exact)
+
+
+def test_period_growth_formula_and_nulls(spark):
+    rows = sorted(SPECS["win_period_growth"].fn(spark, SF_DIR).collect(),
+                  key=lambda r: r.month_start)
+    assert rows[0].prev_cents is None and rows[0].mom_growth_1e6 is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.prev_cents == prev.cents
+        expect = math.floor((cur.cents - prev.cents) * 1_000_000.0 / prev.cents + 0.5)
+        assert cur.mom_growth_1e6 == expect
+    for i, r in enumerate(rows):
+        if i >= 12:
+            assert r.yoy_cents == rows[i - 12].cents
+        else:
+            assert r.yoy_cents is None
+
+
+def test_interleave_positions_unique_and_round_robin(spark):
+    rows = SPECS["curate_interleave_roundrobin"].fn(spark, SF_DIR).collect()
+    pos = [r.global_pos for r in rows]
+    assert len(set(pos)) == len(pos)  # injective slots
+    n_sources = len({r.source for r in rows})
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for grp in by_src.values():
+        grp.sort(key=lambda r: r.rank_in_source)
+        # stride n_sources within a source -> no burst consumption
+        assert all(b.global_pos - a.global_pos == n_sources for a, b in zip(grp, grp[1:]))
+    first_round = sorted(rows, key=lambda r: r.global_pos)[:n_sources]
+    assert len({r.source for r in first_round}) == n_sources
