@@ -1216,3 +1216,46 @@ def curate_interleave_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").alias("rank_in_source"),
         (F.col("rk") * F.col("n_sources") + F.col("sidx")).alias("global_pos"),
     )
+
+
+_FRESHNESS_ORACLE = """
+    WITH per AS (
+      SELECT event_type,
+             CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS max_ts_us,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT max(max_ts_us) AS global_max_us FROM per)
+    SELECT event_type, n_rows, max_ts_us,
+           CAST(g.global_max_us - max_ts_us AS BIGINT) AS lag_us,
+           g.global_max_us - max_ts_us > 86400000000 AS stale
+    FROM per CROSS JOIN g
+"""
+
+
+@register("profile_freshness_lag", oracle=_FRESHNESS_ORACLE, tags=("curation", "profile"))
+def profile_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness monitor: each event type's latest event time
+    against the newest event anywhere, with a >1-day staleness flag —
+    the data-quality check that catches a dead upstream producer before
+    a training snapshot ships with a silently-frozen stream
+    (`profile_table_quality`'s temporal sibling).
+
+    One collapsing max/count aggregate (map-side partials, #types rows
+    out), the global max re-derived from the per-type result (no second
+    fact-table scan), broadcast back as a 1-row cross join. At 100 TB
+    this is the incremental-manifest query: real deployments fold it
+    into `sink_partition_stats`' metadata instead of scanning."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.max("ts_us_long").cast("bigint").alias("max_ts_us"),
+        F.count("*").alias("n_rows"),
+    )
+    g = per.agg(F.max("max_ts_us").alias("global_max_us"))
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_rows",
+        "max_ts_us",
+        (F.col("global_max_us") - F.col("max_ts_us")).cast("bigint").alias("lag_us"),
+        (F.col("global_max_us") - F.col("max_ts_us") > 86_400_000_000).alias("stale"),
+    )

@@ -1,0 +1,182 @@
+"""Geospatial operators (SURVEY §2B ledger, round 4): haversine
+distance scoring and a grid-bucketed spatial self-join — the minimal
+geo surface an analytics engine needs (store-locator joins, geofence
+assignment, proximity dedup) built entirely from codegen'd math, no
+geo library.
+
+Coordinates are synthesized deterministically from customer keys with
+integer arithmetic (exact on both engines): lat ∈ [−6, 6),
+lon ∈ [−17, 17) — a ~1300×3700 km region dense enough that the
+100 km join has real neighbor structure at every SF — bounds chosen so the grid join's 3×3 cell
+neighborhood provably covers the distance threshold at every latitude
+in range (see `join_geo_grid`) and no antimeridian/pole wrap cases
+arise; production data swaps the synthesis for real columns plus the
+standard wrap handling.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.sources.tables import load_table
+
+_R_KM = 6371.0088  # mean Earth radius
+
+# lat/lon synthesis (integer arithmetic -> exact identical doubles)
+_LAT_SQL = "((c_custkey * 7919) % 1200) / 100.0 - 6.0"
+_LON_SQL = "((c_custkey * 104729) % 3400) / 100.0 - 17.0"
+
+# 8 fixed hubs on a deterministic diagonal, same synthesis idiom
+_HUBS = [(h, (h * 1543) % 1200 / 100.0 - 6.0, (h * 9973) % 3400 / 100.0 - 17.0) for h in range(8)]
+
+_GRID_DEG = 2.0  # cell size
+_RADIUS_KM = 100.0
+# Coverage proof for the 3x3 neighborhood: a 100 km great-circle hop moves
+# at most 100/111.0 ≈ 0.91° of latitude and at most 100/(111.0*cos(lat_max))
+# of longitude — ≈ 0.91° at this fixture's |lat| ≤ 6°, and still only 1.81°
+# at |lat| = 60° — under one 2° cell either way, so any pair within the
+# radius shares or neighbors a cell. Widen the cell (or the probe ring)
+# before raising the radius or the latitude bound past 60°.
+
+
+def _haversine_km(lat1, lon1, lat2, lon2):
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return 2 * _R_KM * F.asin(F.sqrt(a))
+
+
+_HAVERSINE_SQL = """2 * {r} * asin(sqrt(
+      sin(radians(({lat2} - {lat1})) / 2) * sin(radians(({lat2} - {lat1})) / 2)
+      + cos(radians({lat1})) * cos(radians({lat2}))
+        * sin(radians(({lon2} - {lon1})) / 2) * sin(radians(({lon2} - {lon1})) / 2)))"""
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    lat = ((F.col("c_custkey") * 7919) % 1200) / 100.0 - 6.0
+    lon = ((F.col("c_custkey") * 104729) % 3400) / 100.0 - 17.0
+    return c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+
+
+_HUBS_SQL = ", ".join(f"({h}, {lat}, {lon})" for h, lat, lon in _HUBS)
+
+_NEAREST_ORACLE = f"""
+    WITH pts AS (
+      SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer
+    ),
+    hubs AS (SELECT * FROM (VALUES {_HUBS_SQL}) AS t(hub_id, hlat, hlon)),
+    scored AS (
+      SELECT c_custkey, hub_id,
+             round({_HAVERSINE_SQL.format(r=_R_KM, lat1="lat", lon1="lon", lat2="hlat", lon2="hlon")}, 6) AS dist_km
+      FROM pts CROSS JOIN hubs
+    )
+    SELECT c_custkey, CAST(hub_id AS BIGINT) AS hub_id, dist_km
+    FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                       ORDER BY dist_km, hub_id) AS rn
+          FROM scored)
+    WHERE rn = 1
+"""
+
+
+@register("geo_haversine_nearest", oracle=_NEAREST_ORACLE, tags=("geo",))
+def geo_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-hub assignment by haversine distance — the store-locator
+    / geofence-attribution primitive: every point scored against a
+    broadcast 8-row hub table (a production hub list of 10⁴ rows ships
+    the same way), nearest picked with a deterministic
+    (rounded-distance, hub_id) tie order.
+
+    Pure codegen'd trig over a broadcast cross join — map-side except
+    the per-point row_number window, which partitions on the point key.
+    Distances are 6dp-rounded BEFORE ranking so both engines make
+    identical nearest choices (the transcendental-drift discipline all
+    scoring ops here follow). With k hubs ≫ broadcast size, the grid
+    path below replaces the cross join (assign hubs to cells, probe
+    the point's neighborhood) with identical semantics."""
+    pts = _points(spark, sf_dir)
+    hubs = spark.createDataFrame(_HUBS, "hub_id int, hlat double, hlon double")
+    scored = pts.crossJoin(F.broadcast(hubs)).select(
+        "c_custkey",
+        "hub_id",
+        F.round(_haversine_km(F.col("lat"), F.col("lon"), F.col("hlat"), F.col("hlon")), 6).alias(
+            "dist_km"
+        ),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist_km", "hub_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", F.col("hub_id").cast("bigint").alias("hub_id"), "dist_km")
+    )
+
+
+_GRID_ORACLE = f"""
+    WITH pts AS (
+      SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           round({_HAVERSINE_SQL.format(r=_R_KM, lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon")}, 6) AS dist_km
+    FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+    WHERE round({_HAVERSINE_SQL.format(r=_R_KM, lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon")}, 6) <= {_RADIUS_KM}
+"""
+
+
+@register("join_geo_grid", oracle=_GRID_ORACLE, tags=("geo", "join"))
+def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial self-join (all point pairs within 100 km) via GRID
+    BUCKETING — the scale shape for proximity joins: each point lands
+    in a 2°×2° cell; the probe side replicates each point to its 3×3
+    cell neighborhood; candidates are an EQUI-join on cell id; only
+    candidates pay the exact haversine. The module docstring carries
+    the proof that 3×3 cells cover the radius at every in-range
+    latitude, so results are EXACT — the oracle recomputes by brute
+    force n².
+
+    Cost: candidates = Σ per-cell |probe|·|base| over co-resident
+    cells — linear in points for bounded density (9× probe replication,
+    ints + 2 doubles per row), vs the oracle's n². Each qualifying pair
+    is produced exactly once: the lower id probes, the higher id stays
+    in its home cell, and the probe ring covers the home cell. Dense
+    hot cells (urban skew) are the documented hazard — AQE skew
+    splitting locally, finer cells + multi-ring probes at production
+    density. No antimeridian wrap in the synthesized range; real data
+    adds the standard ±180° duplicate-probe trick."""
+    pts = _points(spark, sf_dir)
+    cx = F.floor(F.col("lat") / _GRID_DEG).cast("long")
+    cy = F.floor(F.col("lon") / _GRID_DEG).cast("long")
+    base = pts.select("c_custkey", "lat", "lon", cx.alias("cx"), cy.alias("cy"))
+    ring = F.array(
+        *[
+            F.struct((F.col("cx") + dx).alias("px"), (F.col("cy") + dy).alias("py"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = base.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(ring).alias("cell"),
+    ).select("id_a", "lat_a", "lon_a", F.col("cell.px").alias("cx"), F.col("cell.py").alias("cy"))
+    cand = probe.join(
+        base.select(
+            F.col("c_custkey").alias("id_b"),
+            F.col("lat").alias("lat_b"),
+            F.col("lon").alias("lon_b"),
+            "cx",
+            "cy",
+        ),
+        ["cx", "cy"],
+    ).filter(F.col("id_a") < F.col("id_b"))
+    dist = F.round(
+        _haversine_km(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")), 6
+    )
+    return cand.select("id_a", "id_b", dist.alias("dist_km")).filter(
+        F.col("dist_km") <= _RADIUS_KM
+    )

@@ -1096,3 +1096,30 @@ def source_csv_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "good_balance_cents"
         ),
     )
+
+
+@register(
+    "agg_listagg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_listagg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG(DISTINCT … ORDER BY …) — the ANSI string-aggregation
+    surface (Spark spells it concat_ws over sort_array(collect_set)).
+    Partial aggregation keeps the exchange bounded by the distinct set
+    per group, not the row count; the sort_array makes the output
+    deterministic, which raw LISTAGG famously is not — the §5.4
+    collect-rule applied to the ANSI function users actually reach for.
+    Unbounded-cardinality groups are the known hazard (the aggregated
+    string is a row, not a stream) — cap with a slice or go back to
+    rows beyond ~10⁴ distinct values."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("n_statuses"),
+    )

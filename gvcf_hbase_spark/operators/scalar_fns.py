@@ -710,3 +710,38 @@ def fn_datetime_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofyear(odate).alias("doy"),
         F.weekofyear(odate).alias("iso_week"),
     )
+
+
+@register(
+    "fn_codec_roundtrip",
+    oracle="""
+    SELECT p_partkey,
+           base64(encode(p_name)) AS name_b64,
+           decode(from_base64(base64(encode(p_name)))) = p_name AS b64_roundtrip_ok,
+           to_hex(p_partkey) AS key_hex,
+           md5(p_name) AS name_md5
+    FROM part
+    """,
+    tags=("fn",),
+)
+def fn_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec function family: base64 encode with a verified
+    decode round trip (the cell-value transport encoding an HBase-style
+    store would apply — the string twin of `gvcf_encode_roundtrip`'s
+    struct cycle), integer-to-hex rendering (rowkey debugging), and the
+    md5 content fingerprint. All map-side JVM expressions; the
+    round-trip flag is computed IN the query so the oracle hash
+    certifies losslessness on every row, not a sampled claim. Dialect
+    note: Spark's hex() and DuckDB's to_hex() agree on uppercase
+    no-padding for non-negative BIGINTs — negative keys would diverge
+    (two's-complement width differs) and are absent by fixture
+    contract."""
+    p = load_table(spark, sf_dir, "part")
+    b64 = F.base64(F.encode("p_name", "UTF-8"))
+    return p.select(
+        "p_partkey",
+        b64.alias("name_b64"),
+        (F.decode(F.unbase64(b64), "UTF-8") == F.col("p_name")).alias("b64_roundtrip_ok"),
+        F.hex(F.col("p_partkey")).alias("key_hex"),
+        F.md5(F.encode("p_name", "UTF-8")).alias("name_md5"),
+    )

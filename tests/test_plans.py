@@ -101,7 +101,11 @@ def test_no_cartesian_products_anywhere(spark):
                         "sim_knn_blocked",
                         # three 1-row scalar aggregates cross-joined into the
                         # confusion row
-                        "dedup_simhash_recall"}
+                        "dedup_simhash_recall",
+                        # broadcast 8-row hub table scored against every point
+                        "geo_haversine_nearest",
+                        # 1-row global-max freshness reference
+                        "profile_freshness_lag"}
     for key, spec in SPECS.items():
         if key == "join_cross" or "streaming" in spec.tags:
             continue
