@@ -792,6 +792,10 @@ def curate_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
     )
+    # Both the frequency pass and the tagging join consume `grams`; one
+    # lazy checkpoint materializes the explode once instead of twice
+    # (same truncation discipline as dedup_near_minhash's persist).
+    grams = grams.localCheckpoint(eager=False)
     dfreq = grams.groupBy("source", "gram").agg(
         F.count_distinct("doc_id").alias("docs_with")
     )
