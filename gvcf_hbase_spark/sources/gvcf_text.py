@@ -104,7 +104,11 @@ _GVCF_ORACLE = r"""
 
 
 def _fixture_lines(
-    spark: SparkSession, sf_dir: str, span: int, multiallelic: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    span: int,
+    multiallelic: bool = False,
+    varied: bool = False,
 ) -> DataFrame:
     """Deterministic gVCF text lines derived from the orders fixture: every
     third orderkey is a reference block spanning ``span`` positions past its
@@ -129,12 +133,30 @@ def _fixture_lines(
         if multiallelic
         else F.lit("T,<NON_REF>")
     )
+    ref = F.lit("A")
+    var_call = F.lit("0/1:15")
+    blk_call = F.lit("0/0:12")
+    if varied:
+        # Allele- and depth-varied mode (gvcf_titv_ratio / gvcf_dp_stats):
+        # ref cycles A/C/G/T by position; alt is offset 1..3 letters away
+        # (never equal to ref); genotype mixes het/hom-alt; DP varies.
+        # The default mode stays byte-identical — its oracles replay it.
+        letters = F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T"))
+        ref = F.element_at(letters, (pos % 4 + 1).cast("int"))
+        alt_base = F.element_at(letters, ((pos % 4 + 1 + pos % 3) % 4 + 1).cast("int"))
+        variant_alt = F.concat(alt_base, F.lit(",<NON_REF>"))
+        var_call = F.concat(
+            F.when(pos % 5 < 3, F.lit("0/1")).otherwise(F.lit("1/1")),
+            F.lit(":"),
+            (10 + pos % 7).cast("string"),
+        )
+        blk_call = F.concat(F.lit("0/0:"), (8 + pos % 5).cast("string"))
     line = F.concat_ws(
         "\t",
         F.concat(F.lit("chr"), (pos % 2 + 1).cast("string")),
         pos.cast("string"),
         F.lit("."),
-        F.lit("A"),
+        ref,
         F.when(is_block, F.lit("<NON_REF>")).otherwise(variant_alt),
         F.lit("50"),
         F.lit("PASS"),
@@ -142,7 +164,7 @@ def _fixture_lines(
             F.lit("DP=10")
         ),
         F.lit("GT:DP"),
-        F.when(is_block, F.lit("0/0:12")).otherwise(F.lit("0/1:15")),
+        F.when(is_block, blk_call).otherwise(var_call),
     )
     return o.select(
         F.concat(F.lit("s"), (pos % 4).cast("string")).alias("sample_id"),
@@ -562,3 +584,151 @@ def _register_af_query() -> None:
 
 
 _register_af_query()
+
+
+_TITV_ORACLE = r"""
+    WITH v AS (
+      SELECT concat('chr', 1 + o_orderkey % 2) AS contig,
+             list_extract(['A','C','G','T'],
+                          CAST(o_orderkey % 4 + 1 AS INT)) AS ref,
+             list_extract(['A','C','G','T'],
+                          CAST((o_orderkey % 4 + 1 + o_orderkey % 3) % 4 + 1 AS INT)) AS alt
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    c AS (
+      SELECT contig, (ref IN ('A','G')) = (alt IN ('A','G')) AS is_ti FROM v
+    )
+    SELECT contig,
+           CAST(sum(CASE WHEN is_ti THEN 1 ELSE 0 END) AS BIGINT) AS n_ti,
+           CAST(sum(CASE WHEN is_ti THEN 0 ELSE 1 END) AS BIGINT) AS n_tv,
+           CAST(floor(sum(CASE WHEN is_ti THEN 1 ELSE 0 END) * 1000000.0
+                      / NULLIF(sum(CASE WHEN is_ti THEN 0 ELSE 1 END), 0) + 0.5)
+                AS BIGINT) AS titv_1e6
+    FROM c GROUP BY contig
+"""
+
+_DP_STATS_ORACLE = r"""
+    SELECT concat('s', o_orderkey % 4) AS sample_id,
+           concat('chr', 1 + o_orderkey % 2) AS contig,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 8 + o_orderkey % 5
+                         ELSE 10 + o_orderkey % 7 END) AS BIGINT) AS sum_dp,
+           CAST(min(CASE WHEN o_orderkey % 3 = 0 THEN 8 + o_orderkey % 5
+                         ELSE 10 + o_orderkey % 7 END) AS BIGINT) AS min_dp,
+           CAST(max(CASE WHEN o_orderkey % 3 = 0 THEN 8 + o_orderkey % 5
+                         ELSE 10 + o_orderkey % 7 END) AS BIGINT) AS max_dp,
+           CAST(floor(sum(CASE WHEN o_orderkey % 3 = 0 THEN 8 + o_orderkey % 5
+                              ELSE 10 + o_orderkey % 7 END) * 10000.0
+                      / count(*) + 0.5) AS BIGINT) AS mean_dp_1e4
+    FROM orders GROUP BY 1, 2
+"""
+
+_BLOCK_COMPRESSION_ORACLE = r"""
+    SELECT concat('s', o_orderkey % 4) AS sample_id,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocks,
+           CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 3 ELSE 1 END) AS BIGINT)
+             AS n_positions,
+           CAST(floor(sum(CASE WHEN o_orderkey % 3 = 0 THEN 3 ELSE 1 END) * 1000000.0
+                      / count(*) + 0.5) AS BIGINT) AS positions_per_record_1e6
+    FROM orders GROUP BY 1
+"""
+
+
+def _register_qc_queries() -> None:
+    from gvcf_hbase_spark.registry import register
+
+    @register("gvcf_titv_ratio", oracle=_TITV_ORACLE, tags=("gvcf", "qc"))
+    def gvcf_titv_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Transition/transversion ratio per contig — the canonical VCF
+        call-set QC metric (real WGS call sets sit near Ti/Tv ≈ 2.0;
+        random noise drives it toward 0.5, so a drifting ratio is the
+        first sign of a broken caller or contaminated batch). Runs on
+        the allele-varied fixture mode; transition = both alleles
+        purine or both pyrimidine, evaluated as the branch-free set
+        test (ref∈{A,G}) == (alt∈{A,G}) on both engines.
+
+        Plan: the full parse stays codegen'd string ops; the QC is one
+        collapsing aggregate with integer conditional partials — the
+        shape every per-contig QC rollup shares. NULL ratio (no
+        transversions) guarded identically on both sides."""
+        recs = parse_gvcf_lines(_fixture_lines(spark, sf_dir, span=2, varied=True))
+        snps = recs.filter(F.col("alt") != "")
+        purine = lambda c: F.col(c).isin("A", "G")  # noqa: E731
+        is_ti = purine("ref") == purine("alt")
+        agg = snps.groupBy("contig").agg(
+            F.sum(F.when(is_ti, 1).otherwise(0)).cast("bigint").alias("n_ti"),
+            F.sum(F.when(is_ti, 0).otherwise(1)).cast("bigint").alias("n_tv"),
+        )
+        return agg.select(
+            "contig",
+            "n_ti",
+            "n_tv",
+            F.floor(
+                F.col("n_ti") * 1_000_000.0 / F.nullif(F.col("n_tv"), F.lit(0))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("titv_1e6"),
+        )
+
+    @register("gvcf_dp_stats", oracle=_DP_STATS_ORACLE, tags=("gvcf", "qc"))
+    def gvcf_dp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-sample, per-contig depth-of-coverage statistics from the
+        FORMAT DP field — the coverage-QC rollup (a sample whose mean
+        depth sags is a failed library; a contig whose depth doubles is
+        a CNV or a reference mixup). Extends the parse surface past the
+        fixed record schema: DP is pulled from the calls column by the
+        same split arithmetic the GT parse uses (at 100 TB this is a
+        map-side projection fused into the scan — FORMAT fields never
+        cost a second pass). One collapsing aggregate; mean quantized,
+        min/max/sum exact integers."""
+        lines = _fixture_lines(spark, sf_dir, span=2, varied=True)
+        f = F.split(F.col("line"), "\t")
+        dp = F.split(F.element_at(f, -1), ":").getItem(1).cast("long")
+        recs = lines.filter(~F.col("line").startswith("#")).select(
+            "sample_id", f.getItem(0).alias("contig"), dp.alias("dp")
+        )
+        return recs.groupBy("sample_id", "contig").agg(
+            F.count("*").alias("n_records"),
+            F.sum("dp").cast("bigint").alias("sum_dp"),
+            F.min("dp").cast("bigint").alias("min_dp"),
+            F.max("dp").cast("bigint").alias("max_dp"),
+            F.floor(F.sum("dp") * 10_000.0 / F.count("*") + F.lit(0.5))
+            .cast("bigint")
+            .alias("mean_dp_1e4"),
+        )
+
+    @register(
+        "gvcf_block_compression", oracle=_BLOCK_COMPRESSION_ORACLE, tags=("gvcf", "qc")
+    )
+    def gvcf_block_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """How hard the gVCF reference-block encoding is working: per
+        sample, records vs genomic positions covered (blocks span,
+        variants don't), and positions-per-record — the compression
+        factor that justifies the block representation (real WGS gVCFs
+        sit at 10-100×; a ratio near 1 means the block merger upstream
+        is broken and storage is about to blow up). Pure arithmetic on
+        the parsed interval schema — n_positions = Σ (end − start + 1)
+        — one collapsing aggregate."""
+        recs = parse_gvcf_lines(_fixture_lines(spark, sf_dir, span=2))
+        agg = recs.groupBy("sample_id").agg(
+            F.count("*").alias("n_records"),
+            F.sum(F.when(F.col("alt") == "", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_blocks"),
+            F.sum(F.col("end") - F.col("start") + 1).cast("bigint").alias("n_positions"),
+        )
+        return agg.select(
+            "sample_id",
+            "n_records",
+            "n_blocks",
+            "n_positions",
+            F.floor(F.col("n_positions") * 1_000_000.0 / F.col("n_records") + F.lit(0.5))
+            .cast("bigint")
+            .alias("positions_per_record_1e6"),
+        )
+
+
+_register_qc_queries()

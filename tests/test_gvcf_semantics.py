@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from gvcf_hbase_spark.operators.gvcf import carry_forward, combine_positions, expand_blocks
 from gvcf_hbase_spark.operators.joins import asof_join
 from gvcf_hbase_spark.sources.gvcf_text import parse_gvcf_lines, read_gvcf
+from tests.conftest import SF_DIR
 
 
 def _variants_lite(spark):
@@ -395,3 +396,55 @@ def test_allele_freq_counts_ref_blocks_in_an(spark):
     assert by_pos[5] == (1, 4)   # ref block counted in AN
     assert by_pos[9] == (2, 2)   # hom-alt: both alleles count
     assert 4 not in by_pos and 6 not in by_pos  # pure-ref positions dropped
+
+
+def test_titv_classification_and_counts(spark):
+    """Every SNP is classified: n_ti + n_tv == variant count per contig,
+    and the purine-set test matches the explicit transition table."""
+    from gvcf_hbase_spark.registry import load_all
+
+    S = load_all()
+    rows = S["gvcf_titv_ratio"].fn(spark, SF_DIR).collect()
+    import duckdb
+
+    per_contig = dict(duckdb.sql(f"""
+        SELECT concat('chr', 1 + o_orderkey % 2), count(*)
+        FROM read_parquet('{SF_DIR}/orders.parquet')
+        WHERE o_orderkey % 3 <> 0 GROUP BY 1""").fetchall())
+    transitions = {("A", "G"), ("G", "A"), ("C", "T"), ("T", "C")}
+    letters = "ACGT"
+    exp = {}
+    for (ck,) in duckdb.sql(f"SELECT o_orderkey FROM read_parquet('{SF_DIR}/orders.parquet') WHERE o_orderkey % 3 <> 0").fetchall():
+        contig = f"chr{1 + ck % 2}"
+        ref = letters[ck % 4]
+        alt = letters[(ck % 4 + 1 + ck % 3) % 4]
+        ti, tv = exp.get(contig, (0, 0))
+        if (ref, alt) in transitions:
+            exp[contig] = (ti + 1, tv)
+        else:
+            exp[contig] = (ti, tv + 1)
+    for r in rows:
+        assert r.n_ti + r.n_tv == per_contig[r.contig]
+        assert (r.n_ti, r.n_tv) == exp[r.contig]
+
+
+def test_block_compression_identity(spark):
+    """positions == records + 2*blocks (span=2 blocks add exactly two
+    extra positions each), so the compression factor is derivable."""
+    from gvcf_hbase_spark.registry import load_all
+
+    S = load_all()
+    for r in S["gvcf_block_compression"].fn(spark, SF_DIR).collect():
+        assert r.n_positions == r.n_records + 2 * r.n_blocks
+        assert r.positions_per_record_1e6 >= 1_000_000
+
+
+def test_dp_stats_bounds(spark):
+    """DP is 8..12 for blocks and 10..16 for variants -> min/max within
+    [8, 16] and mean consistent with sum/n."""
+    from gvcf_hbase_spark.registry import load_all
+
+    S = load_all()
+    for r in S["gvcf_dp_stats"].fn(spark, SF_DIR).collect():
+        assert 8 <= r.min_dp <= r.max_dp <= 16
+        assert r.mean_dp_1e4 == int(r.sum_dp * 10_000.0 / r.n_records + 0.5)
