@@ -188,3 +188,94 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("click_id", "user_id", "version_id", "state_cents")
     )
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+    WITH log AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS seq_us,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    cut AS (SELECT (min(seq_us) + max(seq_us)) // 2 AS t1 FROM log),
+    s1 AS (
+      SELECT user_id, cents FROM (
+        SELECT l.user_id, l.cents, l.op,
+               row_number() OVER (PARTITION BY l.user_id
+                                  ORDER BY l.seq_us DESC, l.event_id DESC) AS rn
+        FROM log l CROSS JOIN cut WHERE l.seq_us <= cut.t1
+      ) WHERE rn = 1 AND op <> 'D'
+    ),
+    s2 AS (
+      SELECT user_id, cents FROM (
+        SELECT user_id, cents, op,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY seq_us DESC, event_id DESC) AS rn
+        FROM log
+      ) WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+           CASE WHEN s1.user_id IS NULL THEN 'I'
+                WHEN s2.user_id IS NULL THEN 'D'
+                ELSE 'U' END AS change,
+           s1.cents AS old_cents,
+           s2.cents AS new_cents
+    FROM s1 FULL OUTER JOIN s2 ON s2.user_id = s1.user_id
+    WHERE s1.user_id IS NULL OR s2.user_id IS NULL OR s1.cents <> s2.cents
+"""
+
+
+@register("cdc_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE, tags=("cdc", "join"))
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot diff: materialize the keyed state at the
+    changelog's midpoint (T1) and at its end (T2), then emit the net
+    change set between them — insert / update / delete per key, old and
+    new values side by side. This is the table-diff primitive behind
+    incremental reconciliation, backfill audits, and "what changed
+    since the last training snapshot" questions; CDC systems produce it
+    as a *changelog-to-changelog* reduction without replaying either
+    snapshot from scratch.
+
+    The cutoff is data-derived ((min+max)/2 of the sequence axis,
+    integer arithmetic, one scalar aggregate broadcast) so the op is
+    deterministic at every SF. Both snapshots are the same
+    latest-wins window compaction as `cdc_compact_latest` (delete-last
+    keys absent); the diff is ONE full-outer equi-join on the key with
+    a three-way classification and an unchanged-row filter — all three
+    stages partition on user_id, so the whole pipeline rides one
+    partitioning at scale. Values compared in exact cents."""
+    log = _changelog(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("bigint")
+    )
+    cut = log.agg(
+        ((F.min("seq_us") + F.max("seq_us")) / 2).cast("bigint").alias("t1")
+    )
+
+    def state(df):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("seq_us").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+            .select("user_id", "cents")
+        )
+
+    s1 = state(log.crossJoin(F.broadcast(cut)).filter(F.col("seq_us") <= F.col("t1")))
+    s2 = state(log)
+    a = s1.select(F.col("user_id").alias("uid_a"), F.col("cents").alias("old_cents"))
+    b = s2.select(F.col("user_id").alias("uid_b"), F.col("cents").alias("new_cents"))
+    j = a.join(b, a.uid_a == b.uid_b, "full_outer")
+    return j.filter(
+        F.col("uid_a").isNull()
+        | F.col("uid_b").isNull()
+        | (F.col("old_cents") != F.col("new_cents"))
+    ).select(
+        F.coalesce(F.col("uid_a"), F.col("uid_b")).alias("user_id"),
+        F.when(F.col("uid_a").isNull(), "I")
+        .when(F.col("uid_b").isNull(), "D")
+        .otherwise("U")
+        .alias("change"),
+        "old_cents",
+        "new_cents",
+    )

@@ -105,7 +105,9 @@ def test_no_cartesian_products_anywhere(spark):
                         # broadcast 8-row hub table scored against every point
                         "geo_haversine_nearest",
                         # 1-row global-max freshness reference
-                        "profile_freshness_lag"}
+                        "profile_freshness_lag",
+                        # 1-row midpoint-cutoff broadcast
+                        "cdc_snapshot_diff"}
     for key, spec in SPECS.items():
         if key == "join_cross" or "streaming" in spec.tags:
             continue

@@ -419,4 +419,27 @@ def test_driver_window_prefix_is_the_planned_rotation():
 
     assert keys[:50] == _PRIORITY[:50]
     assert keys[48:50] == ["fn_array", "fn_map_ops"]
-    assert len(SPECS) == 275
+    assert len(SPECS) == 276
+
+
+def test_snapshot_diff_classification(spark, tmp_path):
+    """Midpoint cutoff T1 = 50s here. u1 appears after T1 -> I; u2
+    changes value -> U; u3 deleted after T1 -> D; u4 unchanged and u5
+    deleted-before-T1 are absent; u6 pins the min/max axis and is U."""
+    sf = _write_events(
+        spark, tmp_path,
+        [
+            (10, 80, 1, "view", 1.0),
+            (20, 10, 2, "view", 2.0), (21, 90, 2, "view", 3.0),
+            (30, 20, 3, "view", 4.0), (31, 85, 3, "error", 0.0),
+            (40, 30, 4, "view", 5.0),
+            (50, 5, 5, "error", 0.0),
+            (60, 0, 6, "view", 6.0), (61, 100, 6, "view", 7.0),
+        ],
+    )
+    out = {r.user_id: r for r in SPECS["cdc_snapshot_diff"].fn(spark, sf).collect()}
+    assert set(out) == {1, 2, 3, 6}
+    assert out[1].change == "I" and out[1].old_cents is None and out[1].new_cents == 100
+    assert out[2].change == "U" and (out[2].old_cents, out[2].new_cents) == (200, 300)
+    assert out[3].change == "D" and out[3].old_cents == 400 and out[3].new_cents is None
+    assert out[6].change == "U" and (out[6].old_cents, out[6].new_cents) == (600, 700)
