@@ -1066,3 +1066,83 @@ def win_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("yoy_growth_1e6"),
     )
+
+
+_LIFT_ORACLE = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+    tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM ut GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_ab,
+           CAST(floor(n_ab * 1000000.0 / n.n_users + 0.5) AS BIGINT) AS support_1e6,
+           CAST(floor(n_ab * 1000000.0 / ta.n_t + 0.5) AS BIGINT) AS confidence_1e6,
+           CAST(floor(n_ab * n.n_users * 1000000.0 / (ta.n_t * tb.n_t) + 0.5)
+                AS BIGINT) AS lift_1e6
+    FROM pairs
+    JOIN tc ta ON ta.event_type = pairs.type_a
+    JOIN tc tb ON tb.event_type = pairs.type_b
+    CROSS JOIN n
+"""
+
+
+@register("analytics_association_lift", oracle=_LIFT_ORACLE, tags=("analytics",))
+def analytics_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over per-user behavior baskets: for every
+    unordered event-type pair, co-occurrence support, confidence
+    (P(b|a)), and LIFT (observed co-occurrence over the independence
+    expectation) — lift > 1 is the 'users who do X also do Y' signal,
+    the basket-analysis primitive behind recommendations and feature
+    interactions.
+
+    Pipeline: one distinct to (user, type) — the basket relation whose
+    shuffle is the only full-data exchange; the pair self-join is equi
+    on user_id with per-user fan-out ≤ (#types choose 2) (bounded by
+    the type vocabulary, NOT by event volume — a user with a million
+    events still contributes one row per type); the type-frequency and
+    user-count sides are vocabulary-sized broadcasts. Ratios are
+    integer-quantized. At web scale the identical plan runs with items
+    for types — fan-out then needs the standard frequent-item pruning
+    (drop types below minimum support BEFORE the pair join), which
+    drops in as one filter on the broadcast side."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    tc = ut.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_t"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    ta = tc.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    tb = tc.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.floor(F.col("n_ab") * 1_000_000.0 / F.col("n_users") + F.lit(0.5))
+            .cast("bigint")
+            .alias("support_1e6"),
+            F.floor(F.col("n_ab") * 1_000_000.0 / F.col("n_a") + F.lit(0.5))
+            .cast("bigint")
+            .alias("confidence_1e6"),
+            F.floor(
+                F.col("n_ab") * F.col("n_users") * 1_000_000.0
+                / (F.col("n_a") * F.col("n_b"))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lift_1e6"),
+        )
+    )

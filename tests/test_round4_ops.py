@@ -419,7 +419,7 @@ def test_driver_window_prefix_is_the_planned_rotation():
 
     assert keys[:50] == _PRIORITY[:50]
     assert keys[48:50] == ["fn_array", "fn_map_ops"]
-    assert len(SPECS) == 276
+    assert len(SPECS) == 277
 
 
 def test_snapshot_diff_classification(spark, tmp_path):
@@ -443,3 +443,23 @@ def test_snapshot_diff_classification(spark, tmp_path):
     assert out[2].change == "U" and (out[2].old_cents, out[2].new_cents) == (200, 300)
     assert out[3].change == "D" and out[3].old_cents == 400 and out[3].new_cents is None
     assert out[6].change == "U" and (out[6].old_cents, out[6].new_cents) == (600, 700)
+
+
+def test_association_lift_independence_identity(spark, tmp_path):
+    """Closed form: u1..u4 all do A; u1,u2 also do B -> pair (A,B):
+    n_ab=2, support=2/4, confidence(B|A... pair is unordered, anchored
+    on type_a='a')=2/4, lift = 2*4/(4*2) = 1.0 exactly (B only occurs
+    with A, A is universal -> independent-looking)."""
+    sf = _write_events(
+        spark, tmp_path,
+        [(1, 0, 1, "a", 0.0), (2, 1, 1, "b", 0.0),
+         (3, 0, 2, "a", 0.0), (4, 1, 2, "b", 0.0),
+         (5, 0, 3, "a", 0.0), (6, 0, 4, "a", 0.0)],
+    )
+    r = SPECS["analytics_association_lift"].fn(spark, sf).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row.type_a, row.type_b, row.n_ab) == ("a", "b", 2)
+    assert row.support_1e6 == 500_000
+    assert row.confidence_1e6 == 500_000
+    assert row.lift_1e6 == 1_000_000
