@@ -954,3 +954,96 @@ def win_moving_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.floor(num * 1_000_000.0 / den + F.lit(0.5)).cast("bigint").alias("slope_1e6"),
     )
+
+
+_XCORR_LAGS = [-2, -1, 0, 1, 2]
+
+_XCORR_JOINS = "\n    UNION ALL\n".join(
+    f"""    SELECT {lag} AS lag, a.cents AS x, b.cents AS y
+    FROM a JOIN b ON a.h = b.h + ({lag})"""
+    for lag in _XCORR_LAGS
+)
+
+_XCORR_ORACLE = f"""
+    WITH e AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+             CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events
+    ),
+    a AS (SELECT h, sum(c) AS cents FROM e WHERE event_type = 'view' GROUP BY h),
+    b AS (SELECT h, sum(c) AS cents FROM e WHERE event_type = 'purchase' GROUP BY h),
+    m AS (
+{_XCORR_JOINS}
+    ),
+    s AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM m GROUP BY lag
+    )
+    SELECT lag, n,
+           CAST(floor((n * sxy - sx * sy) * 1000000.0
+                      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                             * CAST(n * syy - sy * sy AS DOUBLE)) + 0.5)
+                AS BIGINT) AS xcorr_1e6
+    FROM s
+    WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
+@register("ts_cross_correlation", oracle=_XCORR_ORACLE, tags=("timeseries", "join"))
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the hourly view-revenue and
+    purchase-revenue series (lags −2..+2 hours) — the lead-lag
+    discovery tool ("do views predict purchases two hours later?")
+    that decides which lag features `ts_lag_features` should
+    materialize.
+
+    The full-data pass is ONE hourly aggregation per series (map-side
+    partials; output = #hours rows). Everything after runs on the tiny
+    hourly relations: five lag-shifted equi-joins unioned, then one
+    Pearson aggregate per lag with all sums exact int64 (the same
+    multiply-through-by-n discipline as `ts_autocorr`; only the final
+    normalized ratio touches float, through one sqrt, then 1e-6
+    quantization). Degenerate lags (under 3 matched hours or a
+    zero-variance side) are filtered identically on both sides. At
+    100 TB the hourly relation is still just #hours × #series rows —
+    the whole point of correlating AGGREGATED series."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (F.col("ts_us_long") / 3_600_000_000).cast("bigint").alias("h")
+    c = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", h, c.alias("c"))
+        .groupBy("event_type", "h")
+        .agg(F.sum("c").alias("cents"))
+    )
+    a = hourly.filter(F.col("event_type") == "view").select("h", F.col("cents").alias("x"))
+    b = hourly.filter(F.col("event_type") == "purchase").select(
+        F.col("h").alias("hb"), F.col("cents").alias("y")
+    )
+    matched = None
+    for lag in _XCORR_LAGS:
+        m = a.join(b, a.h == F.col("hb") + lag).select(
+            F.lit(lag).alias("lag"), "x", "y"
+        )
+        matched = m if matched is None else matched.unionByName(m)
+    s = matched.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.filter((F.col("n") >= 3) & (vx > 0) & (vy > 0)).select(
+        "lag",
+        "n",
+        F.floor(num * 1_000_000.0 / F.sqrt(vx.cast("double") * vy.cast("double")) + F.lit(0.5))
+        .cast("bigint")
+        .alias("xcorr_1e6"),
+    )

@@ -419,7 +419,7 @@ def test_driver_window_prefix_is_the_planned_rotation():
 
     assert keys[:50] == _PRIORITY[:50]
     assert keys[48:50] == ["fn_array", "fn_map_ops"]
-    assert len(SPECS) == 277
+    assert len(SPECS) == 278
 
 
 def test_snapshot_diff_classification(spark, tmp_path):
@@ -463,3 +463,24 @@ def test_association_lift_independence_identity(spark, tmp_path):
     assert row.support_1e6 == 500_000
     assert row.confidence_1e6 == 500_000
     assert row.lift_1e6 == 1_000_000
+
+
+def test_cross_correlation_peak_at_true_lag(spark, tmp_path):
+    """purchases replay view revenue one hour later -> perfect
+    correlation (1e6) exactly at lag -1, below-perfect elsewhere."""
+    vals = [(h * h) % 7 + 1.0 for h in range(10)]  # non-linear: only the
+    # true shift correlates perfectly (a linear series would at EVERY lag)
+    rows = []
+    eid = 0
+    for h in range(10):
+        eid += 1
+        rows.append((eid, 3600 * h, 1, "view", vals[h]))
+    for h in range(1, 11):
+        eid += 1
+        rows.append((eid, 3600 * h, 2, "purchase", vals[h - 1]))
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r.lag: r for r in SPECS["ts_cross_correlation"].fn(spark, sf).collect()}
+    assert out[-1].xcorr_1e6 == 1_000_000
+    for lag, r in out.items():
+        if lag != -1:
+            assert r.xcorr_1e6 < 1_000_000
