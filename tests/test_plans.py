@@ -107,7 +107,9 @@ def test_no_cartesian_products_anywhere(spark):
                         # 1-row global-max freshness reference
                         "profile_freshness_lag",
                         # 1-row midpoint-cutoff broadcast
-                        "cdc_snapshot_diff"}
+                        "cdc_snapshot_diff",
+                        # 1-row user-count broadcast for support/lift
+                        "analytics_association_lift"}
     for key, spec in SPECS.items():
         if key == "join_cross" or "streaming" in spec.tags:
             continue
