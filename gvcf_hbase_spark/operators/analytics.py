@@ -1146,3 +1146,98 @@ def analytics_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_1e6"),
         )
     )
+
+
+_KS_ORACLE = """
+    WITH x AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS v FROM events
+               WHERE event_type = 'view'),
+    y AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS v FROM events
+          WHERE event_type = 'purchase'),
+    n AS (SELECT (SELECT count(*) FROM x) AS nx, (SELECT count(*) FROM y) AS ny),
+    pts AS (
+      SELECT v, count(*) FILTER (WHERE side = 'x') AS cx_here,
+             count(*) FILTER (WHERE side = 'y') AS cy_here
+      FROM (SELECT v, 'x' AS side FROM x UNION ALL SELECT v, 'y' FROM y)
+      GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             sum(cx_here) OVER (ORDER BY v) AS cx,
+             sum(cy_here) OVER (ORDER BY v) AS cy
+      FROM pts
+    ),
+    diffs AS (
+      SELECT v, abs(cx * n.ny - cy * n.nx) AS dnum FROM cum CROSS JOIN n
+    ),
+    mx AS (SELECT max(dnum) AS max_dnum FROM diffs)
+    SELECT n.nx, n.ny,
+           CAST(mx.max_dnum AS BIGINT) AS max_dnum,
+           CAST(floor(mx.max_dnum * 1000000.0 / (n.nx * n.ny) + 0.5) AS BIGINT)
+             AS ks_d_1e6,
+           CAST((SELECT min(v) FROM diffs WHERE dnum = mx.max_dnum) AS BIGINT)
+             AS at_cents
+    FROM n CROSS JOIN mx
+"""
+
+
+@register("agg_ks_test", oracle=_KS_ORACLE, tags=("analytics", "stats"))
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the view and
+    purchase value distributions: D = sup|F₁−F₂|, the standard
+    distribution-drift test (train-vs-serve skew, A/B sanity,
+    `analytics_ab_ttest`'s nonparametric sibling — KS sees shape
+    changes a mean test misses).
+
+    Exactness: D's numerator is computed as max |cx·n_y − cy·n_x| over
+    the merged support — pure int64 on cent-quantized values; only the
+    final normalized D divides. Plan: both samples collapse to
+    per-distinct-value counts first (map-side combine; the support is
+    bounded by the value DOMAIN, not the row count), so the cumulative
+    window runs over ≤ |support| rows — the single-partition ORDER BY
+    is bounded the same way `agg_share_of_total`'s is, and at 100 TB
+    the domain-sized relation is what makes an exact global sup
+    computable at all. The argmax value is reported with a
+    deterministic min-tiebreak on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100, 0).cast("bigint")
+    sides = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        c.alias("v"), (F.col("event_type") == "view").alias("is_x")
+    )
+    pts = sides.groupBy("v").agg(
+        F.sum(F.when(F.col("is_x"), 1).otherwise(0)).alias("cx_here"),
+        F.sum(F.when(~F.col("is_x"), 1).otherwise(0)).alias("cy_here"),
+    )
+    n = sides.agg(
+        F.sum(F.when(F.col("is_x"), 1).otherwise(0)).cast("bigint").alias("nx"),
+        F.sum(F.when(~F.col("is_x"), 1).otherwise(0)).cast("bigint").alias("ny"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = pts.select(
+        "v",
+        F.sum("cx_here").over(w).alias("cx"),
+        F.sum("cy_here").over(w).alias("cy"),
+    )
+    diffs = cum.crossJoin(F.broadcast(n)).select(
+        "v",
+        "nx",
+        "ny",
+        F.abs(F.col("cx") * F.col("ny") - F.col("cy") * F.col("nx")).alias("dnum"),
+    )
+    mx = diffs.agg(F.max("dnum").alias("max_dnum"))
+    at = (
+        diffs.join(F.broadcast(mx), diffs.dnum == mx.max_dnum)
+        .agg(F.min("v").cast("bigint").alias("at_cents"))
+    )
+    return (
+        n.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(at))
+        .select(
+            "nx",
+            "ny",
+            F.col("max_dnum").cast("bigint").alias("max_dnum"),
+            F.floor(F.col("max_dnum") * 1_000_000.0 / (F.col("nx") * F.col("ny")) + F.lit(0.5))
+            .cast("bigint")
+            .alias("ks_d_1e6"),
+            "at_cents",
+        )
+    )

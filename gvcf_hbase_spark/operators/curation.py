@@ -1263,3 +1263,54 @@ def profile_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("global_max_us") - F.col("max_ts_us")).cast("bigint").alias("lag_us"),
         (F.col("global_max_us") - F.col("max_ts_us") > 86_400_000_000).alias("stale"),
     )
+
+
+_WSAMPLE_K = 50
+
+_WSAMPLE_ORACLE = f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) + 0.5) / 4294967296.0) / n_chars, 9) AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS BIGINT) AS rnk,
+           doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT {_WSAMPLE_K}
+"""
+
+
+@register("curate_weighted_sample", oracle=_WSAMPLE_ORACLE, tags=("curation", "sample"))
+def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic and
+    distributed: the Efraimidis–Spirakis exponential-key trick — each
+    doc draws u ~ Uniform(0,1) (derived from the portable md5 hash, so
+    the 'randomness' is reproducible and oracle-replayable) and gets
+    key = ln(u)/w with w = n_chars; the k LARGEST keys are exactly a
+    weight-proportional without-replacement sample. This is the
+    curation primitive behind 'sample 1B tokens proportional to doc
+    quality/length' — `curate_stratified_sample` fixes per-stratum
+    counts, `curate_oversample` replicates; this draws one global
+    weighted sample.
+
+    Scale shape: key assignment is map-side; top-k is Spark's
+    TakeOrdered (per-partition heaps + driver merge of k rows — no
+    global sort materialization). Keys are 9dp-rounded before ranking
+    with a doc_id tiebreak so both engines select the identical sample
+    (the §5.4 discipline applied to a transcendental key); re-keying
+    with concat(doc_id, seed) gives fresh epochs, same plan."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    keyed = d.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"), key.alias("k"))
+    w = Window.orderBy(F.col("k").desc(), "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _WSAMPLE_K)
+        .select("rnk", "doc_id", "n_chars")
+    )

@@ -109,7 +109,9 @@ def test_no_cartesian_products_anywhere(spark):
                         # 1-row midpoint-cutoff broadcast
                         "cdc_snapshot_diff",
                         # 1-row user-count broadcast for support/lift
-                        "analytics_association_lift"}
+                        "analytics_association_lift",
+                        # three 1-row scalar broadcasts into the KS row
+                        "agg_ks_test"}
     for key, spec in SPECS.items():
         if key == "join_cross" or "streaming" in spec.tags:
             continue

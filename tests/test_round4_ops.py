@@ -419,7 +419,7 @@ def test_driver_window_prefix_is_the_planned_rotation():
 
     assert keys[:50] == _PRIORITY[:50]
     assert keys[48:50] == ["fn_array", "fn_map_ops"]
-    assert len(SPECS) == 278
+    assert len(SPECS) == 280
 
 
 def test_snapshot_diff_classification(spark, tmp_path):
@@ -484,3 +484,44 @@ def test_cross_correlation_peak_at_true_lag(spark, tmp_path):
     for lag, r in out.items():
         if lag != -1:
             assert r.xcorr_1e6 < 1_000_000
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """Recompute the Efraimidis-Spirakis selection in Python with the
+    same md5-derived uniforms and assert the identical top-50."""
+    import duckdb, hashlib, math
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{SF_DIR}/documents.parquet' WHERE n_chars > 0"
+    ).fetchall()
+    keyed = []
+    for doc_id, n_chars in docs:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        keyed.append((round(math.log(u) / n_chars, 9), doc_id, n_chars))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    expect = [(i + 1, d, n) for i, (_, d, n) in enumerate(keyed[:50])]
+    got = sorted(
+        [(r.rnk, r.doc_id, r.n_chars) for r in SPECS["curate_weighted_sample"].fn(spark, SF_DIR).collect()]
+    )
+    assert got == expect
+
+
+def test_ks_disjoint_supports_give_d_one(spark, tmp_path):
+    sf = _write_events(
+        spark, tmp_path,
+        [(1, 0, 1, "view", 0.01), (2, 1, 1, "view", 0.02), (3, 2, 1, "view", 0.03),
+         (4, 3, 2, "purchase", 0.10), (5, 4, 2, "purchase", 0.11), (6, 5, 2, "purchase", 0.12)],
+    )
+    r = SPECS["agg_ks_test"].fn(spark, sf).collect()[0]
+    assert (r.nx, r.ny) == (3, 3)
+    assert r.ks_d_1e6 == 1_000_000
+    assert r.at_cents == 3  # CDF gap is maximal from the last x onward
+
+
+def test_ks_identical_samples_give_d_zero(spark, tmp_path):
+    rows = [(i, i, 1, "view", float(i % 4)) for i in range(8)]
+    rows += [(100 + i, i, 2, "purchase", float(i % 4)) for i in range(8)]
+    sf = _write_events(spark, tmp_path, rows)
+    r = SPECS["agg_ks_test"].fn(spark, sf).collect()[0]
+    assert r.ks_d_1e6 == 0
