@@ -199,7 +199,7 @@ _PRIORITY = [
     "sink_partition_stats",
     "sink_secondary_index",
 ]
-# The 36 round-4 additions (analytics_pattern_kleene, stream_pattern_kleene,
+# The 37 round-4 additions (analytics_pattern_kleene, stream_pattern_kleene,
 # agg_countmin_freq, agg_bloom_membership, text_toxicity_wordlist,
 # text_readability, curate_quality_score_lr, ts_autocorr, graph_khop_reach,
 # graph_sssp_bounded, analytics_attribution_last_touch,
@@ -211,11 +211,11 @@ _PRIORITY = [
 # agg_listagg_distinct, profile_freshness_lag, gvcf_titv_ratio,
 # gvcf_dp_stats, gvcf_block_compression, cdc_snapshot_diff,
 # analytics_association_lift, ts_cross_correlation,
-# curate_weighted_sample, agg_ks_test) are NOT
+# curate_weighted_sample, agg_ks_test, hierarchy_flatten_bounded) are NOT
 # listed above: load_all() appends unlisted keys in module order AFTER the
 # queue, which is exactly the round-6 tail. Round-5 rotation: promote the
 # round-5 queue block (53 keys) to slots 1–50, spill the overflow + these
-# 36 to round 6.
+# 37 to round 6.
 
 _loaded = False
 

@@ -419,7 +419,7 @@ def test_driver_window_prefix_is_the_planned_rotation():
 
     assert keys[:50] == _PRIORITY[:50]
     assert keys[48:50] == ["fn_array", "fn_map_ops"]
-    assert len(SPECS) == 280
+    assert len(SPECS) == 281
 
 
 def test_snapshot_diff_classification(spark, tmp_path):
@@ -525,3 +525,14 @@ def test_ks_identical_samples_give_d_zero(spark, tmp_path):
     sf = _write_events(spark, tmp_path, rows)
     r = SPECS["agg_ks_test"].fn(spark, sf).collect()[0]
     assert r.ks_d_1e6 == 0
+
+
+def test_hierarchy_depth_is_bit_length(spark):
+    """parent = node div 2 means depth = bit_length(node) (number of
+    halvings to reach 0) and every walk passes through node 1 just
+    below the root."""
+    rows = SPECS["hierarchy_flatten_bounded"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.depth == int(r.node).bit_length()
+        assert r.root_child == (1 if r.node >= 1 else None)
