@@ -1241,3 +1241,192 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "at_cents",
         )
     )
+
+
+_FUNNEL_GAP_US = 7 * 86_400_000_000  # each step must land within 7 days
+
+_FUNNEL_WINDOW_ORACLE = f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events
+    ),
+    v AS (SELECT user_id, min(t) AS view_us FROM ev WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT ev.user_id, min(t) AS click_us
+      FROM ev JOIN v USING (user_id)
+      WHERE event_type = 'click' AND t > v.view_us
+        AND t <= v.view_us + {_FUNNEL_GAP_US}
+      GROUP BY ev.user_id
+    ),
+    p AS (
+      SELECT ev.user_id, min(t) AS purchase_us
+      FROM ev JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND t > c.click_us
+        AND t <= c.click_us + {_FUNNEL_GAP_US}
+      GROUP BY ev.user_id
+    )
+    SELECT u.user_id, v.view_us, c.click_us, p.purchase_us,
+           CAST(CASE WHEN p.purchase_us IS NOT NULL THEN 3
+                     WHEN c.click_us IS NOT NULL THEN 2
+                     WHEN v.view_us IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_stage
+    FROM (SELECT DISTINCT user_id FROM ev) u
+    LEFT JOIN v USING (user_id)
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+"""
+
+
+@register("funnel_time_window", oracle=_FUNNEL_WINDOW_ORACLE, tags=("analytics",))
+def funnel_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel with a max-gap constraint: view → click →
+    purchase where each step must follow the previous match within 7
+    days — the attribution-window variant of `funnel_steps` (an
+    unconstrained funnel credits conversions months later; real funnel
+    reporting always bounds the gap).
+
+    Same cascade-of-aggregates shape as `funnel_steps` — k
+    co-partitioned min-aggregates on ``user_id`` over an ever-shrinking
+    survivor set, never a per-user sort or self-join — with the gap
+    bound as one extra band predicate per step (greedy-earliest
+    matching: the FIRST qualifying view anchors the click window; a
+    user whose first view goes stale is not re-anchored, matching the
+    strict attribution-window reading both engines replay identically).
+    At 100 TB the bound also prunes: each step's join probe filters to
+    a 7-day band instead of all later history."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts_us_long").alias("t")
+    )
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("view_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("t") > F.col("view_us"))
+            & (F.col("t") <= F.col("view_us") + _FUNNEL_GAP_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("click_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("t") > F.col("click_us"))
+            & (F.col("t") <= F.col("click_us") + _FUNNEL_GAP_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("purchase_us"))
+    )
+    stage = (
+        F.when(F.col("purchase_us").isNotNull(), 3)
+        .when(F.col("click_us").isNotNull(), 2)
+        .when(F.col("view_us").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_us",
+            "click_us",
+            "purchase_us",
+            stage.cast("int").alias("funnel_stage"),
+        )
+    )
+
+
+_COHORT_LTV_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
+             CAST(round(value * 100, 0) AS BIGINT) AS rev
+      FROM events
+    ),
+    cohort AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id),
+    sizes AS (SELECT cohort_week, count(*) AS n_users FROM cohort GROUP BY 1),
+    facts AS (
+      SELECT c.cohort_week,
+             CAST(date_diff('day', c.cohort_week, ev.wk) // 7 AS BIGINT)
+               AS age_weeks,
+             CAST(sum(ev.rev) AS BIGINT) AS revenue_cents
+      FROM ev JOIN cohort c USING (user_id)
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_week, age_weeks, revenue_cents,
+             sum(revenue_cents) OVER (
+               PARTITION BY cohort_week ORDER BY age_weeks
+             ) AS cum_revenue_cents
+      FROM facts
+    )
+    SELECT cum.cohort_week, cum.age_weeks,
+           CAST(s.n_users AS BIGINT) AS n_users,
+           cum.revenue_cents,
+           CAST(cum.cum_revenue_cents AS BIGINT) AS cum_revenue_cents,
+           CAST(floor(CAST(cum.cum_revenue_cents AS DOUBLE) * 100 / s.n_users
+                      + 0.5) AS BIGINT) AS ltv_per_user_1e2
+    FROM cum JOIN sizes s USING (cohort_week)
+"""
+
+
+@register("analytics_cohort_ltv", oracle=_COHORT_LTV_ORACLE, tags=("analytics", "window"))
+def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users cohorted by first-event week,
+    revenue summed per (cohort, week-age) and accumulated along age, and
+    reported per capita — the LTV triangle `agg_retention_cohort` is the
+    head-count half of.
+
+    Same two co-partitioned ``user_id`` shuffles as the retention op
+    (cohort min, fact⋈cohort), one more on the (cohort, age) pair — all
+    revenue partials exact int64 cents with map-side combine. The
+    cumulative sum runs per cohort (a properly partitioned window, one
+    row per observed week-age), and per-capita LTV divides two exact
+    integers per row. Cohort week stays a midnight TIMESTAMP for the
+    same dtype-roundtrip reason as the retention op."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("week", F.col("ts_us")).alias("wk"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("rev"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(F.count("*").alias("n_users"))
+    facts = (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("age_weeks"),
+        )
+        .agg(F.sum("rev").cast("bigint").alias("revenue_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = facts.select(
+        "cohort_week",
+        "age_weeks",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).alias("cum_revenue_cents"),
+    )
+    return cum.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "age_weeks",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        "revenue_cents",
+        F.col("cum_revenue_cents").cast("bigint").alias("cum_revenue_cents"),
+        F.floor(
+            F.col("cum_revenue_cents").cast("double") * 100 / F.col("n_users")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ltv_per_user_1e2"),
+    )

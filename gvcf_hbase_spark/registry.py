@@ -46,6 +46,7 @@ _MODULES = [
     "gvcf_hbase_spark.operators.multimodal",
     "gvcf_hbase_spark.operators.curation",
     "gvcf_hbase_spark.operators.analytics",
+    "gvcf_hbase_spark.operators.stats",
     "gvcf_hbase_spark.operators.timeseries",
     "gvcf_hbase_spark.operators.linkage",
     "gvcf_hbase_spark.operators.cdc",
@@ -199,7 +200,7 @@ _PRIORITY = [
     "sink_partition_stats",
     "sink_secondary_index",
 ]
-# The 37 round-4 additions (analytics_pattern_kleene, stream_pattern_kleene,
+# The 43 round-4 additions (analytics_pattern_kleene, stream_pattern_kleene,
 # agg_countmin_freq, agg_bloom_membership, text_toxicity_wordlist,
 # text_readability, curate_quality_score_lr, ts_autocorr, graph_khop_reach,
 # graph_sssp_bounded, analytics_attribution_last_touch,
@@ -211,11 +212,13 @@ _PRIORITY = [
 # agg_listagg_distinct, profile_freshness_lag, gvcf_titv_ratio,
 # gvcf_dp_stats, gvcf_block_compression, cdc_snapshot_diff,
 # analytics_association_lift, ts_cross_correlation,
-# curate_weighted_sample, agg_ks_test, hierarchy_flatten_bounded) are NOT
+# curate_weighted_sample, agg_ks_test, hierarchy_flatten_bounded,
+# analytics_chi_square, analytics_mann_whitney, analytics_anova,
+# analytics_survival_km, funnel_time_window, analytics_cohort_ltv) are NOT
 # listed above: load_all() appends unlisted keys in module order AFTER the
 # queue, which is exactly the round-6 tail. Round-5 rotation: promote the
 # round-5 queue block (53 keys) to slots 1–50, spill the overflow + these
-# 37 to round 6.
+# 43 to round 6.
 
 _loaded = False
 

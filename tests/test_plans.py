@@ -111,7 +111,12 @@ def test_no_cartesian_products_anywhere(spark):
                         # 1-row user-count broadcast for support/lift
                         "analytics_association_lift",
                         # three 1-row scalar broadcasts into the KS row
-                        "agg_ks_test"}
+                        "agg_ks_test",
+                        # grand-total 1-row broadcast + <=2-row cohort dim
+                        # crossed with the type dim (zero-cell completion)
+                        "analytics_chi_square",
+                        # 1-row user-total broadcast into the at-risk window
+                        "analytics_survival_km"}
     for key, spec in SPECS.items():
         if key == "join_cross" or "streaming" in spec.tags:
             continue
