@@ -1430,3 +1430,92 @@ def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ltv_per_user_1e2"),
     )
+
+
+_RFM_ORACLE = """
+    WITH u AS (
+      SELECT user_id,
+             max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_t,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM events GROUP BY user_id
+    ),
+    anchor AS (SELECT max(last_t) AS t_max FROM u),
+    base AS (
+      SELECT user_id,
+             CAST((t_max - last_t) // 86400000000 AS BIGINT) AS recency_days,
+             frequency, monetary_cents
+      FROM u CROSS JOIN anchor
+    ),
+    scored AS (
+      SELECT *,
+             CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT)
+               AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id) AS BIGINT)
+               AS f_score,
+             CAST(ntile(5) OVER (ORDER BY monetary_cents ASC, user_id) AS BIGINT)
+               AS m_score
+      FROM base
+    )
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_segment
+    FROM scored
+"""
+
+
+@register("analytics_rfm_segment", oracle=_RFM_ORACLE, tags=("analytics", "window"))
+def analytics_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last event,
+    anchored at the corpus max so the query is reproducible), frequency
+    (event count) and monetary (cent-exact value sum) per user, each
+    dealt into quintiles, concatenated into the classic 111–555 segment
+    code — the marketing-analytics staple next to `analytics_pareto_share`
+    and `agg_retention_cohort`.
+
+    The raw log collapses in ONE per-user hash aggregate (map-side
+    combine, all-int partials); the anchor enters as a one-row broadcast.
+    Quintile assignment is three global ntile windows over the collapsed
+    per-user table with pinned (metric, user_id) tiebreaks — fully
+    deterministic on both engines. Like the pareto op, the global ntile
+    over #users rows is the 100 TB pressure point and the two-phase
+    distributed rank (`curate_pack_batches`) is the documented drop-in;
+    everything upstream keys on user_id and scales flat."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts_us_long").alias("t"), "value"
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max("t").alias("last_t"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    anchor = u.agg(F.max("last_t").alias("t_max"))
+    base = u.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        ((F.col("t_max") - F.col("last_t")) / 86_400_000_000)
+        .cast("bigint")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    r_w = Window.orderBy(F.col("recency_days").desc(), "user_id")
+    f_w = Window.orderBy(F.col("frequency").asc(), "user_id")
+    m_w = Window.orderBy(F.col("monetary_cents").asc(), "user_id")
+    scored = base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(r_w).cast("bigint").alias("r_score"),
+        F.ntile(5).over(f_w).cast("bigint").alias("f_score"),
+        F.ntile(5).over(m_w).cast("bigint").alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("bigint")
+        .alias("rfm_segment"),
+    )

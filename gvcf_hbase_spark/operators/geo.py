@@ -180,3 +180,157 @@ def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("id_a", "id_b", dist.alias("dist_km")).filter(
         F.col("dist_km") <= _RADIUS_KM
     )
+
+
+_CELL_DENSITY_ORACLE = f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST((c_custkey * 7919) % 1200 AS BIGINT) // 200 AS cell_y,
+             CAST((c_custkey * 104729) % 3400 AS BIGINT) // 200 AS cell_x,
+             (c_custkey * 7919) % 1200 AS lat_i,
+             (c_custkey * 104729) % 3400 AS lon_i,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal
+      FROM customer
+    )
+    SELECT CAST(cell_y * 100 + cell_x AS BIGINT) AS cell_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(bal) AS BIGINT) AS acctbal_cents,
+           CAST(sum(lat_i) AS BIGINT) AS lat_i_sum,
+           CAST(sum(lon_i) AS BIGINT) AS lon_i_sum,
+           CAST(floor(CAST(sum(lat_i) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+             AS centroid_lat_1e2,
+           CAST(floor(CAST(sum(lon_i) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+             AS centroid_lon_1e2
+    FROM pts GROUP BY cell_y, cell_x
+"""
+
+
+@register("geo_cell_density", oracle=_CELL_DENSITY_ORACLE, tags=("geo", "agg"))
+def geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density surface: points binned into the same 2°×2° grid
+    the proximity join uses, with per-cell population, balance mass and
+    an exact-integer centroid — the heatmap / tile-server aggregate, and
+    the cell-occupancy statistic that sizes `join_geo_grid`'s skew risk
+    (a cell whose n_points explodes is exactly the cell that needs
+    AQE skew splitting or finer cells).
+
+    ONE map-side-combining hash aggregate on the cell key — the scan
+    collapses to #cells rows (6×17 here; bounded by the grid, not the
+    data). The centroid stays exact: cells bin on the INTEGER lat/lon
+    numerators (lat_i ∈ [0,1200) is lat·100 + 600), so the mean is a
+    ratio of exact int sums quantized once — no float accumulates
+    across rows on either engine."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    lat_i = (F.col("c_custkey") * 7919) % 1200
+    lon_i = (F.col("c_custkey") * 104729) % 3400
+    pts = c.select(
+        (lat_i / 200).cast("long").alias("cell_y"),
+        (lon_i / 200).cast("long").alias("cell_x"),
+        lat_i.alias("lat_i"),
+        lon_i.alias("lon_i"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal"),
+    )
+    g = pts.groupBy("cell_y", "cell_x").agg(
+        F.count("*").alias("n_points"),
+        F.sum("bal").alias("acctbal_cents"),
+        F.sum("lat_i").alias("lat_i_sum"),
+        F.sum("lon_i").alias("lon_i_sum"),
+    )
+    return g.select(
+        (F.col("cell_y") * 100 + F.col("cell_x")).cast("bigint").alias("cell_id"),
+        "n_points",
+        "acctbal_cents",
+        F.col("lat_i_sum").cast("bigint").alias("lat_i_sum"),
+        F.col("lon_i_sum").cast("bigint").alias("lon_i_sum"),
+        F.floor(F.col("lat_i_sum").cast("double") / F.col("n_points") + F.lit(0.5))
+        .cast("bigint")
+        .alias("centroid_lat_1e2"),
+        F.floor(F.col("lon_i_sum").cast("double") / F.col("n_points") + F.lit(0.5))
+        .cast("bigint")
+        .alias("centroid_lon_1e2"),
+    )
+
+
+# per-event jitter around the user's home point: ±0.5° lat, ±0.5° lon,
+# exact integer synthesis (same idiom as the customer points)
+_TRAJ_LAT_SQL = "(((user_id * 7919) % 1200) + ((event_id * 31) % 100) - 50) / 100.0 - 6.0"
+_TRAJ_LON_SQL = "(((user_id * 104729) % 3400) + ((event_id * 53) % 100) - 50) / 100.0 - 17.0"
+
+_TRAJ_ORACLE = f"""
+    WITH pts AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             {_TRAJ_LAT_SQL} AS lat,
+             {_TRAJ_LON_SQL} AS lon
+      FROM events
+    ),
+    hops AS (
+      SELECT user_id, lat, lon,
+             lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    scored AS (
+      SELECT user_id,
+             CAST(floor({_HAVERSINE_SQL.format(r=_R_KM, lat1="plat", lon1="plon", lat2="lat", lon2="lon")} * 1e6 + 0.5) AS BIGINT) AS hop_1e6
+      FROM hops WHERE plat IS NOT NULL
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_hops,
+           CAST(sum(hop_1e6) AS BIGINT) AS path_km_1e6,
+           CAST(max(hop_1e6) AS BIGINT) AS max_hop_1e6
+    FROM scored GROUP BY user_id
+"""
+
+
+@register("geo_trajectory_length", oracle=_TRAJ_ORACLE, tags=("geo", "window"))
+def geo_trajectory_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory statistics: events become a time-ordered point
+    sequence (home point + deterministic per-event jitter, exact integer
+    synthesis), and the op reports hop count, total path length and the
+    longest single hop — the movement profile a mobility / fleet
+    pipeline derives from raw pings.
+
+    ONE properly-partitioned lag window (user_id partition, time order
+    with event-id tiebreak) computes the predecessor point — no
+    self-join, no sort beyond the window's per-partition one — then ONE
+    hash aggregate per user. Each hop's haversine is a single-row float
+    expression quantized to 1e-6 km BEFORE the per-user sum, so the
+    totals are exact int64 on both engines (the cross-row float-sum
+    discipline, SURVEY §5.4). At 100 TB both shuffles key on user_id —
+    co-partitioned, skew-safe (a user's ping history fits a partition;
+    a bot user with millions of pings is the documented salting case)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts_us_long").alias("t")
+    )
+    lat = (
+        ((F.col("user_id") * 7919) % 1200)
+        + ((F.col("event_id") * 31) % 100)
+        - 50
+    ) / 100.0 - 6.0
+    lon = (
+        ((F.col("user_id") * 104729) % 3400)
+        + ((F.col("event_id") * 53) % 100)
+        - 50
+    ) / 100.0 - 17.0
+    pts = ev.select("user_id", "event_id", "t", lat.alias("lat"), lon.alias("lon"))
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    hops = pts.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).filter(F.col("plat").isNotNull())
+    hop = F.floor(
+        _haversine_km(F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon")) * 1e6
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        hops.select("user_id", hop.alias("hop_1e6"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_hops"),
+            F.sum("hop_1e6").cast("bigint").alias("path_km_1e6"),
+            F.max("hop_1e6").cast("bigint").alias("max_hop_1e6"),
+        )
+    )

@@ -592,3 +592,105 @@ def hierarchy_flatten_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return state.select("node", "depth", "root_child")
+
+
+_CLUSTERING_ORACLE = """
+    WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    deg0 AS (SELECT p, count(*) AS d FROM e0 GROUP BY p),
+    kept AS (SELECT e0.p, e0.s FROM e0 JOIN deg0 USING (p) WHERE deg0.d <= 50),
+    edges AS (
+      SELECT DISTINCT least(a.s, b.s) AS u, greatest(a.s, b.s) AS v
+      FROM kept a JOIN kept b USING (p) WHERE a.s < b.s
+    ),
+    tri AS (
+      SELECT w.a, w.b, w.c
+      FROM (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+      ) w JOIN edges e3 ON e3.u = w.a AND e3.v = w.c
+    ),
+    corners AS (
+      SELECT a AS node FROM tri UNION ALL
+      SELECT b FROM tri UNION ALL
+      SELECT c FROM tri
+    ),
+    tcount AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM corners GROUP BY node),
+    degs AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY node
+    )
+    SELECT degs.node, degs.d, COALESCE(tcount.t, 0) AS n_triangles,
+           CAST(floor(2.0 * COALESCE(tcount.t, 0)
+                      / (CAST(degs.d AS DOUBLE) * (degs.d - 1)) * 1e6 + 0.5)
+                AS BIGINT) AS clustering_1e6
+    FROM degs LEFT JOIN tcount USING (node)
+    WHERE degs.d >= 2
+"""
+
+
+@register("graph_clustering_coefficient", oracle=_CLUSTERING_ORACLE, tags=("graph",))
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — 2·triangles(v) / (deg(v)
+    choose 2)·2 — on the supplier co-supply graph (suppliers connected
+    when they ship a common part, hub parts capped at degree 50 exactly
+    like `graph_jaccard_neighbors`). The per-node companion of
+    `graph_triangle_count`'s global readout: community tightness,
+    spam-graph detection, feature engineering for node classifiers.
+
+    Triangles enumerate once under the total order (wedge equi-join +
+    closing equi-join, the same shape as the global count but INNER so
+    each triangle materializes once), thencredit all three corners via
+    a 3-way unioned projection and ONE hash aggregate — never a per-node
+    neighborhood intersection. All joins are single-int-key equi-joins;
+    the wedge fan-out Σ deg² is the scale hazard and the degree-ordered
+    orientation (see `triangle_count`) is the documented fix. Counts
+    stay int64; the coefficient is one float ratio per output row,
+    quantized 1e-6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    deg0 = e0.groupBy("p").agg(F.count("*").alias("d"))
+    kept = e0.join(deg0.filter(F.col("d") <= 50).select("p"), "p").localCheckpoint(
+        eager=False
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    edges = (
+        a.join(b, "p")
+        .filter(F.col("a.s") < F.col("b.s"))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # edges feed 5 consumers below
+    )
+    ab = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    closing = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = ab.join(bc, "b").join(closing, ["a", "c"]).select("a", "b", "c")
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    tcount = corners.groupBy("node").agg(F.count("*").alias("t"))
+    degs = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    coef = F.floor(
+        2.0
+        * F.col("n_triangles")
+        / (F.col("d").cast("double") * (F.col("d") - 1))
+        * 1e6
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        degs.join(tcount, "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("bigint").alias("d"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("n_triangles"),
+        )
+        .filter(F.col("d") >= 2)
+        .select("node", "d", "n_triangles", coef.alias("clustering_1e6"))
+    )

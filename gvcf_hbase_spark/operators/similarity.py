@@ -946,3 +946,88 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread(e).mapInPandas(
         topk, "vec_id bigint, neighbor_id bigint, dot double, rn int"
     )
+
+
+def _rp_signs(k: int = 16, dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 projection matrix: sign of md5("rp_{j}_{i}")
+    parity. Pure function of the (j, i) labels — reproducible anywhere,
+    embedded as literals in both the Spark expression and the oracle's
+    VALUES table (same constant-synthesis idiom as the geo hubs)."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"rp_{j}_{i}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1
+            for i in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
+_RP_K = 16
+_RP_DIM = 64
+_RP_SIGNS = _rp_signs(_RP_K, _RP_DIM)
+
+_RP_VALUES_SQL = ", ".join(
+    f"({j}, {i}, {_RP_SIGNS[j][i]})" for j in range(_RP_K) for i in range(_RP_DIM)
+)
+
+_RP_ORACLE = f"""
+    WITH signs AS (SELECT * FROM (VALUES {_RP_VALUES_SQL}) AS t(j, i, s)),
+    q AS (
+      SELECT vec_id, i.i AS i,
+             CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1e6 + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings,
+           unnest(generate_series(0, len(embedding) - 1)) AS i(i)
+    )
+    SELECT q.vec_id, CAST(signs.j AS BIGINT) AS dim_j,
+           CAST(sum(signs.s * q.qv) AS BIGINT) AS y_1e6
+    FROM q JOIN signs ON signs.i = q.i
+    GROUP BY q.vec_id, signs.j
+"""
+
+
+@register("sim_rp_projection", oracle=_RP_ORACLE, tags=("similarity", "embedding"))
+def sim_rp_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction (Achlioptas ±1
+    Johnson–Lindenstrauss): 64-dim float embeddings → 16 components
+    y_j = Σᵢ s_ji·xᵢ against a deterministic ±1 sign matrix — the cheap
+    distance-preserving shrink that feeds LSH tables (`sim_ann_lsh`
+    thresholds these very sums at 0) and coarse ANN indexes.
+
+    Per-row JVM expression work ONLY: elements quantize to 1e-6 ints
+    once, then each component is a zip_with/aggregate fold against a
+    sign LITERAL array — so the projection is an EXACT int64 dot
+    product, no float accumulation in either engine and no shuffle at
+    all on the Spark side (scan → project → explode to the flattened
+    (vec_id, dim_j, y) layout). The oracle rebuilds it relationally
+    (unnest × VALUES join + group) — n·64 rows and a shuffle, which is
+    precisely the work the in-row fold avoids at 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qarr = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
+    )
+    comps = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("bigint").alias("dim_j"),
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q"),
+                        F.array(*[F.lit(s).cast("long") for s in _RP_SIGNS[j]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ).alias("y_1e6"),
+            )
+            for j in range(_RP_K)
+        ]
+    )
+    return (
+        e.select("vec_id", qarr.alias("q"))
+        .select("vec_id", F.explode(comps).alias("c"))
+        .select("vec_id", F.col("c.dim_j").alias("dim_j"), F.col("c.y_1e6").alias("y_1e6"))
+    )

@@ -782,3 +782,102 @@ def text_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ws",
         F.round(F.col("n_chars") / F.col("n_bpe"), 4).alias("chars_per_token"),
     )
+
+
+_PMI_MIN_PAIR = 5
+
+_PMI_ORACLE = f"""
+    WITH d AS (
+      SELECT string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    uni AS (
+      SELECT unnest(toks) AS w FROM d
+    ),
+    unigrams AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+    nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM unigrams),
+    g AS (
+      SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM d
+      WHERE len(toks) >= 2
+    ),
+    bigrams AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM g GROUP BY 1, 2
+    ),
+    nb AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n_bi FROM bigrams)
+    SELECT b.w1, b.w2, b.n_pair,
+           u1.c AS c1, u2.c AS c2,
+           CAST(floor(ln(
+             (CAST(b.n_pair AS DOUBLE) / n_bi)
+             / ((CAST(u1.c AS DOUBLE) / n_uni) * (CAST(u2.c AS DOUBLE) / n_uni))
+           ) * 1e6 + 0.5) AS BIGINT) AS pmi_1e6
+    FROM bigrams b
+    JOIN unigrams u1 ON b.w1 = u1.w
+    JOIN unigrams u2 ON b.w2 = u2.w
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE b.n_pair >= {_PMI_MIN_PAIR}
+"""
+
+
+@register("text_collocations_pmi", oracle=_PMI_ORACLE, tags=("text",))
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: every bigram
+    seen ≥ 5 times scored with PMI = ln(p(xy) / (p(x)·p(y))) against the
+    corpus unigram model — the classic phrase detector (word2vec-style
+    phrase merging, MWE extraction) sitting one step above
+    `text_ngram_counts`'s raw frequencies.
+
+    Two Zipf-collapsed hash aggregates (unigram counts, bigram counts —
+    both map-side combining, both keyed on the word domain, not rows)
+    plus two broadcast-friendly equi-joins of the bigram table against
+    the unigram table and two one-row corpus totals. Every count is an
+    exact int64; PMI is ONE float expression per output row, written
+    token-for-token identically in the oracle and quantized to 1e-6 —
+    nothing floats across rows. The ≥5 support filter runs before the
+    joins, so the joined relation is the (tiny) frequent-bigram set; at
+    100 TB the unigram side is usually broadcastable outright and the
+    bigram agg's map-side combine is what keeps the shuffle sub-linear
+    in the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    tokd = d.select(toks.alias("toks"))
+    unigrams = (
+        tokd.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    nu = unigrams.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    pairs = F.arrays_zip(
+        F.slice(F.col("toks"), 1, F.size("toks") - 1),
+        F.slice(F.col("toks"), 2, F.size("toks") - 1),
+    )
+    bigrams = (
+        tokd.filter(F.size("toks") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .agg(F.count("*").alias("n_pair"))
+    )
+    nb = bigrams.agg(F.sum("n_pair").cast("bigint").alias("n_bi"))
+    u1 = unigrams.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = unigrams.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    freq = bigrams.filter(F.col("n_pair") >= _PMI_MIN_PAIR)
+    joined = (
+        freq.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+    )
+    pmi = F.log(
+        (F.col("n_pair").cast("double") / F.col("n_bi"))
+        / (
+            (F.col("c1").cast("double") / F.col("n_uni"))
+            * (F.col("c2").cast("double") / F.col("n_uni"))
+        )
+    )
+    return joined.select(
+        "w1",
+        "w2",
+        F.col("n_pair").cast("bigint").alias("n_pair"),
+        F.col("c1").cast("bigint").alias("c1"),
+        F.col("c2").cast("bigint").alias("c2"),
+        F.floor(pmi * 1e6 + F.lit(0.5)).cast("bigint").alias("pmi_1e6"),
+    )

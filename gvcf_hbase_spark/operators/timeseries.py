@@ -1047,3 +1047,190 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("xcorr_1e6"),
     )
+
+
+_CHANGEPOINT_ORACLE = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, h, c,
+             row_number() OVER w AS i,
+             sum(c) OVER w AS L,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(c) OVER (PARTITION BY event_type) AS S
+      FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    ),
+    scored AS (
+      SELECT event_type, h, i, n, L, S,
+             (L * n - S * i) AS d,
+             CAST(floor(
+               (CAST(L * n - S * i AS DOUBLE) * CAST(L * n - S * i AS DOUBLE))
+               / (CAST(n AS DOUBLE) * i * (n - i)) * 1e6 + 0.5
+             ) AS BIGINT) AS score_1e6
+      FROM s WHERE i < n
+    ),
+    best AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY score_1e6 DESC, h
+      ) AS rk
+      FROM scored
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours, h AS split_hour,
+           CAST(i AS BIGINT) AS split_i, score_1e6,
+           CAST(floor(CAST(L AS DOUBLE) * 1000 / i + 0.5) AS BIGINT)
+             AS mean_left_1e3,
+           CAST(floor(CAST(S - L AS DOUBLE) * 1000 / (n - i) + 0.5) AS BIGINT)
+             AS mean_right_1e3
+    FROM best WHERE rk = 1
+"""
+
+
+@register("ts_changepoint_meanshift", oracle=_CHANGEPOINT_ORACLE, tags=("timeseries", "window"))
+def ts_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single mean-shift changepoint per event-type series (binary
+    segmentation's first split): the hourly-rate series is scanned for
+    the split maximizing between-segment variance BSS(i) =
+    (L·n − S·i)² / (n·i·(n−i)) — the exact argmax, not a heuristic —
+    reporting the split hour, its score and both segment means. Recurse
+    on the halves for the full binary-segmentation tree.
+
+    The raw log collapses in ONE hourly hash aggregate; everything after
+    runs on #hours × #types rows. One (event_type) exchange serves the
+    rank/cumsum windows AND the argmax window (same partition key, no
+    second shuffle). The BSS numerator L·n − S·i stays EXACT int64
+    (multiply-through-by-n centring, the `ts_autocorr` discipline); the
+    single float division per candidate is written token-identically in
+    the oracle and 1e-6-quantized BEFORE the argmax, with the hour as
+    tiebreak — both engines pick the same split even under exact score
+    ties."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", F.col("ts_us")).alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("c"))
+    )
+    part = Window.partitionBy("event_type")
+    w = part.orderBy("h")
+    s = hourly.select(
+        "event_type",
+        "h",
+        F.row_number().over(w).alias("i"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("L"),
+        F.count("*").over(part).alias("n"),
+        F.sum("c").over(part).alias("S"),
+    ).filter(F.col("i") < F.col("n"))
+    d = F.col("L") * F.col("n") - F.col("S") * F.col("i")
+    score = F.floor(
+        (d.cast("double") * d.cast("double"))
+        / (F.col("n").cast("double") * F.col("i") * (F.col("n") - F.col("i")))
+        * 1e6
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = s.select("event_type", "h", "i", "n", "L", "S", score.alias("score_1e6"))
+    best = scored.select(
+        "*",
+        F.row_number()
+        .over(part.orderBy(F.col("score_1e6").desc(), "h"))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.col("h").alias("split_hour"),
+        F.col("i").cast("bigint").alias("split_i"),
+        "score_1e6",
+        F.floor(F.col("L").cast("double") * 1000 / F.col("i") + F.lit(0.5))
+        .cast("bigint")
+        .alias("mean_left_1e3"),
+        F.floor(
+            (F.col("S") - F.col("L")).cast("double") * 1000 / (F.col("n") - F.col("i"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mean_right_1e3"),
+    )
+
+
+_M4_ORACLE = """
+    WITH t AS (
+      SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS v
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY t_us, event_id) AS rn_first,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY t_us DESC, event_id DESC) AS rn_last,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY v, t_us, event_id) AS rn_min,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY v DESC, t_us DESC, event_id DESC) AS rn_max
+      FROM t
+    )
+    SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+           max(CASE WHEN rn_first = 1 THEN t_us END) AS first_t_us,
+           max(CASE WHEN rn_first = 1 THEN v END) AS first_v_cents,
+           max(CASE WHEN rn_last = 1 THEN t_us END) AS last_t_us,
+           max(CASE WHEN rn_last = 1 THEN v END) AS last_v_cents,
+           max(CASE WHEN rn_min = 1 THEN v END) AS min_v_cents,
+           max(CASE WHEN rn_min = 1 THEN t_us END) AS min_t_us,
+           max(CASE WHEN rn_max = 1 THEN v END) AS max_v_cents,
+           max(CASE WHEN rn_max = 1 THEN t_us END) AS max_t_us
+    FROM r GROUP BY 1, 2
+"""
+
+
+@register("ts_downsample_m4", oracle=_M4_ORACLE, tags=("timeseries", "agg"))
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per (series, bucket)
+    emit the first, last, min and max points WITH their timestamps — the
+    four points that make a line rendering of the bucket pixel-exact,
+    and the shape-preserving downsample a dashboard / charting stack
+    runs before shipping a 100 TB series to a browser. Buckets are days
+    here; swap the truncation for the pixel width.
+
+    ONE hash aggregate over (event_type, day): each extreme is a
+    lexicographic min/max of a (key, tiebreak, payload) STRUCT — Spark's
+    struct ordering gives argmin/argmax WITH deterministic tiebreaks
+    (t_us then event_id) in a plain map-side-combining aggregate, no
+    window, no sort, no shuffle beyond the group key. The oracle
+    recomputes via four row_number windows — same four points, different
+    physical plan — which is exactly the n-vs-4 compression the operator
+    exists to avoid on the Spark side."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts_us")).alias("day"),
+        F.col("ts_us_long").alias("t_us"),
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+    )
+    first_s = F.min(F.struct("t_us", "event_id", "v"))
+    last_s = F.max(F.struct("t_us", "event_id", "v"))
+    min_s = F.min(F.struct("v", "t_us", "event_id"))
+    max_s = F.max(F.struct("v", "t_us", "event_id"))
+    g = ev.groupBy("event_type", "day").agg(
+        F.count("*").alias("n"),
+        first_s.alias("fs"),
+        last_s.alias("ls"),
+        min_s.alias("ms"),
+        max_s.alias("xs"),
+    )
+    return g.select(
+        "event_type",
+        "day",
+        "n",
+        F.col("fs.t_us").alias("first_t_us"),
+        F.col("fs.v").alias("first_v_cents"),
+        F.col("ls.t_us").alias("last_t_us"),
+        F.col("ls.v").alias("last_v_cents"),
+        F.col("ms.v").alias("min_v_cents"),
+        F.col("ms.t_us").alias("min_t_us"),
+        F.col("xs.v").alias("max_v_cents"),
+        F.col("xs.t_us").alias("max_t_us"),
+    )

@@ -200,7 +200,7 @@ _PRIORITY = [
     "sink_partition_stats",
     "sink_secondary_index",
 ]
-# The 43 round-4 additions (analytics_pattern_kleene, stream_pattern_kleene,
+# The 51 round-4 additions (analytics_pattern_kleene, stream_pattern_kleene,
 # agg_countmin_freq, agg_bloom_membership, text_toxicity_wordlist,
 # text_readability, curate_quality_score_lr, ts_autocorr, graph_khop_reach,
 # graph_sssp_bounded, analytics_attribution_last_touch,
@@ -214,11 +214,14 @@ _PRIORITY = [
 # analytics_association_lift, ts_cross_correlation,
 # curate_weighted_sample, agg_ks_test, hierarchy_flatten_bounded,
 # analytics_chi_square, analytics_mann_whitney, analytics_anova,
-# analytics_survival_km, funnel_time_window, analytics_cohort_ltv) are NOT
+# analytics_survival_km, funnel_time_window, analytics_cohort_ltv,
+# geo_cell_density, geo_trajectory_length, analytics_rfm_segment,
+# graph_clustering_coefficient, ts_changepoint_meanshift,
+# ts_downsample_m4, text_collocations_pmi, sim_rp_projection) are NOT
 # listed above: load_all() appends unlisted keys in module order AFTER the
 # queue, which is exactly the round-6 tail. Round-5 rotation: promote the
 # round-5 queue block (53 keys) to slots 1–50, spill the overflow + these
-# 43 to round 6.
+# 51 to round 6.
 
 _loaded = False
 

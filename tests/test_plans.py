@@ -116,7 +116,11 @@ def test_no_cartesian_products_anywhere(spark):
                         # crossed with the type dim (zero-cell completion)
                         "analytics_chi_square",
                         # 1-row user-total broadcast into the at-risk window
-                        "analytics_survival_km"}
+                        "analytics_survival_km",
+                        # 1-row recency-anchor broadcast into the RFM base
+                        "analytics_rfm_segment",
+                        # two 1-row corpus-total broadcasts into the PMI row
+                        "text_collocations_pmi"}
     for key, spec in SPECS.items():
         if key == "join_cross" or "streaming" in spec.tags:
             continue
