@@ -61,6 +61,11 @@ HEADLINE = [
     # media, and the two-phase prefix-sum budget selection
     "multimodal_phash_neardup",
     "curate_budget_select",
+    # round-4 widening batch 2: the heaviest new shapes — the in-row
+    # exact-int Lloyd assignment + 512-key update, and the position-
+    # keyed cohort self-join behind the concordance matrix
+    "sim_kmeans_step",
+    "gvcf_genotype_concordance",
 ]
 
 # The r01/r02-era comparable subset: round-over-round perf comparisons read

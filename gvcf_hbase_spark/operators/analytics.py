@@ -1519,3 +1519,339 @@ def analytics_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rfm_segment"),
     )
+
+
+_OLS_MULTI_ORACLE = """
+    WITH t AS (
+      SELECT CAST(round(l_quantity, 0) AS BIGINT) AS x1,
+             CAST(round(l_discount * 100, 0) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x1 * x1) AS BIGINT) AS sx1x1,
+             CAST(sum(x2 * x2) AS BIGINT) AS sx2x2,
+             CAST(sum(x1 * x2) AS BIGINT) AS sx1x2,
+             CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+             CAST(sum(x2 * y) AS BIGINT) AS sx2y,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM t
+    ),
+    m AS (
+      SELECT n, sx1, sx2, sy, sx1y, sx2y, syy,
+             n * sx1x1 - sx1 * sx1 AS a11,
+             n * sx1x2 - sx1 * sx2 AS a12,
+             n * sx2x2 - sx2 * sx2 AS a22,
+             n * sx1y - sx1 * sy AS c1,
+             n * sx2y - sx2 * sy AS c2
+      FROM s
+    ),
+    b AS (
+      SELECT n, sx1, sx2, sy, syy, sx1y, sx2y,
+             (CAST(c1 AS DOUBLE) * a22 - CAST(c2 AS DOUBLE) * a12)
+               / (CAST(a11 AS DOUBLE) * a22 - CAST(a12 AS DOUBLE) * a12) AS b1,
+             (CAST(c2 AS DOUBLE) * a11 - CAST(c1 AS DOUBLE) * a12)
+               / (CAST(a11 AS DOUBLE) * a22 - CAST(a12 AS DOUBLE) * a12) AS b2
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(floor(b1 * 1e6 + 0.5) AS BIGINT) AS b1_1e6,
+           CAST(floor(b2 * 1e6 + 0.5) AS BIGINT) AS b2_1e6,
+           CAST(floor((CAST(sy AS DOUBLE) - b1 * sx1 - b2 * sx2) / n * 1e4 + 0.5)
+                AS BIGINT) AS b0_1e4,
+           CAST(floor(
+             (1 - (CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE) * sy) / n
+                   - b1 * (CAST(sx1y AS DOUBLE) - (CAST(sx1 AS DOUBLE) * sy) / n)
+                   - b2 * (CAST(sx2y AS DOUBLE) - (CAST(sx2 AS DOUBLE) * sy) / n))
+                / (CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE) * sy) / n))
+             * 1e6 + 0.5) AS BIGINT) AS r2_1e6
+    FROM b
+"""
+
+
+@register("analytics_ols_multi", oracle=_OLS_MULTI_ORACLE, tags=("analytics", "stats"))
+def analytics_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature linear regression by normal equations — price ~
+    quantity + discount over the full lineitem fact — solved in closed
+    form from ONE pass of sufficient statistics: (n, Σx, Σxx, Σxy, Σyy)
+    partials, then Cramer's rule on the 2×2 centred system, plus R².
+    The multi-feature big sibling of `win_moving_slope`'s rolling simple
+    OLS — the distributed-regression shape (sufficient statistics
+    shuffle, never rows) every in-warehouse ML fit uses.
+
+    ALL nine sufficient statistics are exact int64 (integer features,
+    cent-quantized target: bounded products, map-side combine — the
+    whole fact table collapses to ONE row in a single aggregate). The
+    solve is driver-free single-row float math written token-identically
+    in the oracle; centring happens symbolically (n·Σxy − Σx·Σy), never
+    by subtracting float means across rows. At 100 TB the plan is scan →
+    partial agg → 1-row final agg: no shuffle wider than the partial
+    rows, nothing keyed, nothing skewed. Adding features grows the
+    statistic vector (p² terms), not the pass count; past ~30 features
+    the closed-form hand-off moves to a driver-side solve of the same
+    collected Gram matrix."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round("l_quantity", 0).cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
+    )
+    s = li.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    a11 = n * F.col("sx1x1") - F.col("sx1") * F.col("sx1")
+    a12 = n * F.col("sx1x2") - F.col("sx1") * F.col("sx2")
+    a22 = n * F.col("sx2x2") - F.col("sx2") * F.col("sx2")
+    c1 = n * F.col("sx1y") - F.col("sx1") * F.col("sy")
+    c2 = n * F.col("sx2y") - F.col("sx2") * F.col("sy")
+    m = s.select(
+        "n", "sx1", "sx2", "sy", "sx1y", "sx2y", "syy",
+        a11.alias("a11"), a12.alias("a12"), a22.alias("a22"),
+        c1.alias("c1"), c2.alias("c2"),
+    )
+    det = m["a11"].cast("double") * m["a22"] - m["a12"].cast("double") * m["a12"]
+    b1 = (m["c1"].cast("double") * m["a22"] - m["c2"].cast("double") * m["a12"]) / det
+    b2 = (m["c2"].cast("double") * m["a11"] - m["c1"].cast("double") * m["a12"]) / det
+    b = m.select("n", "sx1", "sx2", "sy", "syy", "sx1y", "sx2y", b1.alias("b1"), b2.alias("b2"))
+    sst = F.col("syy").cast("double") - (F.col("sy").cast("double") * F.col("sy")) / F.col("n")
+    sxy1c = F.col("sx1y").cast("double") - (F.col("sx1").cast("double") * F.col("sy")) / F.col("n")
+    sxy2c = F.col("sx2y").cast("double") - (F.col("sx2").cast("double") * F.col("sy")) / F.col("n")
+    return b.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.floor(F.col("b1") * 1e6 + F.lit(0.5)).cast("bigint").alias("b1_1e6"),
+        F.floor(F.col("b2") * 1e6 + F.lit(0.5)).cast("bigint").alias("b2_1e6"),
+        F.floor(
+            (F.col("sy").cast("double") - F.col("b1") * F.col("sx1") - F.col("b2") * F.col("sx2"))
+            / F.col("n") * 1e4 + F.lit(0.5)
+        ).cast("bigint").alias("b0_1e4"),
+        F.floor(
+            (1 - (sst - F.col("b1") * sxy1c - F.col("b2") * sxy2c) / sst) * 1e6
+            + F.lit(0.5)
+        ).cast("bigint").alias("r2_1e6"),
+    )
+
+
+_CUPED_ORACLE = """
+    WITH t AS (
+      SELECT user_id,
+             TRY_CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) % 2 AS cohort,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+      WHERE TRY_CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) IS NOT NULL
+    ),
+    split AS (SELECT (min(us) + (max(us) - min(us)) // 2) AS mid FROM t),
+    u AS (
+      SELECT user_id, cohort,
+             CAST(sum(CASE WHEN us < mid THEN cents ELSE 0 END) AS BIGINT) AS pre,
+             CAST(sum(CASE WHEN us >= mid THEN cents ELSE 0 END) AS BIGINT) AS post
+      FROM t CROSS JOIN split GROUP BY user_id, cohort
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pre) AS BIGINT) AS sp, CAST(sum(post) AS BIGINT) AS so,
+             CAST(sum(pre * pre) AS BIGINT) AS spp,
+             CAST(sum(pre * post) AS BIGINT) AS spo,
+             CAST(sum(post * post) AS BIGINT) AS soo
+      FROM u
+    ),
+    th AS (
+      SELECT n, sp, so,
+             CAST(n * spo - sp * so AS DOUBLE) / (n * spp - sp * sp) AS theta,
+             (CAST(n * spo - sp * so AS DOUBLE) * (n * spo - sp * so))
+               / (CAST(n * spp - sp * sp AS DOUBLE) * (n * soo - so * so))
+               AS rho2
+      FROM g
+    ),
+    c AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(pre) AS BIGINT) AS cp, CAST(sum(post) AS BIGINT) AS co
+      FROM u GROUP BY cohort
+    )
+    SELECT c.cohort, c.n_users,
+           CAST(floor(CAST(c.co AS DOUBLE) / c.n_users * 100 + 0.5) AS BIGINT)
+             AS mean_post_1e4,
+           CAST(floor(
+             (CAST(c.co AS DOUBLE)
+              - th.theta * (c.cp - CAST(c.n_users AS DOUBLE) * th.sp / th.n))
+             / c.n_users * 100 + 0.5) AS BIGINT) AS mean_adj_1e4,
+           CAST(floor(th.rho2 * 1e6 + 0.5) AS BIGINT) AS rho2_1e6
+    FROM c CROSS JOIN th
+"""
+
+
+@register("analytics_cuped", oracle=_CUPED_ORACLE, tags=("analytics", "stats"))
+def analytics_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout (Deng et al., WSDM
+    2013): each user's post-period spend is adjusted by their PRE-period
+    spend — adjusted = post − θ·(pre − μ_pre) with θ = cov(pre,post)/
+    var(pre) pooled across cohorts — shrinking metric variance by ρ²
+    (reported) so the same experiment detects smaller lifts. The
+    pre/post split is the corpus time midpoint; cohorts follow
+    `analytics_ab_ttest`'s deterministic props-digit assignment.
+
+    The log collapses in ONE per-user aggregate (conditional int-cent
+    partials; the midpoint enters as a 1-row broadcast). θ, ρ² and every
+    reported mean derive from EXACT int64 sufficient statistics with
+    symbolic centring (n·Σxy − ΣxΣy — the `analytics_ols_multi`
+    discipline); the per-cohort adjusted mean is computed FROM THE SUMS
+    (Σadj = Σpost − θ·(Σpre − n·μ_pre)), so no float is ever summed
+    across rows on either engine. Scale: two user-keyed shuffles + two
+    1-row broadcasts, nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        F.regexp_extract("props", r"(\d+)", 1).try_cast("bigint") % 2
+    ).alias("cohort")
+    t = ev.select(
+        "user_id",
+        cohort,
+        F.col("ts_us_long").alias("us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    ).filter(F.col("cohort").isNotNull())
+    split = t.agg(
+        (F.min("us") + ((F.max("us") - F.min("us")) / 2).cast("bigint")).alias("mid")
+    )
+    u = (
+        t.crossJoin(F.broadcast(split))
+        .groupBy("user_id", "cohort")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("pre"),
+            F.sum(F.when(F.col("us") >= F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("post"),
+        )
+    )
+    g = u.agg(
+        F.count("*").alias("n"),
+        F.sum("pre").alias("sp"),
+        F.sum("post").alias("so"),
+        F.sum(F.col("pre") * F.col("pre")).alias("spp"),
+        F.sum(F.col("pre") * F.col("post")).alias("spo"),
+        F.sum(F.col("post") * F.col("post")).alias("soo"),
+    )
+    n = F.col("n")
+    covn = n * F.col("spo") - F.col("sp") * F.col("so")
+    varpn = n * F.col("spp") - F.col("sp") * F.col("sp")
+    varon = n * F.col("soo") - F.col("so") * F.col("so")
+    th = g.select(
+        "n",
+        "sp",
+        "so",
+        (covn.cast("double") / varpn).alias("theta"),
+        ((covn.cast("double") * covn) / (varpn.cast("double") * varon)).alias("rho2"),
+    )
+    c = u.groupBy("cohort").agg(
+        F.count("*").alias("n_users"),
+        F.sum("pre").alias("cp"),
+        F.sum("post").alias("co"),
+    )
+    return c.crossJoin(F.broadcast(th)).select(
+        "cohort",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.floor(F.col("co").cast("double") / F.col("n_users") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("mean_post_1e4"),
+        F.floor(
+            (
+                F.col("co").cast("double")
+                - F.col("theta")
+                * (F.col("cp") - F.col("n_users").cast("double") * F.col("sp") / F.col("n"))
+            )
+            / F.col("n_users")
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mean_adj_1e4"),
+        F.floor(F.col("rho2") * 1e6 + F.lit(0.5)).cast("bigint").alias("rho2_1e6"),
+    )
+
+
+_PATH_TOPK_ORACLE = """
+    WITH t AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    marked AS (
+      SELECT *,
+             CASE WHEN us - lag(us) OVER w > 1800000000 OR
+                       lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY us, event_id) AS path
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+
+@register("analytics_path_topk", oracle=_PATH_TOPK_ORACLE, tags=("analytics", "window"))
+def analytics_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths: events sessionize with the standard 30-min
+    inactivity gap (the `win_gaps_islands` construction), each session
+    flattens to its ordered event-type string, and the report counts the
+    most common paths — the "how do users actually move through the
+    product" readout behind every flow diagram / Sankey.
+
+    One (user_id) exchange carries the lag-mark AND the running
+    session-id sum (same partition key); the path build is a per-session
+    collect_list sorted IN-ROW by (time, event_id) struct order — a
+    deterministic array_sort, never relying on collect order — and the
+    top-k is TakeOrdered on the aggregated path counts (count desc, path
+    asc tiebreak pins the cut). Path strings are Zipf-concentrated, so
+    the count shuffle is small; a per-session length cap is the
+    documented guard against adversarially long sessions at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.col("ts_us_long").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    brk = F.when(
+        (F.col("us") - F.lag("us").over(w) > 1_800_000_000)
+        | F.lag("us").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    sess = ev.select("*", brk.alias("brk")).select(
+        "*",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    paths = sess.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("us", "event_id", "event_type"))),
+                lambda x: x.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )

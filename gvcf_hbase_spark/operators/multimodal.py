@@ -586,3 +586,77 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta",
         (F.abs("delta") > _SCENE_CUT_TAU).alias("is_cut"),
     )
+
+
+_CHUNK_LEN = 64
+
+_CHUNK_DEDUP_ORACLE = f"""
+    WITH chunks AS (
+      SELECT d.source,
+             md5(substr(d.text, (i.i - 1) * {_CHUNK_LEN} + 1, {_CHUNK_LEN}))
+               AS chunk_hash
+      FROM documents d, LATERAL (
+        SELECT unnest(generate_series(
+          1, CAST(ceil(length(d.text) / {_CHUNK_LEN}.0) AS BIGINT))) AS i
+      ) i
+      WHERE length(d.text) > 0
+    ),
+    per_hash AS (
+      SELECT source, chunk_hash, count(*) AS k FROM chunks GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(k) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(k) - count(*) AS BIGINT) AS n_dup,
+           CAST(floor((sum(k) - count(*)) * 1000000.0 / sum(k) + 0.5) AS BIGINT)
+             AS dup_ratio_1e6
+    FROM per_hash GROUP BY source
+"""
+
+
+@register("multimodal_chunk_dedup", oracle=_CHUNK_DEDUP_ORACLE, tags=("multimodal", "dedup"))
+def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level storage deduplication over opaque binary payloads:
+    each payload splits into fixed 64-byte chunks, chunks hash, and the
+    per-source report counts total vs distinct chunks — the
+    dedup-ratio estimate a content-addressable blob store (or a
+    training-shard packer deciding whether chunk-level dedup pays) runs
+    before committing to the layout. Fixed-width chunking is the
+    deterministic baseline; content-defined (rolling-hash) boundaries
+    drop in by replacing the chunk index expression.
+
+    The chunk index explodes JVM-side (sequence over ceil(len/W) — no
+    Python), each chunk is substr on the BINARY payload, and the two
+    aggregates (per-hash count with map-side combine, then per-source
+    rollup) both collapse on Zipf-ish hash keys. At 100 TB the
+    per-hash shuffle carries one row per distinct chunk per task —
+    the dedup win itself is what bounds the shuffle. Byte semantics:
+    the fixture payload is ASCII text encoded UTF-8, so the oracle's
+    character substr sees the same bytes (`multimodal_byte_histogram`'s
+    established equivalence)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    payload = d.select(
+        "source", F.encode("text", "UTF-8").alias("payload"), F.octet_length(F.encode("text", "UTF-8")).alias("blen")
+    )
+    n_chunks = F.ceil(F.col("blen") / float(_CHUNK_LEN)).cast("bigint")
+    chunks = payload.select(
+        "source",
+        F.explode(F.sequence(F.lit(1), n_chunks)).alias("i"),
+        "payload",
+    ).select(
+        "source",
+        F.md5(
+            F.expr(f"substring(payload, (i - 1) * {_CHUNK_LEN} + 1, {_CHUNK_LEN})")
+        ).alias("chunk_hash"),
+    )
+    per_hash = chunks.groupBy("source", "chunk_hash").agg(F.count("*").alias("k"))
+    return per_hash.groupBy("source").agg(
+        F.sum("k").cast("bigint").alias("n_chunks"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        (F.sum("k") - F.count("*")).cast("bigint").alias("n_dup"),
+        F.floor(
+            (F.sum("k") - F.count("*")) * 1_000_000.0 / F.sum("k") + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("dup_ratio_1e6"),
+    )

@@ -1031,3 +1031,118 @@ def sim_rp_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.explode(comps).alias("c"))
         .select("vec_id", F.col("c.dim_j").alias("dim_j"), F.col("c.y_1e6").alias("y_1e6"))
     )
+
+
+_KM_K = 8
+_KM_DIM = 64
+# Deterministic initial centroids on a 0.01 grid: component (c, i) =
+# ((c*131 + i*17) % 200 - 100) / 100 ∈ [-1, 1). Stored as EXACT 1e6-scaled
+# ints so distances below are pure integer arithmetic.
+_KM_CENTROIDS_1E6 = [
+    [((c * 131 + i * 17) % 200 - 100) * 10_000 for i in range(_KM_DIM)]
+    for c in range(_KM_K)
+]
+
+_KM_VALUES_SQL = ", ".join(
+    f"({c}, {i}, {_KM_CENTROIDS_1E6[c][i]})"
+    for c in range(_KM_K)
+    for i in range(_KM_DIM)
+)
+
+_KMEANS_ORACLE = f"""
+    WITH cent AS (SELECT * FROM (VALUES {_KM_VALUES_SQL}) AS t(c, i, v)),
+    q AS (
+      SELECT vec_id, i.i AS i,
+             CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1e6 + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings,
+           unnest(generate_series(0, len(embedding) - 1)) AS i(i)
+    ),
+    dist AS (
+      SELECT q.vec_id, cent.c,
+             sum((q.qv - cent.v) * (q.qv - cent.v)) AS d2
+      FROM q JOIN cent ON cent.i = q.i
+      GROUP BY q.vec_id, cent.c
+    ),
+    assign AS (
+      SELECT vec_id, c, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+      FROM dist
+    )
+    SELECT a.c AS centroid, q.i AS dim_i,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(q.qv) AS BIGINT) AS sum_1e6,
+           CAST(floor(CAST(sum(q.qv) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+             AS mean_1e6
+    FROM assign a JOIN q ON q.vec_id = a.vec_id
+    WHERE a.rk = 1
+    GROUP BY a.c, q.i
+"""
+
+
+@register("sim_kmeans_step", oracle=_KMEANS_ORACLE, tags=("similarity", "embedding"))
+def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration of k-means (k=8) over the embedding
+    corpus from deterministic grid-initialized centroids: assign every
+    vector to its nearest centroid, then emit the updated per-(centroid,
+    dimension) means — the IVF index build / k-means training step
+    (`sim_centroid_label` is the same update keyed by given labels; this
+    op computes the assignment too). Iterate by feeding the means back
+    in as the next centroid literals.
+
+    The assignment is ENTIRELY in-row JVM work: embeddings quantize to
+    1e-6 ints once, each of the 8 squared distances is an exact-int
+    zip_with/aggregate fold against centroid LITERALS (no join against a
+    centroid table, no shuffle), and argmin is array_sort of (d², c)
+    structs — deterministic centroid-id tiebreak. Only the update
+    shuffles: explode to (centroid, dim) and ONE map-side-combining
+    aggregate with exact int sums. The oracle rebuilds assignment
+    relationally (unnest × VALUES, n·64·8 rows) — the work the in-row
+    fold avoids. At 100 TB: broadcast-free, skew-free (the agg key space
+    is k×dim = 512), the canonical mapInPandas-free k-means step."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qarr = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
+    )
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q"),
+                        F.array(*[F.lit(v).cast("long") for v in _KM_CENTROIDS_1E6[c]]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                F.lit(c).cast("bigint").alias("c"),
+            )
+            for c in range(_KM_K)
+        ]
+    )
+    assigned = e.select("vec_id", qarr.alias("q")).select(
+        "vec_id",
+        "q",
+        F.array_sort(dists).getItem(0).getField("c").alias("centroid"),
+    )
+    exploded = assigned.select(
+        "centroid", F.posexplode("q").alias("dim_i", "qv")
+    )
+    return (
+        exploded.groupBy("centroid", F.col("dim_i").cast("int").alias("dim_i"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("qv").cast("bigint").alias("sum_1e6"),
+        )
+        .select(
+            "centroid",
+            "dim_i",
+            "n_members",
+            "sum_1e6",
+            F.floor(F.col("sum_1e6").cast("double") / F.col("n_members") + F.lit(0.5))
+            .cast("bigint")
+            .alias("mean_1e6"),
+        )
+    )

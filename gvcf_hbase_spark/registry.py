@@ -200,7 +200,7 @@ _PRIORITY = [
     "sink_partition_stats",
     "sink_secondary_index",
 ]
-# The 51 round-4 additions (analytics_pattern_kleene, stream_pattern_kleene,
+# The 59 round-4 additions (analytics_pattern_kleene, stream_pattern_kleene,
 # agg_countmin_freq, agg_bloom_membership, text_toxicity_wordlist,
 # text_readability, curate_quality_score_lr, ts_autocorr, graph_khop_reach,
 # graph_sssp_bounded, analytics_attribution_last_touch,
@@ -217,11 +217,14 @@ _PRIORITY = [
 # analytics_survival_km, funnel_time_window, analytics_cohort_ltv,
 # geo_cell_density, geo_trajectory_length, analytics_rfm_segment,
 # graph_clustering_coefficient, ts_changepoint_meanshift,
-# ts_downsample_m4, text_collocations_pmi, sim_rp_projection) are NOT
+# ts_downsample_m4, text_collocations_pmi, sim_rp_projection,
+# gvcf_hwe_chi2, gvcf_genotype_concordance, gvcf_mendelian_violations,
+# sim_kmeans_step, analytics_ols_multi, multimodal_chunk_dedup,
+# analytics_cuped, analytics_path_topk) are NOT
 # listed above: load_all() appends unlisted keys in module order AFTER the
 # queue, which is exactly the round-6 tail. Round-5 rotation: promote the
 # round-5 queue block (53 keys) to slots 1–50, spill the overflow + these
-# 51 to round 6.
+# 59 to round 6.
 
 _loaded = False
 

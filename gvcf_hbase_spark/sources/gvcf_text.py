@@ -732,3 +732,270 @@ def _register_qc_queries() -> None:
 
 
 _register_qc_queries()
+
+
+# Shared CTE for the popgen ops: a COHORT dosage grid — every sample
+# covers every site (the realistic joint-calling setup: one gVCF per
+# sample over the same genome; the per-sample fixture's interleaved
+# blocks co-cover only parity-matched sample pairs, useless for HWE /
+# trio math). Dosage (0/1/2 alt alleles per diploid call) is a
+# deterministic integer function of (site, sample); hom-ref calls are
+# emitted as END= reference BLOCKS so the parse path still exercises
+# both record forms.
+_DOSAGE_CTE = r"""
+    WITH ss AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(s)),
+    expanded AS (
+      SELECT concat('s', s) AS sample_id,
+             concat('chr', 1 + o_orderkey % 2) AS contig,
+             CAST(o_orderkey AS BIGINT) AS pos,
+             CAST(CASE WHEN (o_orderkey * (s + 3) + s * 7) % 6 < 3 THEN 0
+                       WHEN (o_orderkey * (s + 3) + s * 7) % 6 < 5 THEN 1
+                       ELSE 2 END AS BIGINT) AS alt_n,
+             CASE WHEN (o_orderkey * (s + 3) + s * 7) % 6 < 3 THEN 0
+                  ELSE 1 END AS is_var
+      FROM orders CROSS JOIN ss
+    )
+"""
+
+_HWE_ORACLE = _DOSAGE_CTE + r""",
+    g AS (
+      SELECT contig, pos,
+             CAST(sum(CASE WHEN alt_n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rr,
+             CAST(sum(CASE WHEN alt_n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ra,
+             CAST(sum(CASE WHEN alt_n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_aa
+      FROM expanded GROUP BY 1, 2 HAVING max(is_var) = 1
+    ),
+    h AS (
+      SELECT *, n_rr + n_ra + n_aa AS n,
+             CAST(2 * n_rr + n_ra AS DOUBLE) / (2 * (n_rr + n_ra + n_aa)) AS p
+      FROM g WHERE (2 * n_rr + n_ra) > 0 AND (n_ra + 2 * n_aa) > 0
+    )
+    SELECT contig, pos, n_rr, n_ra, n_aa,
+           CAST(floor((
+             (n_rr - n * p * p) * (n_rr - n * p * p) / (n * p * p)
+             + (n_ra - 2 * n * p * (1 - p)) * (n_ra - 2 * n * p * (1 - p))
+               / (2 * n * p * (1 - p))
+             + (n_aa - n * (1 - p) * (1 - p)) * (n_aa - n * (1 - p) * (1 - p))
+               / (n * (1 - p) * (1 - p))
+           ) * 1e6 + 0.5) AS BIGINT) AS hwe_chi2_1e6
+    FROM h
+"""
+
+_CONCORDANCE_ORACLE = _DOSAGE_CTE + r"""
+    SELECT a.sample_id AS sample_a, b.sample_id AS sample_b,
+           CAST(count(*) AS BIGINT) AS n_sites,
+           CAST(sum(CASE WHEN a.alt_n = b.alt_n THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_match,
+           CAST(floor(sum(CASE WHEN a.alt_n = b.alt_n THEN 1 ELSE 0 END)
+                      * 1000000.0 / count(*) + 0.5) AS BIGINT)
+             AS concordance_1e6
+    FROM expanded a
+    JOIN expanded b ON a.contig = b.contig AND a.pos = b.pos
+                   AND a.sample_id < b.sample_id
+    GROUP BY 1, 2
+"""
+
+_MENDEL_ORACLE = _DOSAGE_CTE + r""",
+    f AS (SELECT contig, pos, alt_n FROM expanded WHERE sample_id = 's0'),
+    m AS (SELECT contig, pos, alt_n FROM expanded WHERE sample_id = 's1'),
+    c AS (SELECT contig, pos, alt_n FROM expanded WHERE sample_id = 's2'),
+    trio AS (
+      SELECT f.contig, f.pos, f.alt_n AS fd, m.alt_n AS md, c.alt_n AS cd
+      FROM f
+      JOIN m ON f.contig = m.contig AND f.pos = m.pos
+      JOIN c ON f.contig = c.contig AND f.pos = c.pos
+    ),
+    flagged AS (
+      SELECT contig,
+             CASE WHEN cd < (CASE WHEN fd = 2 THEN 1 ELSE 0 END
+                             + CASE WHEN md = 2 THEN 1 ELSE 0 END)
+                    OR cd > (CASE WHEN fd >= 1 THEN 1 ELSE 0 END
+                             + CASE WHEN md >= 1 THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS viol
+      FROM trio
+    )
+    SELECT contig, CAST(count(*) AS BIGINT) AS n_trio_sites,
+           CAST(sum(viol) AS BIGINT) AS n_violations,
+           CAST(floor(sum(viol) * 1000000.0 / count(*) + 0.5) AS BIGINT)
+             AS violation_rate_1e6
+    FROM flagged GROUP BY contig
+"""
+
+
+def _register_popgen_queries() -> None:
+    from gvcf_hbase_spark.registry import register
+    from gvcf_hbase_spark.operators.gvcf import expand_blocks
+
+    def _dosage_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-(sample, contig, pos) diploid alt-allele dosage over the
+        COHORT fixture: one gVCF record per (site, sample) — hom-ref as
+        an END= block, het/hom-alt as variants — parsed through the real
+        line parser, then block-expanded. Every sample covers every
+        site, the joint-calling invariant HWE / concordance / trio math
+        needs (see _DOSAGE_CTE)."""
+        from gvcf_hbase_spark.sources.tables import load_table, spread
+
+        o = spread(load_table(spark, sf_dir, "orders").select("o_orderkey"))
+        grid = o.select(
+            F.col("o_orderkey").alias("k"),
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("s"),
+        )
+        m = (F.col("k") * (F.col("s") + 3) + F.col("s") * 7) % 6
+        dosage = F.when(m < 3, 0).when(m < 5, 1).otherwise(2)
+        gt_call = (
+            F.when(dosage == 0, F.lit("0/0:9"))
+            .when(dosage == 1, F.lit("0/1:11"))
+            .otherwise(F.lit("1/1:13"))
+        )
+        line = F.concat_ws(
+            "\t",
+            F.concat(F.lit("chr"), (F.col("k") % 2 + 1).cast("string")),
+            F.col("k").cast("string"),
+            F.lit("."),
+            F.lit("A"),
+            F.when(dosage == 0, F.lit("<NON_REF>")).otherwise(F.lit("T,<NON_REF>")),
+            F.lit("50"),
+            F.lit("PASS"),
+            F.when(dosage == 0, F.concat(F.lit("END="), F.col("k").cast("string")))
+            .otherwise(F.lit("DP=10")),
+            F.lit("GT:DP"),
+            gt_call,
+        )
+        lines = grid.select(
+            F.concat(F.lit("s"), F.col("s").cast("string")).alias("sample_id"),
+            line.alias("line"),
+        )
+        recs = parse_gvcf_lines(lines)
+        gt_parts = F.split(F.col("gt"), "/")
+        return expand_blocks(
+            recs.withColumn(
+                "alt_n", F.size(F.filter(gt_parts, lambda x: x == "1")).cast("long")
+            ).withColumn("is_var", F.col("is_variant").cast("int"))
+        ).select("sample_id", "contig", "pos", "alt_n", "is_var")
+
+    @register("gvcf_hwe_chi2", oracle=_HWE_ORACLE, tags=("gvcf", "stats"))
+    def gvcf_hwe_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hardy–Weinberg equilibrium χ² per polymorphic site: observed
+        hom-ref/het/hom-alt counts vs the p²,2pq,q² expectation from the
+        site's allele frequency — THE variant-QC filter (strong HWE
+        departure flags genotyping artifacts / batch effects before any
+        association test trusts the site). gVCF blocks are what make the
+        hom-ref count n_rr honest, same argument as `gvcf_allele_freq`.
+
+        One (contig, pos) hash aggregate over the expanded dosage matrix
+        — identical shuffle shape to the combine — with int conditional
+        partials; p and the three-term χ² are per-row float expressions
+        written token-identically in the oracle, 1e-6-quantized. The
+        polymorphic filter (0 < AC < AN) keeps every expected count
+        strictly positive on both engines."""
+        d = _dosage_positions(spark, sf_dir)
+        g = (
+            d.groupBy("contig", "pos")
+            .agg(
+                F.sum(F.when(F.col("alt_n") == 0, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_rr"),
+                F.sum(F.when(F.col("alt_n") == 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_ra"),
+                F.sum(F.when(F.col("alt_n") == 2, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_aa"),
+                F.max("is_var").alias("__v"),
+            )
+            .filter(F.col("__v") == 1)
+            .drop("__v")
+        )
+        h = g.filter(
+            ((2 * F.col("n_rr") + F.col("n_ra")) > 0)
+            & ((F.col("n_ra") + 2 * F.col("n_aa")) > 0)
+        ).select(
+            "*",
+            (F.col("n_rr") + F.col("n_ra") + F.col("n_aa")).alias("n"),
+            (
+                (2 * F.col("n_rr") + F.col("n_ra")).cast("double")
+                / (2 * (F.col("n_rr") + F.col("n_ra") + F.col("n_aa")))
+            ).alias("p"),
+        )
+        n, p = F.col("n"), F.col("p")
+        chi2 = (
+            (F.col("n_rr") - n * p * p) * (F.col("n_rr") - n * p * p) / (n * p * p)
+            + (F.col("n_ra") - 2 * n * p * (1 - p))
+            * (F.col("n_ra") - 2 * n * p * (1 - p))
+            / (2 * n * p * (1 - p))
+            + (F.col("n_aa") - n * (1 - p) * (1 - p))
+            * (F.col("n_aa") - n * (1 - p) * (1 - p))
+            / (n * (1 - p) * (1 - p))
+        )
+        return h.select(
+            "contig",
+            "pos",
+            "n_rr",
+            "n_ra",
+            "n_aa",
+            F.floor(chi2 * 1e6 + F.lit(0.5)).cast("bigint").alias("hwe_chi2_1e6"),
+        )
+
+    @register(
+        "gvcf_genotype_concordance", oracle=_CONCORDANCE_ORACLE, tags=("gvcf", "qc")
+    )
+    def gvcf_genotype_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Pairwise genotype concordance matrix: for every sample pair,
+        the fraction of co-covered positions with identical allele
+        dosage — the replicate/duplicate-detection and sample-swap QC
+        (a supposed duplicate pair below ~99% is a swap; an unexpected
+        pair above ~90% is a relative or a contamination).
+
+        ONE self-equi-join on (contig, pos) — co-partitioned, the same
+        key the dosage matrix was just aggregated on — then a collapsing
+        aggregate to #pairs rows, all-int partials. Per-position fan-out
+        is C(cohort, 2), the documented pressure point at biobank scale
+        (the standard fix: subsample positions, which drops in as a
+        pre-filter on pos without touching the shape)."""
+        d = _dosage_positions(spark, sf_dir)
+        a = d.select("contig", "pos", F.col("sample_id").alias("sample_a"), F.col("alt_n").alias("da"))
+        b = d.select("contig", "pos", F.col("sample_id").alias("sample_b"), F.col("alt_n").alias("db"))
+        pairs = a.join(b, ["contig", "pos"]).filter(F.col("sample_a") < F.col("sample_b"))
+        match = F.when(F.col("da") == F.col("db"), 1).otherwise(0)
+        return pairs.groupBy("sample_a", "sample_b").agg(
+            F.count("*").alias("n_sites"),
+            F.sum(match).cast("bigint").alias("n_match"),
+            F.floor(F.sum(match) * 1_000_000.0 / F.count("*") + F.lit(0.5))
+            .cast("bigint")
+            .alias("concordance_1e6"),
+        )
+
+    @register("gvcf_mendelian_violations", oracle=_MENDEL_ORACLE, tags=("gvcf", "qc"))
+    def gvcf_mendelian_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Mendelian-violation rate for the (s0, s1, s2) trio: at each
+        position covered in all three, the child's dosage must be the
+        sum of one allele from each parent — dosage d admits alleles
+        {1} if d=2, {0,1} if d=1, {0} if d=0, so the feasible child
+        range is [1_{f=2}+1_{m=2}, 1_{f≥1}+1_{m≥1}] and anything outside
+        is a violation. The de-novo / pedigree-error QC every family
+        cohort runs; gVCF blocks again make "covered and hom-ref"
+        explicit, so absence of data never counts as a violation.
+
+        Two co-partitioned equi-joins on (contig, pos) (both reuse one
+        exchange of the dosage matrix filtered per role) and one
+        per-contig collapsing aggregate — integer partials, one
+        quantized ratio. Branch-free bounds check, identical in the
+        oracle."""
+        d = _dosage_positions(spark, sf_dir)
+        fa = d.filter(F.col("sample_id") == "s0").select("contig", "pos", F.col("alt_n").alias("fd"))
+        mo = d.filter(F.col("sample_id") == "s1").select("contig", "pos", F.col("alt_n").alias("md"))
+        ch = d.filter(F.col("sample_id") == "s2").select("contig", "pos", F.col("alt_n").alias("cd"))
+        trio = fa.join(mo, ["contig", "pos"]).join(ch, ["contig", "pos"])
+        cmin = F.when(F.col("fd") == 2, 1).otherwise(0) + F.when(F.col("md") == 2, 1).otherwise(0)
+        cmax = F.when(F.col("fd") >= 1, 1).otherwise(0) + F.when(F.col("md") >= 1, 1).otherwise(0)
+        viol = F.when((F.col("cd") < cmin) | (F.col("cd") > cmax), 1).otherwise(0)
+        return trio.select("contig", viol.alias("viol")).groupBy("contig").agg(
+            F.count("*").alias("n_trio_sites"),
+            F.sum("viol").cast("bigint").alias("n_violations"),
+            F.floor(F.sum("viol") * 1_000_000.0 / F.count("*") + F.lit(0.5))
+            .cast("bigint")
+            .alias("violation_rate_1e6"),
+        )
+
+
+_register_popgen_queries()

@@ -120,7 +120,9 @@ def test_no_cartesian_products_anywhere(spark):
                         # 1-row recency-anchor broadcast into the RFM base
                         "analytics_rfm_segment",
                         # two 1-row corpus-total broadcasts into the PMI row
-                        "text_collocations_pmi"}
+                        "text_collocations_pmi",
+                        # 1-row midpoint + 1-row theta broadcasts (CUPED)
+                        "analytics_cuped"}
     for key, spec in SPECS.items():
         if key == "join_cross" or "streaming" in spec.tags:
             continue

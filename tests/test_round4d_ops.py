@@ -158,3 +158,166 @@ def test_m4_plan_is_single_aggregate_exchange(spark):
     plan = explain_str(SPECS["ts_downsample_m4"].fn(spark, SF_DIR))
     assert plan.count("Exchange") <= 2  # tree + detail header line
     assert "Window" not in plan
+
+
+def test_hwe_chi2_closed_form(spark):
+    """χ² recomposes from the emitted genotype counts (numpy), and only
+    polymorphic sites are reported."""
+    rows = SPECS["gvcf_hwe_chi2"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows[:200]:
+        ac, an = r.n_ra + 2 * r.n_aa, 2 * (r.n_rr + r.n_ra + r.n_aa)
+        assert 0 < ac < an
+        n = r.n_rr + r.n_ra + r.n_aa
+        p = (2 * r.n_rr + r.n_ra) / (2 * n)
+        e = [n * p * p, 2 * n * p * (1 - p), n * (1 - p) * (1 - p)]
+        o = [r.n_rr, r.n_ra, r.n_aa]
+        chi2 = sum((oi - ei) ** 2 / ei for oi, ei in zip(o, e))
+        assert abs(r.hwe_chi2_1e6 - math.floor(chi2 * 1e6 + 0.5)) <= 1
+
+
+def test_concordance_pairs_complete(spark):
+    """All C(4,2)=6 sample pairs appear (every sample covers every site
+    in the cohort grid), ordered, with sane ratios."""
+    rows = SPECS["gvcf_genotype_concordance"].fn(spark, SF_DIR).collect()
+    pairs = {(r.sample_a, r.sample_b) for r in rows}
+    assert pairs == {(f"s{i}", f"s{j}") for i in range(4) for j in range(i + 1, 4)}
+    for r in rows:
+        assert 0 <= r.n_match <= r.n_sites
+        assert 0 <= r.concordance_1e6 <= 1_000_000
+
+
+def test_mendelian_brute_force(spark):
+    """The violation count matches a Python recomputation of the trio
+    rule from the cohort dosage grid, recomputed from the closed-form
+    dosage function (k*(s+3) + 7s) mod 6."""
+    res = {r.contig: r for r in SPECS["gvcf_mendelian_violations"].fn(spark, SF_DIR).collect()}
+    ks = [r.o_orderkey for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_orderkey").collect()]
+    dosage = {}
+    for k in ks:
+        for s_ in range(4):
+            m = (k * (s_ + 3) + s_ * 7) % 6
+            dosage.setdefault((f"chr{1 + k % 2}", k), {})[f"s{s_}"] = 0 if m < 3 else (1 if m < 5 else 2)
+    expected = {}
+    for (contig, _pos), by_sample in dosage.items():
+        if not {"s0", "s1", "s2"} <= by_sample.keys():
+            continue
+        f, m, c = by_sample["s0"], by_sample["s1"], by_sample["s2"]
+        lo = (1 if f == 2 else 0) + (1 if m == 2 else 0)
+        hi = (1 if f >= 1 else 0) + (1 if m >= 1 else 0)
+        n, v = expected.get(contig, (0, 0))
+        expected[contig] = (n + 1, v + (0 if lo <= c <= hi else 1))
+    assert set(expected) == set(res)
+    for contig, (n, v) in expected.items():
+        assert res[contig].n_trio_sites == n
+        assert res[contig].n_violations == v
+
+
+def test_kmeans_step_matches_numpy(spark):
+    """Assignment and update recomputed in numpy from the quantized
+    embeddings and the literal centroid grid."""
+    from gvcf_hbase_spark.operators.similarity import _KM_CENTROIDS_1E6
+
+    rows = SPECS["sim_kmeans_step"].fn(spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    cent = np.array(_KM_CENTROIDS_1E6, dtype=np.int64)
+    sums = {}
+    for r in emb:
+        q = np.array([math.floor(float(x) * 1e6 + 0.5) for x in r.embedding], dtype=np.int64)
+        d2 = ((q[None, :] - cent) ** 2).sum(axis=1)
+        c = int(np.argmin(d2))  # np.argmin takes the first min = smallest c
+        n, s = sums.get(c, (0, np.zeros(64, dtype=np.int64)))
+        sums[c] = (n + 1, s + q)
+    got = {(r.centroid, r.dim_i): r for r in rows}
+    assert len(got) == sum(64 for _ in sums)
+    for c, (n, s) in sums.items():
+        for i in range(64):
+            r = got[(c, i)]
+            assert r.n_members == n
+            assert r.sum_1e6 == s[i]
+            assert r.mean_1e6 == math.floor(s[i] / n + 0.5)
+
+
+def test_ols_multi_matches_numpy_lstsq(spark):
+    """Coefficients agree with numpy's least-squares solve on the same
+    quantized design matrix (to the 1e-6 grid), and R² ∈ [0, 1]."""
+    row = SPECS["analytics_ols_multi"].fn(spark, SF_DIR).collect()[0]
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    ).collect()
+    x1 = np.array([round(r.l_quantity) for r in li], dtype=np.float64)
+    x2 = np.array([round(r.l_discount * 100) for r in li], dtype=np.float64)
+    y = np.array([round(r.l_extendedprice * 100) for r in li], dtype=np.float64)
+    X = np.stack([np.ones_like(x1), x1, x2], axis=1)
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert row.n == len(li)
+    assert abs(row.b1_1e6 / 1e6 - beta[1]) < 1e-3 * max(1, abs(beta[1]))
+    assert abs(row.b2_1e6 / 1e6 - beta[2]) < 1e-3 * max(1, abs(beta[2]))
+    assert abs(row.b0_1e4 / 1e4 - beta[0]) < 1e-2 * max(1, abs(beta[0]))
+    assert 0 <= row.r2_1e6 <= 1_000_000
+
+
+def test_chunk_dedup_accounting(spark):
+    """n_dup = n_chunks − n_distinct and total chunks equal the sum of
+    per-doc ceil(len/64)."""
+    rows = SPECS["multimodal_chunk_dedup"].fn(spark, SF_DIR).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    expect = {}
+    for d in docs:
+        n = len(d.text.encode())
+        if n:
+            expect[d.source] = expect.get(d.source, 0) + -(-n // 64)
+    got = {r.source: r for r in rows}
+    assert set(got) == set(expect)
+    for src, r in got.items():
+        assert r.n_chunks == expect[src]
+        assert r.n_dup == r.n_chunks - r.n_distinct
+        assert 0 <= r.dup_ratio_1e6 <= 1_000_000
+
+
+def test_cuped_reduces_variance_direction(spark):
+    """ρ² ∈ [0, 1]; both cohorts present; adjusted means move toward
+    each other no more than the raw gap allows when ρ² > 0 (sanity, not
+    a theorem: CUPED preserves the expected treatment effect, so the
+    adjusted gap should be within 50% of the raw gap on this fixture)."""
+    rows = {r.cohort: r for r in SPECS["analytics_cuped"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1}
+    r0, r1 = rows[0], rows[1]
+    assert 0 <= r0.rho2_1e6 <= 1_000_000
+    assert r0.rho2_1e6 == r1.rho2_1e6
+    raw_gap = abs(r0.mean_post_1e4 - r1.mean_post_1e4)
+    adj_gap = abs(r0.mean_adj_1e4 - r1.mean_adj_1e4)
+    assert adj_gap <= 2 * raw_gap + 100
+
+
+def test_path_topk_sessions_brute_force(spark):
+    """The top-1 path's count matches a Python sessionization of the
+    raw log with the same 30-min gap rule."""
+    rows = SPECS["analytics_path_topk"].fn(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    assert all(rows[i].n_sessions >= rows[i + 1].n_sessions for i in range(len(rows) - 1))
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "event_id", "event_type", "ts"
+    ).collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    from collections import Counter
+
+    paths = Counter()
+    for recs in by_user.values():
+        recs.sort(key=lambda r: (r.ts, r.event_id))
+        cur, last_us = [], None
+        for r in recs:
+            us = int(r.ts.timestamp() * 1e6) if hasattr(r.ts, "timestamp") else r.ts
+            if last_us is not None and us - last_us > 1_800_000_000:
+                paths[">".join(cur)] += 1
+                cur = []
+            cur.append(r.event_type)
+            last_us = us
+        if cur:
+            paths[">".join(cur)] += 1
+    top = rows[0]
+    assert paths[top.path] == top.n_sessions
+    assert top.n_sessions == max(paths.values())
