@@ -1314,3 +1314,76 @@ def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _WSAMPLE_K)
         .select("rnk", "doc_id", "n_chars")
     )
+
+
+# (child_table, child_col, parent_table, parent_col) key-relationship
+# probes — the profiler's config. Labels are '<child>.<col>-><parent>.<col>'.
+_KEY_PROBES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _probe_sql(ct: str, cc: str, pt: str, pc: str) -> str:
+    return f"""
+    SELECT '{ct}.{cc}->{pt}.{pc}' AS probe,
+           CAST(sum(c.cnt) AS BIGINT) AS child_rows,
+           CAST(count(*) AS BIGINT) AS child_distinct,
+           CAST(count(p.k) AS BIGINT) AS matched_distinct,
+           sum(c.cnt) = count(*) AS child_unique,
+           CAST(floor(count(p.k) * 1000000.0 / count(*) + 0.5) AS BIGINT)
+             AS containment_1e6
+    FROM (SELECT {cc} AS k, count(*) AS cnt FROM {ct}
+          WHERE {cc} IS NOT NULL GROUP BY 1) c
+    LEFT JOIN (SELECT DISTINCT {pc} AS k FROM {pt}) p USING (k)
+    """
+
+
+_PK_FK_ORACLE = "\nUNION ALL\n".join(_probe_sql(*p) for p in _KEY_PROBES)
+
+
+@register("profile_pk_fk_inference", oracle=_PK_FK_ORACLE, tags=("profile",))
+def profile_pk_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-relationship profiling: for each configured (child column →
+    parent column) probe, measure uniqueness (is the child column a key
+    candidate?) and referential containment (what fraction of distinct
+    child values exist in the parent — 1.0 means the FK holds) — the
+    schema-inference pass a catalog / data-quality layer runs on
+    unfamiliar tables before trusting joins on them.
+
+    Each probe is ONE child-key hash aggregate LEFT-joined against the
+    parent's distinct keys and collapsed to a single row — uniqueness
+    falls out of the same aggregate (rows == distinct), containment
+    from counting non-null join hits; no count(distinct) subqueries, no
+    1-row cross joins, and the four probes union into one plan Spark
+    schedules in parallel. At 100 TB each probe's cost is one shuffle
+    on the probed key — exactly the join it is vetting."""
+    out = None
+    for ct, cc, pt, pc in _KEY_PROBES:
+        child = (
+            load_table(spark, sf_dir, ct)
+            .select(F.col(cc).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .groupBy("k")
+            .agg(F.count("*").alias("cnt"))
+        )
+        parent = (
+            load_table(spark, sf_dir, pt)
+            .select(F.col(pc).alias("k"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        row = child.join(parent, "k", "left").agg(
+            F.lit(f"{ct}.{cc}->{pt}.{pc}").alias("probe"),
+            F.sum("cnt").cast("bigint").alias("child_rows"),
+            F.count("*").cast("bigint").alias("child_distinct"),
+            F.count("hit").cast("bigint").alias("matched_distinct"),
+            (F.sum("cnt") == F.count("*")).alias("child_unique"),
+            F.floor(F.count("hit") * 1_000_000.0 / F.count("*") + F.lit(0.5))
+            .cast("bigint")
+            .alias("containment_1e6"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -694,3 +694,97 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d") >= 2)
         .select("node", "d", "n_triangles", coef.alias("clustering_1e6"))
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+def _kcore_peel_sql() -> str:
+    """Unrolled k-core peel: each round keeps nodes whose degree in the
+    surviving subgraph is >= k. Same bounded-iteration idiom as
+    `hierarchy_flatten_bounded` — the fixture graph's peel reaches its
+    fixpoint well inside the unroll (pinned by a semantic test)."""
+    sql = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    pdeg AS (SELECT p, count(*) AS d FROM e0 GROUP BY p),
+    kept AS (SELECT e0.p, e0.s FROM e0 JOIN pdeg USING (p) WHERE pdeg.d <= 50),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT least(a.s, b.s) AS u, greatest(a.s, b.s) AS v
+      FROM kept a JOIN kept b USING (p) WHERE a.s < b.s
+    ),
+    n0 AS (SELECT u AS node FROM edges UNION SELECT v FROM edges)
+    """
+    prev = "n0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        sql += f""",
+    d{r} AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT e.u AS node FROM edges e
+        JOIN {prev} a ON a.node = e.u JOIN {prev} b ON b.node = e.v
+        UNION ALL
+        SELECT e.v FROM edges e
+        JOIN {prev} a ON a.node = e.u JOIN {prev} b ON b.node = e.v
+      ) GROUP BY node
+    ),
+    n{r} AS (SELECT node FROM d{r} WHERE d >= {_KCORE_K})
+    """
+        prev = f"n{r}"
+    sql += f"""
+    SELECT d.node, CAST(d.d AS BIGINT) AS core_degree
+    FROM d{_KCORE_ROUNDS} d JOIN n{_KCORE_ROUNDS} n USING (node)
+    """
+    return sql
+
+
+@register("graph_kcore_bounded", oracle=_kcore_peel_sql(), tags=("graph", "iterative"))
+def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the supplier co-supply graph by
+    bounded iterative peeling: repeatedly drop nodes with degree < k in
+    the surviving subgraph — the densest-region extractor behind spam
+    rings, community seeds and graph sampling. Six unrolled rounds; the
+    fixture peel reaches its fixpoint earlier (a test proves round 6
+    changes nothing), and the streaming-fixpoint upgrade is the same
+    loop under a driver-side convergence check on a 1-row count.
+
+    Each round is two semi-join-shaped equi-joins of the (checkpointed
+    once) edge list against the surviving node set plus one degree
+    aggregate — node-key shuffles whose input SHRINKS monotonically;
+    Spark plans each round independently so AQE right-sizes the
+    shrinking exchanges. Survivors carry their in-core degree, all
+    exact ints."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    pdeg = e0.groupBy("p").agg(F.count("*").alias("d"))
+    kept = e0.join(pdeg.filter(F.col("d") <= 50).select("p"), "p")
+    a, b = kept.alias("a"), kept.alias("b")
+    edges = (
+        a.join(b, "p")
+        .filter(F.col("a.s") < F.col("b.s"))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed 2x per round x 6 rounds
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        na = nodes.select(F.col("node").alias("u"))
+        nb = nodes.select(F.col("node").alias("v"))
+        live = edges.join(na, "u").join(nb, "v")
+        deg = (
+            live.select(F.col("u").alias("node"))
+            .unionAll(live.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        nodes = deg.filter(F.col("d") >= _KCORE_K).select("node").localCheckpoint(
+            eager=False
+        )
+    return deg.join(nodes, "node").select(
+        "node", F.col("d").cast("bigint").alias("core_degree")
+    ).filter(F.col("core_degree") >= _KCORE_K)

@@ -745,3 +745,74 @@ def fn_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.col("p_partkey")).alias("key_hex"),
         F.md5(F.encode("p_name", "UTF-8")).alias("name_md5"),
     )
+
+
+# CIDR dimension: block j covers [j<<28, j<<28 + 2^(32-(4+j))) — disjoint
+# by construction (each range sits inside its aligned /4 block).
+_CIDR_DIM = [(j, (j << 28), 4 + j) for j in range(8)]
+
+_CIDR_VALUES_SQL = ", ".join(f"({j}, {net}, {bits})" for j, net, bits in _CIDR_DIM)
+
+_CIDR_ORACLE = f"""
+    WITH ips AS (
+      SELECT user_id,
+             (user_id * 2654435761) % 4294967296 AS ip
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    cidrs AS (SELECT * FROM (VALUES {_CIDR_VALUES_SQL}) AS t(cidr_id, net, bits)),
+    hits AS (
+      SELECT c.cidr_id, c.bits, i.ip
+      FROM ips i JOIN cidrs c
+        ON i.ip >= c.net AND i.ip < c.net + (1::BIGINT << (32 - c.bits))
+    )
+    SELECT cidr_id, CAST(bits AS BIGINT) AS bits,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           CAST(min(ip) AS BIGINT) AS min_ip,
+           CAST(max(ip) AS BIGINT) AS max_ip,
+           concat(CAST(min(ip) // 16777216 AS VARCHAR), '.',
+                  CAST((min(ip) // 65536) % 256 AS VARCHAR), '.',
+                  CAST((min(ip) // 256) % 256 AS VARCHAR), '.',
+                  CAST(min(ip) % 256 AS VARCHAR)) AS min_ip_dotted
+    FROM hits GROUP BY cidr_id, bits
+"""
+
+
+@register("fn_cidr_match", oracle=_CIDR_ORACLE, tags=("function", "join"))
+def fn_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIDR containment matching — the network-log enrichment join
+    (geo-IP, allowlists, subnet attribution): synthesize a 32-bit IP per
+    user (Knuth multiplicative hash, exact int64 on both engines), match
+    against an 8-entry CIDR dimension by integer RANGE containment
+    (ip ∈ [net, net + 2^(32−bits))), and report per-subnet hit stats
+    with a dotted-quad rendering built from pure integer div/mod.
+
+    The CIDR side is a literal dim — Spark broadcasts it, so the match
+    is a broadcast range join with NO shuffle of the fact side, followed
+    by one small aggregate on cidr_id (8 keys). The standard scale trick
+    when the dim grows past broadcast (thousands of prefixes) is
+    documented: join on the aligned /k prefix bucket (exact equi-key)
+    then verify the range — same shape as `join_geo_grid`."""
+    ev = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    ip = (F.col("user_id") * 2654435761) % 4294967296
+    ips = ev.select("user_id", ip.alias("ip"))
+    cidrs = spark.createDataFrame(
+        [(j, net, bits) for j, net, bits in _CIDR_DIM], "cidr_id long, net long, bits long"
+    )
+    hits = ips.join(
+        F.broadcast(cidrs),
+        (F.col("ip") >= F.col("net"))
+        & (F.col("ip") < F.col("net") + F.expr("shiftleft(cast(1 as bigint), cast(32 - bits as int))")),
+    )
+    dotted = F.concat_ws(
+        ".",
+        (F.min("ip") / 16777216).cast("bigint").cast("string"),
+        ((F.min("ip") / 65536).cast("bigint") % 256).cast("string"),
+        ((F.min("ip") / 256).cast("bigint") % 256).cast("string"),
+        (F.min("ip") % 256).cast("string"),
+    )
+    return hits.groupBy("cidr_id", "bits").agg(
+        F.count("*").alias("n_matched"),
+        F.min("ip").cast("bigint").alias("min_ip"),
+        F.max("ip").cast("bigint").alias("max_ip"),
+        dotted.alias("min_ip_dotted"),
+    )

@@ -570,3 +570,71 @@ def win_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+_MTD_YTD_ORACLE = """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, rev_cents,
+           CAST(sum(rev_cents) OVER (
+             PARTITION BY event_type, date_trunc('month', day)
+             ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mtd_cents,
+           CAST(sum(rev_cents) OVER (
+             PARTITION BY event_type, date_trunc('year', day)
+             ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ytd_cents,
+           CAST(row_number() OVER (
+             PARTITION BY event_type, date_trunc('month', day)
+             ORDER BY day) AS BIGINT) AS day_of_month_rank
+    FROM daily
+"""
+
+
+@register("win_mtd_ytd", oracle=_MTD_YTD_ORACLE, tags=("window",))
+def win_mtd_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-reset running totals: per series, month-to-date and
+    year-to-date revenue that RESET at each calendar boundary — the
+    fiscal-reporting window every BI layer reimplements (a plain
+    running sum never resets; the reset is just the right PARTITION BY
+    key: (series, month) and (series, year)).
+
+    The raw log collapses first in ONE daily hash aggregate (map-side
+    combine, int cents), so the windows run over #days × #series rows —
+    at 100 TB the window input is calendar-bounded, not data-bounded.
+    Both cumulative windows and the rank share the (event_type, month)
+    sort order; Spark plans the year window as a second exchange over
+    the already-tiny daily relation. Exact int sums throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts_us")).alias("day"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    mw = (
+        Window.partitionBy("event_type", F.date_trunc("month", F.col("day")))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    yw = (
+        Window.partitionBy("event_type", F.date_trunc("year", F.col("day")))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rw = Window.partitionBy("event_type", F.date_trunc("month", F.col("day"))).orderBy(
+        "day"
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "rev_cents",
+        F.sum("rev_cents").over(mw).cast("bigint").alias("mtd_cents"),
+        F.sum("rev_cents").over(yw).cast("bigint").alias("ytd_cents"),
+        F.row_number().over(rw).cast("bigint").alias("day_of_month_rank"),
+    )

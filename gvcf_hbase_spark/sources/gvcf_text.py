@@ -999,3 +999,122 @@ def _register_popgen_queries() -> None:
 
 
 _register_popgen_queries()
+
+
+_ROH_MIN_RUN = 5
+
+# ROH uses its own dosage pattern: the popgen grid's dosage is periodic
+# with period 3 along each contig (every third site het for most samples,
+# or all-hom), which degenerates runs to length <=2 or one whole-contig
+# run. The quadratic (k² + k·(s+3) + 7s) mod 7 < 5 hom-rule gives
+# geometric-ish run lengths (p_break ≈ 2/7) — real ROH structure.
+_ROH_CTE = r"""
+    WITH ss AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(s)),
+    expanded AS (
+      SELECT concat('s', s) AS sample_id,
+             concat('chr', 1 + o_orderkey % 2) AS contig,
+             CAST(o_orderkey AS BIGINT) AS pos,
+             CAST(CASE WHEN (o_orderkey * o_orderkey
+                             + o_orderkey * (s + 3) + s * 7) % 7 < 5
+                       THEN CASE WHEN (o_orderkey + s) % 2 = 0 THEN 0 ELSE 2 END
+                       ELSE 1 END AS BIGINT) AS alt_n
+      FROM orders CROSS JOIN ss
+    )
+"""
+
+_ROH_ORACLE = _ROH_CTE + r""",
+    marked AS (
+      SELECT sample_id, contig, pos,
+             CASE WHEN alt_n IN (0, 2) THEN 1 ELSE 0 END AS is_hom
+      FROM expanded
+    ),
+    grouped AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY sample_id, contig ORDER BY pos)
+             - row_number() OVER (PARTITION BY sample_id, contig, is_hom
+                                  ORDER BY pos) AS grp
+      FROM marked
+    ),
+    runs AS (
+      SELECT sample_id, contig, grp,
+             CAST(count(*) AS BIGINT) AS n_sites,
+             CAST(min(pos) AS BIGINT) AS start_pos,
+             CAST(max(pos) AS BIGINT) AS end_pos
+      FROM grouped WHERE is_hom = 1
+      GROUP BY sample_id, contig, grp
+    )
+    SELECT sample_id, contig, start_pos, end_pos, n_sites
+    FROM runs WHERE n_sites >= {MIN_RUN}
+""".replace("{MIN_RUN}", str(_ROH_MIN_RUN))
+
+
+def _register_roh_query() -> None:
+    from gvcf_hbase_spark.registry import register
+    from pyspark.sql import Window
+
+    @register("gvcf_roh_runs", oracle=_ROH_ORACLE, tags=("gvcf", "window"))
+    def gvcf_roh_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Runs of homozygosity: per sample and contig, maximal stretches
+        of consecutive sites whose genotype is homozygous (dosage 0 or
+        2), reported when ≥ 5 sites long — the autozygosity /
+        consanguinity signal (long ROH = recent common ancestry) and a
+        genotyping-QC canary (an ROH spanning a whole chromosome is a
+        deletion or a reference artifact). Runs over the cohort dosage
+        grid, which is exactly the joint-called matrix a real ROH caller
+        consumes.
+
+        The classic gaps-and-islands construction (`win_gaps_islands`):
+        TWO row_number windows sharing one (sample, contig) exchange —
+        their difference is constant exactly within a maximal
+        same-genotype stretch — then one aggregate per island. No
+        self-join, no lag cascade; at 100 TB the genome axis partitions
+        by (sample, contig) and every step stays inside that key."""
+        def _local_dosage(spark_, sf_dir_):
+            # ROH-specific dosage grid (see _ROH_CTE note above)
+            from gvcf_hbase_spark.sources.tables import load_table, spread
+
+            o = spread(load_table(spark_, sf_dir_, "orders").select("o_orderkey"))
+            grid = o.select(
+                F.col("o_orderkey").alias("k"),
+                F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("s"),
+            )
+            m = (F.col("k") * F.col("k") + F.col("k") * (F.col("s") + 3) + F.col("s") * 7) % 7
+            dosage = F.when(
+                m < 5,
+                F.when((F.col("k") + F.col("s")) % 2 == 0, 0).otherwise(2),
+            ).otherwise(1)
+            return grid.select(
+                F.concat(F.lit("s"), F.col("s").cast("string")).alias("sample_id"),
+                F.concat(F.lit("chr"), (F.col("k") % 2 + 1).cast("string")).alias("contig"),
+                F.col("k").cast("bigint").alias("pos"),
+                dosage.cast("bigint").alias("alt_n"),
+            )
+
+        d = _local_dosage(spark, sf_dir)
+        marked = d.select(
+            "sample_id",
+            "contig",
+            "pos",
+            F.when(F.col("alt_n").isin(0, 2), 1).otherwise(0).alias("is_hom"),
+        )
+        w_all = Window.partitionBy("sample_id", "contig").orderBy("pos")
+        w_hom = Window.partitionBy("sample_id", "contig", "is_hom").orderBy("pos")
+        grouped = marked.select(
+            "*",
+            (F.row_number().over(w_all) - F.row_number().over(w_hom)).alias("grp"),
+        )
+        runs = (
+            grouped.filter(F.col("is_hom") == 1)
+            .groupBy("sample_id", "contig", "grp")
+            .agg(
+                F.count("*").alias("n_sites"),
+                F.min("pos").cast("bigint").alias("start_pos"),
+                F.max("pos").cast("bigint").alias("end_pos"),
+            )
+        )
+        return runs.filter(F.col("n_sites") >= _ROH_MIN_RUN).select(
+            "sample_id", "contig", "start_pos", "end_pos", F.col("n_sites").cast("bigint").alias("n_sites")
+        )
+
+
+_register_roh_query()

@@ -321,3 +321,114 @@ def test_path_topk_sessions_brute_force(spark):
     top = rows[0]
     assert paths[top.path] == top.n_sessions
     assert top.n_sessions == max(paths.values())
+
+
+def test_kcore_is_a_fixpoint_and_degrees_hold(spark):
+    """Every survivor has in-core degree >= k, and one MORE peel round
+    in Python changes nothing (the unroll reached the fixpoint)."""
+    import duckdb
+
+    rows = SPECS["graph_kcore_bounded"].fn(spark, SF_DIR).collect()
+    assert rows
+    core = {r.node for r in rows}
+    got_deg = {r.node: r.core_degree for r in rows}
+    con = duckdb.connect()
+    edges = con.execute(f"""
+        WITH e0 AS (SELECT DISTINCT l_partkey p, l_suppkey s
+                    FROM '{SF_DIR}/lineitem.parquet'),
+        pdeg AS (SELECT p, count(*) d FROM e0 GROUP BY p),
+        kept AS (SELECT e0.p, e0.s FROM e0 JOIN pdeg USING (p) WHERE pdeg.d <= 50)
+        SELECT DISTINCT least(a.s, b.s), greatest(a.s, b.s)
+        FROM kept a JOIN kept b USING (p) WHERE a.s < b.s
+    """).fetchall()
+    deg = {}
+    for u, v in edges:
+        if u in core and v in core:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+    assert all(d >= 3 for d in deg.values())
+    assert {n for n, d in deg.items() if d >= 3} == core
+    assert deg == got_deg
+
+
+def test_mtd_resets_at_month_boundary(spark):
+    """Rank-1 days carry mtd == that day's revenue; MTD and YTD are
+    non-decreasing within their calendar scopes."""
+    rows = SPECS["win_mtd_ytd"].fn(spark, SF_DIR).collect()
+    assert rows
+    by_series = {}
+    for r in rows:
+        if r.day_of_month_rank == 1:
+            assert r.mtd_cents == r.rev_cents
+        by_series.setdefault((r.event_type, r.day.year), []).append(r)
+    for (_, _), rs in by_series.items():
+        rs.sort(key=lambda r: r.day)
+        for a, b in zip(rs, rs[1:]):
+            assert b.ytd_cents == a.ytd_cents + b.rev_cents
+
+
+def test_pk_fk_probe_truths(spark):
+    """TPC-H referential facts: lineitem→orders containment is total and
+    non-unique; orders.o_orderkey is unique; every probe's matched set
+    is bounded by the distinct set."""
+    rows = {r.probe: r for r in SPECS["profile_pk_fk_inference"].fn(spark, SF_DIR).collect()}
+    li = rows["lineitem.l_orderkey->orders.o_orderkey"]
+    assert li.containment_1e6 == 1_000_000 and not li.child_unique
+    oo = rows["orders.o_orderkey->lineitem.l_orderkey"]
+    assert oo.child_unique
+    for r in rows.values():
+        assert r.matched_distinct <= r.child_distinct <= r.child_rows
+
+
+def test_cidr_ranges_and_counts(spark):
+    """Every matched IP sits inside its subnet's range (recomputed from
+    the Knuth hash over the distinct user set), and counts agree."""
+    rows = {r.cidr_id: r for r in SPECS["fn_cidr_match"].fn(spark, SF_DIR).collect()}
+    users = {
+        r.user_id
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet").select("user_id").distinct().collect()
+    }
+    from collections import Counter
+
+    expect = Counter()
+    for u in users:
+        ip = (u * 2654435761) % 2**32
+        for j in range(8):
+            net, bits = j << 28, 4 + j
+            if net <= ip < net + (1 << (32 - bits)):
+                expect[j] += 1
+    assert {j: r.n_matched for j, r in rows.items()} == dict(expect)
+    for j, r in rows.items():
+        net, bits = j << 28, 4 + j
+        assert net <= r.min_ip <= r.max_ip < net + (1 << (32 - bits))
+        assert r.min_ip_dotted == ".".join(
+            str((r.min_ip >> sh) & 255) for sh in (24, 16, 8, 0)
+        )
+
+
+def test_roh_runs_are_maximal(spark):
+    """Runs recomputed from the closed-form dosage rule: every reported
+    run is homozygous throughout and flanked by het/absent sites."""
+    rows = SPECS["gvcf_roh_runs"].fn(spark, SF_DIR).collect()
+    assert rows
+    ks = sorted(
+        r.o_orderkey
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_orderkey").collect()
+    )
+    def hom(k, s):
+        return (k * k + k * (s + 3) + s * 7) % 7 < 5
+
+    by_contig = {1: [k for k in ks if k % 2 == 0], 2: [k for k in ks if k % 2 == 1]}
+    expected = set()
+    for s in range(4):
+        for c, positions in by_contig.items():
+            run = []
+            for k in positions + [None]:
+                if k is not None and hom(k, s):
+                    run.append(k)
+                else:
+                    if len(run) >= 5:
+                        expected.add((f"s{s}", f"chr{c}", run[0], run[-1], len(run)))
+                    run = []
+    got = {(r.sample_id, r.contig, r.start_pos, r.end_pos, r.n_sites) for r in rows}
+    assert got == expected
