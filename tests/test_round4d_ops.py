@@ -432,3 +432,33 @@ def test_roh_runs_are_maximal(spark):
                     run = []
     got = {(r.sample_id, r.contig, r.start_pos, r.end_pos, r.n_sites) for r in rows}
     assert got == expected
+
+
+def _shape(spark, key):
+    from tests.test_plans import explain_str
+
+    plan = explain_str(SPECS[key].fn(spark, SF_DIR))
+    return (
+        plan.count("Exchange ("),
+        plan.count("Window ("),
+        plan.count("BroadcastNestedLoopJoin"),
+    )
+
+
+def test_new_op_plan_shapes(spark):
+    """Pin the 100 TB-relevant physical shapes of the widening batch:
+    the trajectory op's SINGLE user exchange (window + agg share it),
+    OLS's one-exchange scan→partial→final, the CIDR broadcast range
+    join (no fact shuffle), and the window-op exchange budgets."""
+    ex, win, _ = _shape(spark, "geo_trajectory_length")
+    assert ex == 1 and win == 1
+    ex, win, _ = _shape(spark, "analytics_ols_multi")
+    assert ex == 1 and win == 0
+    ex, _, bnlj = _shape(spark, "fn_cidr_match")
+    assert bnlj >= 1 and ex <= 3  # dim broadcasts; only agg exchanges remain
+    ex, win, _ = _shape(spark, "win_mtd_ytd")
+    assert ex <= 3 and win == 2
+    ex, win, _ = _shape(spark, "gvcf_roh_runs")
+    assert ex <= 2 and win == 2  # both row_numbers share the partition key
+    ex, win, _ = _shape(spark, "multimodal_chunk_dedup")
+    assert ex == 2 and win == 0  # per-hash agg + per-source rollup
