@@ -122,7 +122,12 @@ def test_no_cartesian_products_anywhere(spark):
                         # two 1-row corpus-total broadcasts into the PMI row
                         "text_collocations_pmi",
                         # 1-row midpoint + 1-row theta broadcasts (CUPED)
-                        "analytics_cuped"}
+                        "analytics_cuped",
+                        # four 1-row stage counts crossed into a 4-row dim
+                        "analytics_funnel_summary",
+                        # broadcast RANGE join against the 8-row CIDR dim
+                        # (non-equi containment predicate => BNLJ by design)
+                        "fn_cidr_match"}
     for key, spec in SPECS.items():
         if key == "join_cross" or "streaming" in spec.tags:
             continue
