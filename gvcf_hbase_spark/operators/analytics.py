@@ -1855,3 +1855,127 @@ def analytics_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+_FUNNEL_SUMMARY_ORACLE = f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events
+    ),
+    v AS (SELECT user_id, min(t) AS view_us FROM ev WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT ev.user_id, min(t) AS click_us
+      FROM ev JOIN v USING (user_id)
+      WHERE event_type = 'click' AND t > v.view_us
+        AND t <= v.view_us + {_FUNNEL_GAP_US}
+      GROUP BY ev.user_id
+    ),
+    p AS (
+      SELECT ev.user_id, min(t) AS purchase_us
+      FROM ev JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND t > c.click_us
+        AND t <= c.click_us + {_FUNNEL_GAP_US}
+      GROUP BY ev.user_id
+    ),
+    counts AS (
+      SELECT (SELECT count(*) FROM (SELECT DISTINCT user_id FROM ev)) AS n_total,
+             (SELECT count(*) FROM v) AS n_view,
+             (SELECT count(*) FROM c) AS n_click,
+             (SELECT count(*) FROM p) AS n_purchase
+    ),
+    stages AS (
+      SELECT * FROM (VALUES
+        (0, 'all'), (1, 'view'), (2, 'click'), (3, 'purchase')
+      ) AS t(stage, stage_name)
+    )
+    SELECT s.stage, s.stage_name,
+           CAST(CASE s.stage WHEN 0 THEN n_total WHEN 1 THEN n_view
+                             WHEN 2 THEN n_click ELSE n_purchase END AS BIGINT)
+             AS n_users,
+           CAST(floor(CASE s.stage WHEN 0 THEN n_total WHEN 1 THEN n_view
+                                   WHEN 2 THEN n_click ELSE n_purchase END
+                      * 1000000.0 / n_total + 0.5) AS BIGINT) AS pct_of_all_1e6,
+           CAST(floor(CASE s.stage
+                        WHEN 0 THEN n_total * 1000000.0 / n_total
+                        WHEN 1 THEN n_view * 1000000.0 / n_total
+                        WHEN 2 THEN n_click * 1000000.0 / NULLIF(n_view, 0)
+                        ELSE n_purchase * 1000000.0 / NULLIF(n_click, 0)
+                      END + 0.5) AS BIGINT) AS step_conversion_1e6
+    FROM stages s CROSS JOIN counts
+"""
+
+
+@register("analytics_funnel_summary", oracle=_FUNNEL_SUMMARY_ORACLE, tags=("analytics",))
+def analytics_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel REPORT: per-stage user counts, share of the full
+    population, and step-over-step conversion for the 7-day-window
+    view→click→purchase funnel — the four-row table the dashboard
+    actually renders (`funnel_time_window` emits the per-user detail
+    this aggregates).
+
+    Same cascade as the detail op; each stage then collapses to a 1-row
+    count and the four counts assemble against a literal stage dim —
+    1-row broadcasts, zero wide shuffles beyond the cascade itself.
+    Ratios are single float expressions over exact int counts with the
+    zero-denominator guard identical on both sides."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts_us_long").alias("t")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("view_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("t") > F.col("view_us"))
+            & (F.col("t") <= F.col("view_us") + _FUNNEL_GAP_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("click_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("t") > F.col("click_us"))
+            & (F.col("t") <= F.col("click_us") + _FUNNEL_GAP_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("purchase_us"))
+    )
+    counts = (
+        ev.select("user_id").distinct().agg(F.count("*").alias("n_total"))
+        .crossJoin(F.broadcast(v.agg(F.count("*").alias("n_view"))))
+        .crossJoin(F.broadcast(c.agg(F.count("*").alias("n_click"))))
+        .crossJoin(F.broadcast(p.agg(F.count("*").alias("n_purchase"))))
+    )
+    stages = spark.createDataFrame(
+        [(0, "all"), (1, "view"), (2, "click"), (3, "purchase")],
+        "stage int, stage_name string",
+    )
+    j = stages.crossJoin(F.broadcast(counts))
+    n_users = (
+        F.when(F.col("stage") == 0, F.col("n_total"))
+        .when(F.col("stage") == 1, F.col("n_view"))
+        .when(F.col("stage") == 2, F.col("n_click"))
+        .otherwise(F.col("n_purchase"))
+    )
+    step_den = (
+        F.when(F.col("stage") == 0, F.col("n_total"))
+        .when(F.col("stage") == 1, F.col("n_total"))
+        .when(F.col("stage") == 2, F.nullif(F.col("n_view"), F.lit(0)))
+        .otherwise(F.nullif(F.col("n_click"), F.lit(0)))
+    )
+    return j.select(
+        "stage",
+        "stage_name",
+        n_users.cast("bigint").alias("n_users"),
+        F.floor(n_users * 1_000_000.0 / F.col("n_total") + F.lit(0.5))
+        .cast("bigint")
+        .alias("pct_of_all_1e6"),
+        F.floor(n_users * 1_000_000.0 / step_den + F.lit(0.5))
+        .cast("bigint")
+        .alias("step_conversion_1e6"),
+    )

@@ -1387,3 +1387,79 @@ def profile_pk_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+_DATASET_CARD_ORACLE = """
+    WITH d AS (
+      SELECT source, lang,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    g AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(min(n_toks) AS BIGINT) AS min_tokens,
+             CAST(max(n_toks) AS BIGINT) AS max_tokens
+      FROM d GROUP BY 1, 2
+    )
+    SELECT source, lang, n_docs, total_tokens, total_chars,
+           min_tokens, max_tokens,
+           CAST(floor(CAST(total_tokens AS DOUBLE) * 10000 / n_docs + 0.5)
+                AS BIGINT) AS mean_tokens_1e4,
+           CAST(floor(CAST(total_tokens AS DOUBLE) * 1000000
+                      / sum(total_tokens) OVER () + 0.5) AS BIGINT)
+             AS token_share_1e6
+    FROM g
+"""
+
+
+@register("curate_dataset_card", oracle=_DATASET_CARD_ORACLE, tags=("curation", "profile"))
+def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card summary grid: per (source, lang) cell — document
+    count, token/char mass, token length extremes and the cell's share
+    of the whole corpus's tokens — the first table every training-data
+    release publishes, and the input to `curate_mix_weights`'-style
+    rebalancing decisions.
+
+    ONE hash aggregate over the corpus (token counts are in-row size()
+    arithmetic fused into the scan) followed by a single unpartitioned
+    share window over #source×#lang rows — the window input is
+    config-bounded, not data-bounded, so the 'global' window is a
+    non-issue at any corpus size. Exact int64 masses; the two ratios
+    quantize once per output row."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.size(F.split(F.lower(F.col("text")), " ")).cast("bigint").alias("n_toks"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    g = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("n_toks").cast("bigint").alias("min_tokens"),
+        F.max("n_toks").cast("bigint").alias("max_tokens"),
+    )
+    total_w = Window.partitionBy()
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "min_tokens",
+        "max_tokens",
+        F.floor(F.col("total_tokens").cast("double") * 10_000 / F.col("n_docs") + F.lit(0.5))
+        .cast("bigint")
+        .alias("mean_tokens_1e4"),
+        F.floor(
+            F.col("total_tokens").cast("double") * 1_000_000
+            / F.sum("total_tokens").over(total_w)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("token_share_1e6"),
+    )

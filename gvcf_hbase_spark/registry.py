@@ -200,7 +200,7 @@ _PRIORITY = [
     "sink_partition_stats",
     "sink_secondary_index",
 ]
-# The 64 round-4 additions (analytics_pattern_kleene, stream_pattern_kleene,
+# The 66 round-4 additions (analytics_pattern_kleene, stream_pattern_kleene,
 # agg_countmin_freq, agg_bloom_membership, text_toxicity_wordlist,
 # text_readability, curate_quality_score_lr, ts_autocorr, graph_khop_reach,
 # graph_sssp_bounded, analytics_attribution_last_touch,
@@ -221,12 +221,12 @@ _PRIORITY = [
 # gvcf_hwe_chi2, gvcf_genotype_concordance, gvcf_mendelian_violations,
 # sim_kmeans_step, analytics_ols_multi, multimodal_chunk_dedup,
 # analytics_cuped, analytics_path_topk, graph_kcore_bounded,
-# win_mtd_ytd, profile_pk_fk_inference, fn_cidr_match, gvcf_roh_runs)
-# are NOT
+# win_mtd_ytd, profile_pk_fk_inference, fn_cidr_match, gvcf_roh_runs,
+# analytics_funnel_summary, curate_dataset_card) are NOT
 # listed above: load_all() appends unlisted keys in module order AFTER the
 # queue, which is exactly the round-6 tail. Round-5 rotation: promote the
 # round-5 queue block (53 keys) to slots 1–50, spill the overflow + these
-# 64 to round 6.
+# 66 to round 6.
 
 _loaded = False
 

@@ -462,3 +462,28 @@ def test_new_op_plan_shapes(spark):
     assert ex <= 2 and win == 2  # both row_numbers share the partition key
     ex, win, _ = _shape(spark, "multimodal_chunk_dedup")
     assert ex == 2 and win == 0  # per-hash agg + per-source rollup
+
+
+def test_funnel_summary_consistent_with_detail(spark):
+    """Stage counts equal the per-user detail op's stage tallies, and
+    counts are monotone down the funnel."""
+    summary = {r.stage: r for r in SPECS["analytics_funnel_summary"].fn(spark, SF_DIR).collect()}
+    detail = SPECS["funnel_time_window"].fn(spark, SF_DIR).collect()
+    assert summary[0].n_users == len(detail)
+    assert summary[1].n_users == sum(1 for r in detail if r.funnel_stage >= 1)
+    assert summary[2].n_users == sum(1 for r in detail if r.funnel_stage >= 2)
+    assert summary[3].n_users == sum(1 for r in detail if r.funnel_stage >= 3)
+    assert summary[0].n_users >= summary[1].n_users >= summary[2].n_users >= summary[3].n_users
+    assert summary[0].pct_of_all_1e6 == 1_000_000
+
+
+def test_dataset_card_shares_sum_to_one(spark):
+    """Token shares sum to ~1e6 (rounding) and masses recompose."""
+    rows = SPECS["curate_dataset_card"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r.token_share_1e6 for r in rows) - 1_000_000) <= len(rows)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.min_tokens <= r.max_tokens
+        assert r.min_tokens * r.n_docs <= r.total_tokens <= r.max_tokens * r.n_docs
