@@ -1118,3 +1118,262 @@ def _register_roh_query() -> None:
 
 
 _register_roh_query()
+
+
+# ---------------------------------------------------------------------------
+# Cohort-scale call-set ops: variant density, callable regions, singleton
+# share, pairwise relatedness (IBS). These are the downstream consumers a
+# joint-calling store exists FOR (SURVEY §2A A9's combine feeds exactly
+# these rollups in real pipelines: density tracks for browsers, callable-
+# region BEDs for interval lists, singleton/relatedness QC before
+# association testing).
+# ---------------------------------------------------------------------------
+
+_DENSITY_WIN = 100
+
+_DENSITY_ORACLE = r"""
+    SELECT concat('chr', 1 + o_orderkey % 2) AS contig,
+           CAST(o_orderkey // 100 AS BIGINT) AS win_id,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(count(DISTINCT concat('s', o_orderkey % 4)) AS BIGINT)
+             AS n_carriers,
+           CAST(floor(count(*) * 1000000.0 / 100 + 0.5) AS BIGINT)
+             AS density_1e6
+    FROM orders
+    WHERE o_orderkey % 3 <> 0
+    GROUP BY 1, 2
+"""
+
+_CALLABLE_MIN_SAMPLES = 2
+
+_CALLABLE_ORACLE = r"""
+    WITH expanded AS (
+      SELECT concat('s', o_orderkey % 4) AS sample_id,
+             concat('chr', 1 + o_orderkey % 2) AS contig,
+             CAST(p AS BIGINT) AS pos
+      FROM orders,
+           unnest(range(o_orderkey,
+                        CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey + 10
+                             ELSE o_orderkey + 1 END)) AS t(p)
+    ),
+    depth AS (
+      SELECT contig, pos, count(DISTINCT sample_id) AS n_samples
+      FROM expanded GROUP BY contig, pos
+    ),
+    callable AS (
+      SELECT contig, pos, pos // 100 AS shard
+      FROM depth WHERE n_samples >= 2
+    ),
+    grouped AS (
+      SELECT contig, shard, pos,
+             pos - row_number() OVER (PARTITION BY contig, shard
+                                      ORDER BY pos) AS grp
+      FROM callable
+    )
+    SELECT contig,
+           CAST(min(pos) AS BIGINT) AS start_pos,
+           CAST(max(pos) AS BIGINT) AS end_pos,
+           CAST(count(*) AS BIGINT) AS n_sites
+    FROM grouped
+    GROUP BY contig, shard, grp
+"""
+
+_SINGLETON_ORACLE = _ROH_CTE + r""",
+    sites AS (
+      SELECT contig, pos, sum(alt_n) AS ac
+      FROM expanded GROUP BY contig, pos
+    )
+    SELECT e.sample_id,
+           CAST(count(*) AS BIGINT) AS n_carried,
+           CAST(sum(CASE WHEN s.ac = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons,
+           CAST(floor(sum(CASE WHEN s.ac = 1 THEN 1 ELSE 0 END) * 1000000.0
+                      / count(*) + 0.5) AS BIGINT) AS singleton_share_1e6
+    FROM expanded e JOIN sites s ON e.contig = s.contig AND e.pos = s.pos
+    WHERE e.alt_n >= 1
+    GROUP BY e.sample_id
+"""
+
+_IBS_ORACLE = _ROH_CTE + r"""
+    SELECT a.sample_id AS sample_a, b.sample_id AS sample_b,
+           CAST(count(*) AS BIGINT) AS n_sites,
+           CAST(sum(CASE WHEN abs(a.alt_n - b.alt_n) = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS ibs0,
+           CAST(sum(CASE WHEN abs(a.alt_n - b.alt_n) = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS ibs1,
+           CAST(sum(CASE WHEN a.alt_n = b.alt_n THEN 1 ELSE 0 END)
+                AS BIGINT) AS ibs2,
+           CAST(floor((2 * sum(CASE WHEN a.alt_n = b.alt_n THEN 1 ELSE 0 END)
+                       + sum(CASE WHEN abs(a.alt_n - b.alt_n) = 1
+                             THEN 1 ELSE 0 END)) * 1000000.0
+                      / (2 * count(*)) + 0.5) AS BIGINT) AS ibs_score_1e6
+    FROM expanded a JOIN expanded b
+      ON a.contig = b.contig AND a.pos = b.pos AND a.sample_id < b.sample_id
+    GROUP BY a.sample_id, b.sample_id
+"""
+
+
+def _dosage_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort dosage grid shared by the singleton / IBS ops — same
+    construction as gvcf_roh_runs' inline grid (see _ROH_CTE note): the
+    quadratic hom-rule gives per-sample variety so allele counts differ
+    across sites instead of cycling with a short period."""
+    from gvcf_hbase_spark.sources.tables import load_table, spread
+
+    o = spread(load_table(spark, sf_dir, "orders").select("o_orderkey"))
+    grid = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("s"),
+    )
+    m = (F.col("k") * F.col("k") + F.col("k") * (F.col("s") + 3) + F.col("s") * 7) % 7
+    dosage = F.when(
+        m < 5,
+        F.when((F.col("k") + F.col("s")) % 2 == 0, 0).otherwise(2),
+    ).otherwise(1)
+    return grid.select(
+        F.concat(F.lit("s"), F.col("s").cast("string")).alias("sample_id"),
+        F.concat(F.lit("chr"), (F.col("k") % 2 + 1).cast("string")).alias("contig"),
+        F.col("k").cast("bigint").alias("pos"),
+        dosage.cast("bigint").alias("alt_n"),
+    )
+
+
+def _register_cohort_queries() -> None:
+    from gvcf_hbase_spark.registry import register
+    from pyspark.sql import Window
+
+    @register("gvcf_variant_density", oracle=_DENSITY_ORACLE, tags=("gvcf", "agg"))
+    def gvcf_variant_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Variant density per fixed-width genomic window — the track a
+        genome browser draws and the first place a caller artifact shows
+        up (a window at 10x the chromosome median is a mapping pileup,
+        a dead window inside a gene is a capture dropout). One
+        collapsing aggregate keyed (contig, pos // window): partial
+        aggregation collapses each scan split to <=1 row per window
+        before the exchange, so at 100 TB the shuffle is proportional
+        to windows (3M for a 1 kb human tiling), not variants."""
+        recs = parse_gvcf_lines(_fixture_lines(spark, sf_dir, span=2))
+        variants = recs.filter(F.col("is_variant"))
+        return variants.groupBy(
+            "contig",
+            F.floor(F.col("start") / _DENSITY_WIN).cast("bigint").alias("win_id"),
+        ).agg(
+            F.count("*").cast("bigint").alias("n_variants"),
+            F.countDistinct("sample_id").cast("bigint").alias("n_carriers"),
+            F.floor(F.count("*") * 1_000_000.0 / _DENSITY_WIN + F.lit(0.5))
+            .cast("bigint")
+            .alias("density_1e6"),
+        )
+
+    @register("gvcf_callable_regions", oracle=_CALLABLE_ORACLE, tags=("gvcf", "window"))
+    def gvcf_callable_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Callable-region BED: maximal runs of positions covered by >=
+        MIN_SAMPLES distinct samples, the interval list downstream
+        joint-genotyping scatters over. Block records expand to their
+        spanned positions (span=9 fixture mode so depth actually
+        varies), per-position depth is one collapsing aggregate, and
+        runs merge with the gaps-and-islands difference trick.
+
+        The islands window partitions by (contig, pos // 100) — a
+        SHARD, not the whole contig. A 250 Mbp chromosome as one sort
+        partition would be the single-task shape the r03 verdict
+        flagged elsewhere; sharding bounds every sort and clips regions
+        at shard boundaries, exactly how GATK-style interval scatter
+        behaves (documented, deterministic, and mirrored in the
+        oracle)."""
+        recs = parse_gvcf_lines(_fixture_lines(spark, sf_dir, span=9))
+        expanded = recs.select(
+            "sample_id",
+            "contig",
+            F.explode(F.sequence(F.col("start"), F.col("end"))).alias("pos"),
+        )
+        depth = expanded.groupBy("contig", "pos").agg(
+            F.countDistinct("sample_id").alias("n_samples")
+        )
+        callable_pos = depth.filter(
+            F.col("n_samples") >= _CALLABLE_MIN_SAMPLES
+        ).select("contig", "pos", F.floor(F.col("pos") / 100).alias("shard"))
+        w = Window.partitionBy("contig", "shard").orderBy("pos")
+        grouped = callable_pos.select(
+            "*", (F.col("pos") - F.row_number().over(w)).alias("grp")
+        )
+        return grouped.groupBy("contig", "shard", "grp").agg(
+            F.min("pos").cast("bigint").alias("start_pos"),
+            F.max("pos").cast("bigint").alias("end_pos"),
+            F.count("*").cast("bigint").alias("n_sites"),
+        ).select("contig", "start_pos", "end_pos", "n_sites")
+
+    @register("gvcf_singleton_share", oracle=_SINGLETON_ORACLE, tags=("gvcf", "qc"))
+    def gvcf_singleton_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-sample singleton share: of the variant sites a sample
+        carries, how many are carried by NO other sample (cohort allele
+        count == the sample's own dosage contribution... here AC == 1,
+        a het private to one sample). Elevated singleton share is the
+        classic sample-swap / contamination / batch-effect flag.
+
+        Two-phase: site-level AC is a collapsing aggregate on the site
+        key, then carriers join it ON THE SAME KEY — the exchange from
+        the aggregate is reused for the join (co-partitioned, no second
+        shuffle of the big side), then a per-sample rollup."""
+        d = _dosage_grid(spark, sf_dir)
+        sites = d.groupBy("contig", "pos").agg(F.sum("alt_n").alias("ac"))
+        carriers = d.filter(F.col("alt_n") >= 1)
+        joined = carriers.join(sites, ["contig", "pos"])
+        return joined.groupBy("sample_id").agg(
+            F.count("*").cast("bigint").alias("n_carried"),
+            F.sum(F.when(F.col("ac") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_singletons"),
+            F.floor(
+                F.sum(F.when(F.col("ac") == 1, 1).otherwise(0)) * 1_000_000.0
+                / F.count("*")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("singleton_share_1e6"),
+        )
+
+    @register("gvcf_relatedness_ibs", oracle=_IBS_ORACLE, tags=("gvcf", "join"))
+    def gvcf_relatedness_ibs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Pairwise identity-by-state between samples over the dosage
+        grid: IBS0/1/2 counts and the normalized IBS score — the
+        duplicate-sample / cryptic-relatedness screen every cohort runs
+        before association testing (score ~1.0 = same individual,
+        ~0.75 = first-degree).
+
+        Self-join co-partitioned on the site key (contig, pos): one
+        exchange per side, pair expansion happens inside partitions.
+        Pairs are O(N^2) in samples — real cohort tools thin to ~50k
+        LD-pruned sites and block the sample axis (KING's approach);
+        at that site budget the per-pair cost is bounded and the
+        partial aggregation collapses each site partition to <=N^2/2
+        running counters before the final exchange."""
+        d = _dosage_grid(spark, sf_dir)
+        a = d.select("contig", "pos", F.col("sample_id").alias("sample_a"), F.col("alt_n").alias("da"))
+        b = d.select("contig", "pos", F.col("sample_id").alias("sample_b"), F.col("alt_n").alias("db"))
+        pairs = a.join(b, ["contig", "pos"]).filter(F.col("sample_a") < F.col("sample_b"))
+        diff = F.abs(F.col("da") - F.col("db"))
+        agg = pairs.groupBy("sample_a", "sample_b").agg(
+            F.count("*").cast("bigint").alias("n_sites"),
+            F.sum(F.when(diff == 2, 1).otherwise(0)).cast("bigint").alias("ibs0"),
+            F.sum(F.when(diff == 1, 1).otherwise(0)).cast("bigint").alias("ibs1"),
+            F.sum(F.when(diff == 0, 1).otherwise(0)).cast("bigint").alias("ibs2"),
+        )
+        return agg.select(
+            "sample_a",
+            "sample_b",
+            "n_sites",
+            "ibs0",
+            "ibs1",
+            "ibs2",
+            F.floor(
+                (2 * F.col("ibs2") + F.col("ibs1")) * 1_000_000.0
+                / (2 * F.col("n_sites"))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("ibs_score_1e6"),
+        )
+
+
+_register_cohort_queries()
