@@ -448,3 +448,94 @@ def test_dp_stats_bounds(spark):
     for r in S["gvcf_dp_stats"].fn(spark, SF_DIR).collect():
         assert 8 <= r.min_dp <= r.max_dp <= 16
         assert r.mean_dp_1e4 == int(r.sum_dp * 10_000.0 / r.n_records + 0.5)
+
+
+def test_variant_density_window_invariants(spark):
+    """Every window's density is exactly n_variants*1e6/WIN (WIN=100
+    divides 1e6, so the floor(+0.5) round is the identity) and carrier
+    counts stay within the 4-sample cohort."""
+    from gvcf_hbase_spark.registry import load_all
+
+    S = load_all()
+    rows = S["gvcf_variant_density"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_carriers <= 4
+        assert 1 <= r.n_variants
+        assert r.density_1e6 == r.n_variants * 10_000
+
+
+def test_callable_regions_are_maximal_contiguous_runs(spark):
+    """Regions are contiguous (n_sites == span), clipped at the 100-pos
+    shard boundary, and every covered position really has >=2-sample
+    depth while positions just outside a region (same shard) do not."""
+    from gvcf_hbase_spark.registry import load_all
+    from gvcf_hbase_spark.sources.gvcf_text import _fixture_lines, parse_gvcf_lines
+
+    S = load_all()
+    rows = S["gvcf_callable_regions"].fn(spark, SF_DIR).collect()
+    assert rows
+    covered = {}
+    for r in rows:
+        assert r.n_sites == r.end_pos - r.start_pos + 1
+        assert r.start_pos // 100 == r.end_pos // 100
+        covered.setdefault(r.contig, set()).update(range(r.start_pos, r.end_pos + 1))
+
+    recs = parse_gvcf_lines(_fixture_lines(spark, SF_DIR, span=9))
+    depth = {}
+    for rec in recs.collect():
+        for p in range(rec.start, rec.end + 1):
+            depth.setdefault((rec.contig, p), set()).add(rec.sample_id)
+    for (contig, p), samples in depth.items():
+        in_region = p in covered.get(contig, set())
+        assert in_region == (len(samples) >= 2), (contig, p, len(samples), in_region)
+    # maximality: a position NOT in any region but inside a region's shard
+    # and adjacent to it must have depth < 2 (else the run would extend)
+    for r in rows:
+        for adj in (r.start_pos - 1, r.end_pos + 1):
+            if adj // 100 == r.start_pos // 100:
+                assert len(depth.get((r.contig, adj), set())) < 2
+
+
+def test_singleton_share_cross_check(spark):
+    """Sum of per-sample singleton counts equals the number of AC==1
+    sites in the dosage grid (each such site has exactly one carrier)."""
+    from gvcf_hbase_spark.registry import load_all
+    from gvcf_hbase_spark.sources.gvcf_text import _dosage_grid
+
+    S = load_all()
+    rows = S["gvcf_singleton_share"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    d = _dosage_grid(spark, SF_DIR)
+    n_ac1 = (
+        d.groupBy("contig", "pos")
+        .agg(F.sum("alt_n").alias("ac"))
+        .filter("ac = 1")
+        .count()
+    )
+    assert sum(r.n_singletons for r in rows) == n_ac1
+    for r in rows:
+        assert 0 <= r.n_singletons <= r.n_carried
+        assert r.singleton_share_1e6 == int(
+            r.n_singletons * 1_000_000.0 / r.n_carried + 0.5
+        )
+
+
+def test_ibs_counts_partition_sites(spark):
+    """IBS0+IBS1+IBS2 partitions the shared-site count for every pair;
+    all C(4,2)=6 pairs appear; scores live in [0, 1e6]; and the score
+    formula reproduces from the counts."""
+    from gvcf_hbase_spark.registry import load_all
+
+    S = load_all()
+    rows = S["gvcf_relatedness_ibs"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 6
+    assert {(r.sample_a, r.sample_b) for r in rows} == {
+        (f"s{i}", f"s{j}") for i in range(4) for j in range(4) if f"s{i}" < f"s{j}"
+    }
+    for r in rows:
+        assert r.ibs0 + r.ibs1 + r.ibs2 == r.n_sites
+        assert 0 <= r.ibs_score_1e6 <= 1_000_000
+        assert r.ibs_score_1e6 == int(
+            (2 * r.ibs2 + r.ibs1) * 1_000_000.0 / (2 * r.n_sites) + 0.5
+        )
