@@ -788,3 +788,52 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.join(nodes, "node").select(
         "node", F.col("d").cast("bigint").alias("core_degree")
     ).filter(F.col("core_degree") >= _KCORE_K)
+
+
+_RESOURCE_ALLOCATION_ORACLE = """
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    deg AS (SELECT p, count(*) AS d FROM e GROUP BY p),
+    kept AS (SELECT e.p, e.s, deg.d FROM e JOIN deg USING (p) WHERE deg.d <= 50)
+    SELECT a.s AS s1, b.s AS s2,
+           CAST(count(*) AS BIGINT) AS n_common,
+           CAST(sum(CAST(floor(1000000.0 / a.d + 0.5) AS BIGINT)) AS BIGINT)
+             AS ra_1e6
+    FROM kept a JOIN kept b ON a.p = b.p AND a.s < b.s
+    GROUP BY a.s, b.s
+    HAVING count(*) >= 2
+"""
+
+
+@register("graph_resource_allocation", oracle=_RESOURCE_ALLOCATION_ORACLE, tags=("graph",))
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction: candidate supplier pairs
+    score Σ 1/deg(p) over their common parts — common neighbors
+    inversely weighted by how promiscuous each shared neighbor is
+    (Zhou-Lü-Zhang's RA index; the rational-arithmetic sibling of
+    Adamic–Adar, whose 1/ln(deg) needs a transcendental that is not
+    correctly-rounded-portable across engines). Each part's 1e6-scaled
+    contribution quantizes to an int BEFORE the sum (quantize-then-sum,
+    SURVEY §5.4), so combine order can't move a bit.
+
+    Scale: same Σd²-bounded shape as `graph_bipartite_projection` —
+    degree cap BEFORE the per-part pair join keeps worst case ≤ 50×
+    |edges| pair rows, and the degree rides the kept edge list so the
+    pair join needs no extra lookup join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    deg = e.groupBy("p").agg(F.count("*").alias("d"))
+    kept = e.join(deg.filter(F.col("d") <= 50), "p").localCheckpoint(eager=False)
+    a = kept.alias("a")
+    b = kept.alias("b")
+    contrib = F.floor(F.lit(1_000_000.0) / F.col("a.d") + F.lit(0.5)).cast("long")
+    return (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.sum(contrib).cast("bigint").alias("ra_1e6"),
+        )
+        .filter(F.col("n_common") >= 2)
+    )

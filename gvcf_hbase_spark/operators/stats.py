@@ -450,3 +450,220 @@ def analytics_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("survival_1e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiple-testing correction and resampling inference — the two pieces that
+# turn the per-group test battery above into a defensible readout: BH-FDR
+# controls the family-wise error when MANY groups are screened at once, and
+# the Poisson bootstrap is the canonical distributed resampling scheme
+# (per-row independent Poisson(1) weights ≈ multinomial resampling, no
+# global coordination — the only bootstrap that works on a sharded corpus).
+# ---------------------------------------------------------------------------
+
+_BH_ORACLE = """
+    WITH base AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, count(*) AS ng, sum(vc) AS sg
+      FROM base GROUP BY event_type
+    ),
+    tot AS (
+      SELECT count(*) AS n, sum(vc) AS s,
+             sum(CAST(vc AS DOUBLE) * CAST(vc AS DOUBLE)) AS ssq,
+             count(DISTINCT event_type) AS m
+      FROM base
+    ),
+    scored AS (
+      SELECT g.event_type, g.ng, tot.m,
+             g.ng * (CAST(g.sg AS DOUBLE) / g.ng - CAST(tot.s AS DOUBLE) / tot.n)
+                  * (CAST(g.sg AS DOUBLE) / g.ng - CAST(tot.s AS DOUBLE) / tot.n)
+                  / ((tot.ssq - CAST(tot.s AS DOUBLE) * tot.s / tot.n) / (tot.n - 1))
+               AS z2
+      FROM g CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT event_type, ng, m, z2,
+             1.0 / (1.0 + z2) AS p,
+             row_number() OVER (ORDER BY 1.0 / (1.0 + z2), event_type) AS i
+      FROM scored
+    )
+    SELECT event_type, CAST(ng AS BIGINT) AS n_g,
+           CAST(floor(z2 * 1e6 + 0.5) AS BIGINT) AS z2_1e6,
+           CAST(floor(p * 1e9 + 0.5) AS BIGINT) AS p_1e9,
+           CAST(floor(min(p * m / i) OVER (ORDER BY i DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e9 + 0.5)
+                AS BIGINT) AS p_bh_1e9
+    FROM ranked
+"""
+
+
+@register("stats_bh_fdr", oracle=_BH_ORACLE, tags=("analytics", "stats"))
+def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR adjustment over a per-group mean-shift
+    screen: every event_type gets z² = n_g(x̄_g - x̄)²/s² against the
+    global mean, a monotone pseudo-p 1/(1+z²) (a real normal-CDF p
+    needs exp/erf, which are NOT correctly-rounded-portable across
+    engines — the monotone surrogate keeps the BH mechanics exact and
+    bit-reproducible; SURVEY §5.4 allows only +,-,*,/,sqrt cross-row),
+    then the BH step-up: p_bh(i) = min_{j≥i} p(j)·m/j via ONE running
+    min over the rank-desc order.
+
+    Scale: one map-side-combining aggregate collapses the fact table to
+    #groups rows; the global moments enter as a 1-row broadcast; the
+    rank/step-up windows run over the #groups-row aggregate, never the
+    log. At 100 TB with millions of tested groups the step-up window is
+    still just one sort of #groups rows."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    g = base.groupBy("event_type").agg(
+        F.count("*").alias("ng"), F.sum("vc").alias("sg")
+    )
+    tot = base.agg(
+        F.count("*").alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc").cast("double") * F.col("vc").cast("double")).alias("ssq"),
+        F.countDistinct("event_type").alias("m"),
+    )
+    mean_g = F.col("sg").cast("double") / F.col("ng")
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (F.col("ssq") - F.col("s").cast("double") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    scored = g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "ng",
+        "m",
+        (F.col("ng") * (mean_g - mean) * (mean_g - mean) / var).alias("z2"),
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.col("z2"))
+    rank_w = Window.orderBy(p, "event_type")
+    ranked = scored.select(
+        "event_type", "ng", "m", "z2", p.alias("p"), F.row_number().over(rank_w).alias("i")
+    )
+    step_w = Window.orderBy(F.col("i").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ranked.select(
+        "event_type",
+        F.col("ng").cast("bigint").alias("n_g"),
+        F.floor(F.col("z2") * 1e6 + F.lit(0.5)).cast("bigint").alias("z2_1e6"),
+        F.floor(F.col("p") * 1e9 + F.lit(0.5)).cast("bigint").alias("p_1e9"),
+        F.floor(
+            F.min(F.col("p") * F.col("m") / F.col("i")).over(step_w) * 1e9 + F.lit(0.5)
+        ).cast("bigint").alias("p_bh_1e9"),
+    )
+
+
+_BOOT_B = 16  # bootstrap replicas (columns, not rows — one aggregate pass)
+
+# Poisson(1) CDF thresholds, written as identical literals on both engines.
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def _boot_oracle() -> str:
+    cases = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    cols = []
+    for b in range(_BOOT_B):
+        which = b // 8
+        off = (b % 8) * 4 + 1
+        u = (
+            f"CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR), ':{which}')), {off}, 4)) AS BIGINT) / 65536.0"
+        )
+        w = f"(CASE {cases.replace('u <', f'{u} <')} ELSE 6 END)"
+        cols.append(f"sum({w}) AS sw{b}, sum({w} * vc) AS swx{b}")
+    sums = ", ".join(cols)
+    means = ", ".join(
+        f"CAST(swx{b} AS DOUBLE) / sw{b}" for b in range(_BOOT_B)
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events
+    ),
+    agg AS (
+      SELECT count(*) AS n, sum(vc) AS s, {sums} FROM base
+    ),
+    reps AS (
+      SELECT CAST(s AS DOUBLE) / n AS point, unnest([{means}]) AS mean_b
+      FROM agg
+    )
+    SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicas,
+           CAST(floor(point * 100 + 0.5) AS BIGINT) AS point_1e4,
+           CAST(floor(min(mean_b) * 100 + 0.5) AS BIGINT) AS lo_1e4,
+           CAST(floor(max(mean_b) * 100 + 0.5) AS BIGINT) AS hi_1e4
+    FROM reps GROUP BY point
+"""
+
+
+@register("stats_bootstrap_ci", oracle=_boot_oracle(), tags=("analytics", "stats"))
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean event value:
+    replica b reweights each row by an independent Poisson(1) draw —
+    the distributed bootstrap (no global multinomial coordination, so
+    it shards perfectly; the row-count Poisson approximation error is
+    O(1/n)). Draws are DETERMINISTIC: a 16-bit md5 slice per (row,
+    replica) inverted through the Poisson CDF ladder — literal
+    thresholds identical on both engines, so the oracle reproduces
+    every weight bit-for-bit.
+
+    Scale shape: the replica axis lives in COLUMNS — one map-side-
+    combining aggregate computes all 16 (Σw, Σwx) pairs in a single
+    pass over the fact table (16× arithmetic, 1× shuffle rows, zero
+    explode), then a 1-row stack unpivots to replica means and min/max
+    give the basic-bootstrap envelope. At 100 TB this is exactly one
+    scan + one 1-row exchange; the naive explode-by-B form would ship
+    B× the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+
+    def weight(b: int):
+        which = b // 8
+        off = (b % 8) * 4 + 1
+        h = F.md5(F.concat(F.col("event_id").cast("string"), F.lit(f":{which}")))
+        u = F.conv(F.substring(h, off, 4), 16, 10).cast("long") / F.lit(65536.0)
+        w = F.lit(6)
+        for k in range(len(_POIS_CDF) - 1, -1, -1):
+            w = F.when(u < _POIS_CDF[k], F.lit(k)).otherwise(w)
+        return w
+
+    aggs = [F.count("*").alias("n"), F.sum("vc").alias("s")]
+    for b in range(_BOOT_B):
+        wb = weight(b)
+        aggs.append(F.sum(wb).alias(f"sw{b}"))
+        aggs.append(F.sum(wb * F.col("vc")).alias(f"swx{b}"))
+    one = base.agg(*aggs)
+    stack_expr = ", ".join(
+        f"cast(swx{b} as double) / sw{b}" for b in range(_BOOT_B)
+    )
+    reps = one.selectExpr(
+        "cast(s as double) / n AS point",
+        f"stack({_BOOT_B}, {stack_expr}) AS mean_b",
+    )
+    return reps.groupBy("point").agg(
+        F.lit(_BOOT_B).cast("bigint").alias("n_replicas"),
+        F.floor(F.min("mean_b") * 100 + F.lit(0.5)).cast("bigint").alias("lo_1e4"),
+        F.floor(F.max("mean_b") * 100 + F.lit(0.5)).cast("bigint").alias("hi_1e4"),
+    ).select(
+        "n_replicas",
+        F.floor(F.col("point") * 100 + F.lit(0.5)).cast("bigint").alias("point_1e4"),
+        "lo_1e4",
+        "hi_1e4",
+    )

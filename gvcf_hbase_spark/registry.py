@@ -47,6 +47,7 @@ _MODULES = [
     "gvcf_hbase_spark.operators.curation",
     "gvcf_hbase_spark.operators.analytics",
     "gvcf_hbase_spark.operators.stats",
+    "gvcf_hbase_spark.operators.features",
     "gvcf_hbase_spark.operators.timeseries",
     "gvcf_hbase_spark.operators.linkage",
     "gvcf_hbase_spark.operators.cdc",

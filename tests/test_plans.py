@@ -127,7 +127,11 @@ def test_no_cartesian_products_anywhere(spark):
                         "analytics_funnel_summary",
                         # broadcast RANGE join against the 8-row CIDR dim
                         # (non-equi containment predicate => BNLJ by design)
-                        "fn_cidr_match"}
+                        "fn_cidr_match",
+                        # 1-row n broadcast for the quantile denominator
+                        "feat_rank_bucketize",
+                        # 1-row global-moments broadcast into the screen
+                        "stats_bh_fdr"}
     for key, spec in SPECS.items():
         if key == "join_cross" or "streaming" in spec.tags:
             continue
