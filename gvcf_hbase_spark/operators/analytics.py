@@ -1979,3 +1979,270 @@ def analytics_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("step_conversion_1e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value marketing attribution, recency-decayed scoring, and DAU/WAU
+# stickiness — the product-analytics readouts that sit downstream of the
+# funnel/attribution/retention family above.
+# ---------------------------------------------------------------------------
+
+# Channel bits for the touch mask (marketing touches preceding the first
+# purchase): view=1, click=2, signup=4.
+_SHAPLEY_CHANNELS = (("view", 1), ("click", 2), ("signup", 4))
+# Shapley marginal weights × 3! for n=3 players, by |S| of the coalition
+# being joined: |S|!(n-|S|-1)! = 2, 1, 2.
+_SHAPLEY_W6 = {0: 2, 1: 1, 2: 2}
+
+_SHAPLEY_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id, min(t) AS cutoff FROM ev
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touched AS (
+      SELECT ev.user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             + 2 * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS mask
+      FROM ev JOIN conv USING (user_id)
+      WHERE ev.t < conv.cutoff
+        AND event_type IN ('view', 'click', 'signup')
+      GROUP BY ev.user_id
+    ),
+    masks AS (
+      SELECT conv.user_id, COALESCE(touched.mask, 0) AS mask
+      FROM conv LEFT JOIN touched USING (user_id)
+    ),
+    cnts AS (SELECT mask, count(*) AS cnt FROM masks GROUP BY mask),
+    v AS (
+      SELECT s.smask, CAST(COALESCE(sum(cnts.cnt), 0) AS BIGINT) AS v
+      FROM (SELECT unnest(range(8)) AS smask) s
+      LEFT JOIN cnts ON (cnts.mask & s.smask) = cnts.mask
+      GROUP BY s.smask
+    ),
+    pairs AS (
+      SELECT * FROM (VALUES
+        {pairs}
+      ) AS t(channel, bit, s, s_i, w6)
+    )
+    SELECT p.channel,
+           CAST(sum(p.w6 * (vi.v - vs.v)) AS BIGINT) AS phi_x6,
+           CAST(floor(CAST(sum(p.w6 * (vi.v - vs.v)) AS DOUBLE) * 1000000
+                / (sum(sum(p.w6 * (vi.v - vs.v))) OVER ()) + 0.5) AS BIGINT)
+             AS share_1e6
+    FROM pairs p
+    JOIN v vs ON vs.smask = p.s
+    JOIN v vi ON vi.smask = p.s_i
+    GROUP BY p.channel
+""".format(
+    pairs=",\n        ".join(
+        f"('{name}', {bit}, {s}, {s | bit}, {_SHAPLEY_W6[bin(s).count('1')]})"
+        for name, bit in _SHAPLEY_CHANNELS
+        for s in range(8)
+        if not s & bit
+    )
+)
+
+
+@register("analytics_shapley_attribution", oracle=_SHAPLEY_ORACLE, tags=("analytics",))
+def analytics_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution: credit for conversions splits
+    across marketing channels by the exact Shapley formula over the
+    coalition value v(S) = conversions reachable with channel set S
+    (users whose pre-purchase touch set ⊆ S). With n=3 channels the
+    marginal weights ×3! are the integers {2,1,2}, so φ·6 is EXACT
+    integer arithmetic end to end; only the final share is scaled.
+
+    Scale shape: the log collapses twice on the SAME user_id key (first
+    purchase cutoff, then the touch bitmask — the join reuses the
+    exchange), masks collapse to ≤8 rows, and ALL Shapley algebra (the
+    subset-closure v(S) via an in-row literal-array filter — no theta
+    join — and the 12-row literal coalition dim joined twice by equi
+    key) runs on broadcast-sized relations. At 100 TB exactly two fact
+    exchanges, both on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts_us_long").alias("cutoff"))
+    )
+    touched = (
+        ev.join(conv, "user_id")
+        .filter(
+            (F.col("ts_us_long") < F.col("cutoff"))
+            & F.col("event_type").isin("view", "click", "signup")
+        )
+        .groupBy("user_id")
+        .agg(
+            (
+                F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+                + 2 * F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+                + 4 * F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+            ).alias("mask")
+        )
+    )
+    masks = conv.join(touched, "user_id", "left").select(
+        F.coalesce(F.col("mask"), F.lit(0)).alias("mask")
+    )
+    cnts = masks.groupBy("mask").agg(F.count("*").alias("cnt"))
+    # v(S) = Σ_{T⊆S} cnt(T): explode each exact mask T to its supersets
+    # via an in-row filter over the literal 0..7 array (8 rows max in,
+    # ≤64 rows out — no join, no BNLJ).
+    all_masks = F.array(*[F.lit(s) for s in range(8)])
+    sup = (
+        cnts.select(
+            F.explode(
+                F.filter(all_masks, lambda s: s.bitwiseAND(F.col("mask")) == F.col("mask"))
+            ).alias("smask"),
+            "cnt",
+        )
+        .groupBy("smask")
+        .agg(F.sum("cnt").alias("v"))
+    )
+    dim = spark.createDataFrame([(s,) for s in range(8)], "smask int")
+    v = dim.join(sup, "smask", "left").select(
+        "smask", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v")
+    )
+    pairs = spark.createDataFrame(
+        [
+            (name, bit, s, s | bit, _SHAPLEY_W6[bin(s).count("1")])
+            for name, bit in _SHAPLEY_CHANNELS
+            for s in range(8)
+            if not s & bit
+        ],
+        "channel string, bit int, s int, s_i int, w6 int",
+    )
+    vs = v.select(F.col("smask").alias("s"), F.col("v").alias("v_s"))
+    vi = v.select(F.col("smask").alias("s_i"), F.col("v").alias("v_si"))
+    phi = (
+        pairs.join(F.broadcast(vs), "s")
+        .join(F.broadcast(vi), "s_i")
+        .groupBy("channel")
+        .agg(F.sum(F.col("w6") * (F.col("v_si") - F.col("v_s"))).alias("phi_x6"))
+    )
+    tot_w = Window.partitionBy()
+    return phi.select(
+        "channel",
+        F.col("phi_x6").cast("bigint").alias("phi_x6"),
+        F.floor(
+            F.col("phi_x6").cast("double") * 1_000_000
+            / F.sum("phi_x6").over(tot_w)
+            + F.lit(0.5)
+        ).cast("bigint").alias("share_1e6"),
+    )
+
+
+_US_PER_DAY = 86_400_000_000
+
+_DECAY_ORACLE = f"""
+    WITH base AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {_US_PER_DAY} AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events
+    ),
+    anchor AS (SELECT max(day) AS a FROM base)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(CAST(vc AS DOUBLE) * 1000000
+                    / (1::BIGINT << CAST(least(anchor.a - day, 62) AS INT))
+                    + 0.5) AS BIGINT)) AS BIGINT) AS decay_score_1e6
+    FROM base CROSS JOIN anchor
+    GROUP BY user_id
+"""
+
+
+@register("analytics_decay_score", oracle=_DECAY_ORACLE, tags=("analytics", "agg"))
+def analytics_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement score: each event contributes
+    value/2^(days-ago) with a one-day half-life — the standard
+    exponential-decay engagement/lead score. 2^k for integer k is a
+    bit shift, NOT a transcendental pow() call, so the decay is exact
+    rational arithmetic both engines agree on bit-for-bit (÷2^k is
+    exact in IEEE doubles); per-event terms quantize to ints BEFORE
+    the per-user sum (quantize-then-sum, SURVEY §5.4).
+
+    Scale: the 'today' anchor is a 1-row broadcast; then ONE map-side-
+    combining aggregate per user. Nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.expr(f"ts_us_long div {_US_PER_DAY}").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    anchor = base.agg(F.max("day").alias("a"))
+    # F.shiftleft only takes a literal bit count; the SQL form accepts a
+    # column expression for it.
+    term = F.expr(
+        "CAST(floor(CAST(vc AS DOUBLE) * 1000000"
+        " / CAST(shiftleft(CAST(1 AS BIGINT),"
+        "        CAST(least(a - day, 62) AS INT)) AS DOUBLE)"
+        " + 0.5) AS BIGINT)"
+    )
+    return (
+        base.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(term).cast("bigint").alias("decay_score_1e6"),
+        )
+    )
+
+
+_DAU_WAU_ORACLE = f"""
+    WITH base AS (
+      SELECT DISTINCT
+             epoch_us(CAST(ts AS TIMESTAMP)) // {7 * _US_PER_DAY} AS week_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {_US_PER_DAY} AS day,
+             user_id
+      FROM events
+    ),
+    dau AS (SELECT week_id, day, count(*) AS dau FROM base GROUP BY 1, 2),
+    wau AS (SELECT week_id, count(DISTINCT user_id) AS wau FROM base GROUP BY 1)
+    SELECT w.week_id, CAST(w.wau AS BIGINT) AS wau,
+           CAST(sum(d.dau) AS BIGINT) AS sum_dau,
+           CAST(floor(CAST(sum(d.dau) AS DOUBLE) * 1000000 / (7 * w.wau) + 0.5)
+                AS BIGINT) AS stickiness_1e6
+    FROM wau w JOIN dau d USING (week_id)
+    GROUP BY w.week_id, w.wau
+"""
+
+
+@register("analytics_dau_wau", oracle=_DAU_WAU_ORACLE, tags=("analytics", "agg"))
+def analytics_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per epoch week: average daily actives over
+    the 7-day bucket divided by weekly actives — the product-health
+    ratio (1.0 = every weekly user shows up daily). Zero-activity days
+    count against the average by dividing the DAU sum by a literal 7,
+    not by observed days.
+
+    Scale: one (week, day, user) distinct collapses the log; both DAU
+    and WAU re-aggregate that already-collapsed relation (≤ users×days
+    rows), joined back on the tiny week key. The log is touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.expr(f"ts_us_long div {7 * _US_PER_DAY}").alias("week_id"),
+        F.expr(f"ts_us_long div {_US_PER_DAY}").alias("day"),
+        "user_id",
+    ).distinct()
+    dau = base.groupBy("week_id", "day").agg(F.count("*").alias("dau"))
+    wau = base.groupBy("week_id").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        wau.join(dau, "week_id")
+        .groupBy("week_id", "wau")
+        .agg(F.sum("dau").alias("sum_dau"))
+        .select(
+            "week_id",
+            F.col("wau").cast("bigint").alias("wau"),
+            F.col("sum_dau").cast("bigint").alias("sum_dau"),
+            F.floor(
+                F.col("sum_dau").cast("double") * 1_000_000 / (7 * F.col("wau"))
+                + F.lit(0.5)
+            ).cast("bigint").alias("stickiness_1e6"),
+        )
+    )

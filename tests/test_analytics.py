@@ -269,3 +269,60 @@ def test_triangle_count_closed_form(spark):
         [(a, b) for a in range(4) for b in range(4) if a != b], "u int, v int"
     )
     assert triangle_count(edges).collect()[0]["n_triangles"] == 4
+
+
+def test_shapley_efficiency_axiom(spark):
+    """Σ_i φ_i = v(full) - v(∅): total credit equals conversions with a
+    non-empty touch set (×6 in the exact-integer scale), and shares sum
+    to ~1e6."""
+    import pyspark.sql.functions as F
+    from gvcf_hbase_spark.sources.tables import load_table
+
+    out = SPECS["analytics_shapley_attribution"].fn(spark, SF_DIR).collect()
+    assert {r.channel for r in out} == {"view", "click", "signup"}
+    ev = load_table(spark, SF_DIR, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts_us_long").alias("cutoff"))
+    )
+    touched = (
+        ev.join(conv, "user_id")
+        .filter(
+            (F.col("ts_us_long") < F.col("cutoff"))
+            & F.col("event_type").isin("view", "click", "signup")
+        )
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.phi_x6 for r in out) == 6 * touched
+    assert abs(sum(r.share_1e6 for r in out) - 1_000_000) <= 3
+
+
+def test_decay_score_bounds(spark):
+    """The decayed score can never exceed the undecayed value mass and
+    is strictly positive for users with a max-day event."""
+    import pyspark.sql.functions as F
+    from gvcf_hbase_spark.sources.tables import load_table
+
+    out = SPECS["analytics_decay_score"].fn(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    mass = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") * 1_000_000).alias("m")
+    )
+    j = out.join(mass, "user_id").collect()
+    assert j
+    # +n_events: each per-event floor(x + .5) can round up by half a unit
+    assert all(0 <= r.decay_score_1e6 <= r.m + r.n_events for r in j)
+
+
+def test_dau_wau_stickiness_bounds(spark):
+    """sum_dau ≤ 7·wau (each user counts ≤ once per day) so stickiness
+    ≤ 1e6; wau ≥ any single day's contribution."""
+    out = SPECS["analytics_dau_wau"].fn(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r.sum_dau <= 7 * r.wau
+        assert 0 < r.stickiness_1e6 <= 1_000_000
+        assert r.wau <= r.sum_dau  # every weekly active has >=1 active day

@@ -131,7 +131,9 @@ def test_no_cartesian_products_anywhere(spark):
                         # 1-row n broadcast for the quantile denominator
                         "feat_rank_bucketize",
                         # 1-row global-moments broadcast into the screen
-                        "stats_bh_fdr"}
+                        "stats_bh_fdr",
+                        # 1-row recency-anchor broadcast into the decay sum
+                        "analytics_decay_score"}
     for key, spec in SPECS.items():
         if key == "join_cross" or "streaming" in spec.tags:
             continue
