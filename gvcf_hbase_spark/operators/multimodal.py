@@ -20,7 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from gvcf_hbase_spark.functions.vectors import as_double, norm
 from gvcf_hbase_spark.registry import register
@@ -659,4 +659,83 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("dup_ratio_1e6"),
+    )
+
+
+_SHARD_BUDGET = 8_192  # bytes per training shard (soft cap)
+_SHARD_BKT_W = 100  # docs per prefix-sum bucket
+
+_SHARD_MANIFEST_ORACLE = f"""
+    WITH sized AS (
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_bytes,
+             sum(n_bytes) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS c
+      FROM sized
+    ),
+    assigned AS (
+      SELECT doc_id, n_bytes, c - n_bytes AS off,
+             CAST(floor(CAST(c - n_bytes AS DOUBLE) / {_SHARD_BUDGET}) AS BIGINT)
+               AS shard_id
+      FROM cum
+    )
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc,
+           CAST(min(off) AS BIGINT) AS shard_start_off
+    FROM assigned
+    GROUP BY shard_id
+"""
+
+
+@register("multimodal_shard_manifest", oracle=_SHARD_MANIFEST_ORACLE, tags=("multimodal", "curation"))
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest for binary payloads: lay payloads
+    out in stable doc_id order, assign each to the byte-budget shard its
+    span BEGINS in (soft cap — a straddling payload stays with its
+    shard, exactly `curate_pack_batches`' rule but in bytes), and emit
+    the per-shard index a tar-shard writer needs: item count, byte
+    mass, doc range, and the shard's start offset in the concatenated
+    stream.
+
+    Scale: byte offsets need a global prefix sum — computed with the
+    two-phase distributed form (per-bucket local cumsum + exclusive
+    offsets over ONE ROW PER BUCKET), bit-identical to the naive
+    single-partition window the oracle uses. The manifest aggregate is
+    #shards rows; payload bytes themselves never shuffle (the plan
+    touches only (doc_id, n_bytes))."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        (F.col("doc_id") / _SHARD_BKT_W).cast("long").alias("bkt"),
+    )
+    in_bkt = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = sized.withColumn("local_cum", F.sum("n_bytes").over(in_bkt))
+    bkt_tot = sized.groupBy("bkt").agg(F.sum("n_bytes").alias("bkt_sum"))
+    off_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bkt_tot.select(
+        "bkt", F.coalesce(F.sum("bkt_sum").over(off_w), F.lit(0)).alias("bkt_off")
+    )
+    assigned = (
+        local.join(F.broadcast(offsets), "bkt")
+        .withColumn("off", F.col("bkt_off") + F.col("local_cum") - F.col("n_bytes"))
+        .withColumn(
+            "shard_id",
+            F.floor(F.col("off").cast("double") / _SHARD_BUDGET).cast("long"),
+        )
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+        F.min("off").cast("bigint").alias("shard_start_off"),
     )

@@ -208,3 +208,38 @@ def test_blocked_pairs_random_vectors(spark):
             for r in _pairs_above_blocked(df, 0.2, blocks).collect()
         }
         assert got == want, (n, dim, blocks, len(got), len(want))
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """PQ-ADC top-5 must overlap the exact L2 top-5 — mean recall@5
+    >= 0.55 with 16x128 codebooks on 64-dim vectors (lossy by design;
+    this bounds HOW lossy — and iid synthetic vectors are the PQ worst
+    case), and per-query output is exactly 5 ranked rows excluding the
+    query itself."""
+    import numpy as np
+
+    out = SPECS["sim_pq_adc_topk"].fn(spark, SF_DIR).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append((r.rk, r.vec_id))
+    assert all(len(v) == 5 for v in by_q.values())
+    from gvcf_hbase_spark.sources.tables import load_table
+    from gvcf_hbase_spark.functions.vectors import as_double
+    import pyspark.sql.functions as F
+
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", as_double("embedding").alias("emb"))
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in emb], dtype="int64")
+    x = np.stack([np.asarray(r.emb, dtype="float64") for r in emb])
+    recalls = []
+    for q_id, got in by_q.items():
+        qv = x[ids == q_id][0]
+        d = ((x - qv) ** 2).sum(axis=1)
+        d[ids == q_id] = np.inf
+        exact = set(ids[np.argsort(d, kind="stable")[:5]].tolist())
+        approx = {v for _, v in got}
+        recalls.append(len(exact & approx) / 5)
+    assert sum(recalls) / len(recalls) >= 0.55, recalls
