@@ -70,6 +70,8 @@ def test_relational_paths_are_jvm_only(spark):
         "multimodal_byte_histogram",
         # round 4: declared Python scorer/extractor boundaries
         "dedup_semantic_centroid", "sim_mips_topk", "multimodal_scene_cuts",
+        # PQ encode + ADC scoring are declared mapInPandas stages
+        "sim_pq_adc_topk",
     }
     for key, spec in SPECS.items():
         if key in python_ok or "streaming" in spec.tags:
