@@ -127,8 +127,11 @@ def main() -> None:
         timed(k)  # warm up off the clock
 
     times: dict[str, float] = {}
+    # best-of-3 (was best-of-2): ambient co-tenant load on this host was
+    # observed inflating single runs ~1.2× uniformly; one extra sample
+    # per query costs ~15 s total and strips most of that tail noise.
     for k in keys:
-        times[k] = round(min(timed(k) for _ in range(2)), 4)
+        times[k] = round(min(timed(k) for _ in range(3)), 4)
 
     total = round(sum(times.values()), 4)
     comparable_15 = round(sum(times[k] for k in COMPARABLE_15 if k in times), 4)

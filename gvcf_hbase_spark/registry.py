@@ -58,6 +58,7 @@ _MODULES = [
     "gvcf_hbase_spark.streaming.batch_twins",
     "gvcf_hbase_spark.streaming.stream_ops",
     "gvcf_hbase_spark.sources.gvcf_text",
+    "gvcf_hbase_spark.sources.gvcf_datasource",
     "gvcf_hbase_spark.sources.binary_files",
     "gvcf_hbase_spark.plans.layout",
 ]

@@ -539,3 +539,33 @@ def test_ibs_counts_partition_sites(spark):
         assert r.ibs_score_1e6 == int(
             (2 * r.ibs2 + r.ibs1) * 1_000_000.0 / (2 * r.n_sites) + 0.5
         )
+
+
+def test_gvcf_datasource_partitions_and_region_filter(spark):
+    """The custom source plans one input split per sample file (4), and
+    a region predicate through the source equals the same predicate on
+    the JVM-parse path."""
+    from gvcf_hbase_spark.registry import load_all
+    from gvcf_hbase_spark.sources.gvcf_text import _fixture_lines, parse_gvcf_lines
+
+    S = load_all()
+    ds = S["source_gvcf_datasource"].fn(spark, SF_DIR)
+    # one input split per part FILE; the fixture writer emits >=1 file
+    # per sample dir (4 samples), more when the line DF had many tasks
+    import glob as _glob
+    from gvcf_hbase_spark.sources.gvcf_datasource import _ensure_fixture_files
+
+    n_files = len(
+        _glob.glob(_ensure_fixture_files(spark, SF_DIR) + "/sample_id=*/part-*")
+    )
+    assert n_files >= 4
+    assert ds.rdd.getNumPartitions() == n_files
+    region = ds.filter(
+        (F.col("contig") == "chr1") & (F.col("start") >= 100) & (F.col("start") <= 500)
+    )
+    jvm = parse_gvcf_lines(_fixture_lines(spark, SF_DIR, span=9)).filter(
+        (F.col("contig") == "chr1") & (F.col("start") >= 100) & (F.col("start") <= 500)
+    )
+    a = sorted(map(tuple, region.collect()))
+    b = sorted(map(tuple, jvm.collect()))
+    assert a == b and a
