@@ -1123,3 +1123,59 @@ def agg_listagg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"),
         F.countDistinct("o_orderstatus").cast("bigint").alias("n_statuses"),
     )
+
+
+_FILE_META_ORACLE = """
+    SELECT l_orderkey % 8 AS bucket_from_path,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS min_key,
+           CAST(max(l_orderkey) AS BIGINT) AS max_key
+    FROM lineitem
+    GROUP BY 1
+"""
+
+
+@register("scan_file_metadata", oracle=_FILE_META_ORACLE, tags=("source", "layout"))
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hidden ``_metadata`` file column on file sources: write a
+    hive-partitioned copy, then recover each row's partition FROM THE
+    FILE PATH (``_metadata.file_path``) rather than from any data
+    column, and aggregate per recovered bucket. Hash-matching the
+    data-derived oracle proves path metadata and data agree row-for-row
+    — the mechanism behind file-grain auditing, incremental-load
+    bookkeeping (which files fed a row), and CDC file manifests.
+
+    Scale: `_metadata` is constant-per-split metadata, not I/O — zero
+    extra column read; the aggregate is one map-side-combining pass.
+    The partitioned copy is cached per sf_dir behind a _SUCCESS marker
+    with write-to-temp + atomic rename (the source_xml_roundtrip
+    discipline)."""
+    import hashlib
+    import os
+    import shutil
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_orderkey") % 8).alias("bucket")
+    )
+    out = "/tmp/gvcf_filemeta_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    if not os.path.isfile(f"{out}/_SUCCESS"):
+        tmp = f"{out}.tmp.{os.getpid()}"
+        li.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        if os.path.isfile(f"{out}/_SUCCESS"):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            try:
+                os.rename(tmp, out)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+    back = spark.read.parquet(out)
+    bucket_from_path = (
+        F.regexp_extract(F.col("_metadata.file_path"), r"bucket=(\d+)", 1)
+        .cast("long")
+        .alias("bucket_from_path")
+    )
+    return back.select(bucket_from_path, "l_orderkey").groupBy("bucket_from_path").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("l_orderkey").cast("bigint").alias("min_key"),
+        F.max("l_orderkey").cast("bigint").alias("max_key"),
+    )

@@ -1204,3 +1204,63 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+_PIPE_SYNTAX_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_qty_c,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_pipe_syntax", oracle=_PIPE_SYNTAX_ORACLE, tags=("sql",))
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (`|>`): the Q1-style pricing summary
+    written as a linear pipeline — FROM |> WHERE |> AGGREGATE ... GROUP
+    BY — instead of inside-out nested SQL. Pipe operators are pure
+    surface syntax: the parser lowers them to the SAME logical plan as
+    the standard form (filter → partial+final hash aggregate with
+    pushdown intact), which the standard-SQL oracle proves by hash."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_pipe")
+    return spark.sql("""
+        FROM v_lineitem_pipe
+        |> WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
+        |> AGGREGATE CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS sum_qty_c,
+                     CAST(count(*) AS BIGINT) AS n
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, sum_qty_c, n
+    """)
+
+
+_SQL_SCRIPTING_ORACLE = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_orderkey > (SELECT max(o_orderkey) FROM orders) / 2
+    GROUP BY o_orderpriority
+"""
+
+
+@register("sql_scripting_vars", oracle=_SQL_SCRIPTING_ORACLE, tags=("sql",))
+def sql_scripting_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (BEGIN…END): a session variable DECLAREd,
+    SET from a scalar query, then used as a predicate in the script's
+    final statement — the migration surface for stored-procedure-style
+    workloads (no driver round trip between statements; the script runs
+    inside the SQL engine). The oracle inlines the variable as a scalar
+    subquery, proving the variable binding."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_script")
+    return spark.sql("""
+        BEGIN
+          DECLARE hi BIGINT DEFAULT 0;
+          SET hi = (SELECT max(o_orderkey) FROM v_orders_script);
+          SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+          FROM v_orders_script
+          WHERE o_orderkey > hi / 2
+          GROUP BY o_orderpriority;
+        END
+    """)

@@ -201,3 +201,57 @@ def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInArrow(gen, "doc_id long, text_chars int, n_fields int")
+
+
+class SplitFirstNUDTF:
+    """Python UDTF with a DYNAMIC output schema: ``analyze()`` runs at
+    plan time and derives the column list from the constant ``n``
+    argument — the Spark 4 mechanism behind polymorphic table functions
+    (wide-format exploders, schema-from-config readers). ``eval`` pads
+    missing positions with '' to match SQL ``split_part`` semantics."""
+
+    @staticmethod
+    def analyze(doc_id, text, n):
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        k = int(n.value)
+        return AnalyzeResult(
+            schema=StructType(
+                [StructField("doc_id", LongType())]
+                + [StructField(f"tok{i}", StringType()) for i in range(k)]
+            )
+        )
+
+    def eval(self, doc_id, text, n):
+        toks = text.split(" ")
+        yield tuple(
+            [doc_id] + [(toks[i] if i < len(toks) else "") for i in range(n)]
+        )
+
+
+@register(
+    "udtf_analyze_dynamic",
+    oracle="""
+    SELECT doc_id,
+           split_part(text, ' ', 1) AS tok0,
+           split_part(text, ' ', 2) AS tok1,
+           split_part(text, ' ', 3) AS tok2
+    FROM documents
+    """,
+    tags=("udf",),
+)
+def udtf_analyze_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-schema Python UDTF: the output columns (tok0..tok2) exist
+    only because ``analyze()`` saw the literal 3 at PLAN time — no
+    returnType is declared at registration. The oracle is the static
+    split_part twin, proving the planned schema and per-row padding
+    semantics. Same lateral-join scale shape as `udtf_shingles`: the
+    UDTF runs Arrow-batched per partition, no shuffle introduced."""
+    spark.udtf.register("split_first_n", udtf(SplitFirstNUDTF))
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__docs_for_dyn_udtf")
+    return spark.sql(
+        "SELECT s.doc_id, s.tok0, s.tok1, s.tok2 "
+        "FROM __docs_for_dyn_udtf d, LATERAL split_first_n(d.doc_id, d.text, 3) s"
+    )

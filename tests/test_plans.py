@@ -72,6 +72,8 @@ def test_relational_paths_are_jvm_only(spark):
         "dedup_semantic_centroid", "sim_mips_topk", "multimodal_scene_cuts",
         # PQ encode + ADC scoring are declared mapInPandas stages
         "sim_pq_adc_topk",
+        # dynamic-schema Python UDTF is a declared Python boundary
+        "udtf_analyze_dynamic",
     }
     for key, spec in SPECS.items():
         if key in python_ok or "streaming" in spec.tags:
