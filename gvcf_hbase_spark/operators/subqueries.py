@@ -1264,3 +1264,36 @@ def sql_scripting_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY o_orderpriority;
         END
     """)
+
+
+_PARAMETERIZED_ORACLE = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 9000
+    GROUP BY o_orderpriority
+"""
+
+
+@register("sql_parameterized", oracle=_PARAMETERIZED_ORACLE, tags=("sql",))
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with named markers plus the IDENTIFIER clause:
+    values bind as typed parameters (:lo/:hi — never string-spliced, the
+    injection-safe templating surface) and the table name binds through
+    IDENTIFIER(:tbl), the sanctioned way to make object names dynamic.
+    Catalyst sees the bound literals BEFORE optimization, so pushdown
+    and partition pruning work exactly as with inline constants — which
+    the inline-constant oracle proves by hash."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_param")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderkey BETWEEN :lo AND :hi
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "v_orders_param", "lo": 1000, "hi": 9000},
+    )

@@ -1234,3 +1234,130 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("xs.v").alias("max_v_cents"),
         F.col("xs.t_us").alias("max_t_us"),
     )
+
+
+_LTTB_ORACLE = f"""
+    WITH pts AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {86_400_000_000} AS day,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, day,
+             CAST(sum(t_us) AS DOUBLE) / count(*) AS at,
+             CAST(sum(v) AS DOUBLE) / count(*) AS av,
+             min(day) OVER (PARTITION BY event_type) AS first_day,
+             max(day) OVER (PARTITION BY event_type) AS last_day
+      FROM pts GROUP BY event_type, day
+    ),
+    anchors AS (
+      SELECT event_type, day, first_day, last_day,
+             lag(at)  OVER (PARTITION BY event_type ORDER BY day) AS ax,
+             lag(av)  OVER (PARTITION BY event_type ORDER BY day) AS ay,
+             lead(at) OVER (PARTITION BY event_type ORDER BY day) AS cx,
+             lead(av) OVER (PARTITION BY event_type ORDER BY day) AS cy
+      FROM b
+    ),
+    scored AS (
+      SELECT p.event_type, p.day, p.t_us, p.event_id, p.v,
+             a.first_day, a.last_day,
+             abs((a.ax - a.cx) * (p.v - a.ay) - (a.ax - p.t_us) * (a.cy - a.ay))
+               AS area
+      FROM pts p JOIN anchors a USING (event_type, day)
+    ),
+    ranked AS (
+      SELECT *,
+             CASE WHEN day = first_day THEN
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY t_us, event_id)
+             WHEN day = last_day THEN
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY t_us DESC, event_id DESC)
+             ELSE
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY area DESC, t_us, event_id)
+             END AS rk
+      FROM scored
+    )
+    SELECT event_type, day, t_us AS sel_t_us, v AS sel_v_cents,
+           CASE WHEN day = first_day THEN 'first'
+                WHEN day = last_day THEN 'last' ELSE 'lttb' END AS kind
+    FROM ranked WHERE rk = 1
+"""
+
+
+@register("ts_downsample_lttb", oracle=_LTTB_ORACLE, tags=("timeseries", "window"))
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling (largest-triangle-three-buckets, Steinarsson
+    2013), PARALLEL variant: per bucket keep the point whose triangle
+    with the NEIGHBOR BUCKET AVERAGES has the largest area — the
+    shape-preserving one-point-per-bucket sibling of `ts_downsample_m4`.
+    Exact LTTB anchors on the previously SELECTED point, a sequential
+    chain; anchoring on bucket averages instead makes every bucket
+    independent (this is LTTB's own within-step treatment of the NEXT
+    bucket, applied to both sides) — the standard parallelization, and
+    the first/last series points are kept exactly as in the original.
+
+    Scale: one partial+final aggregate for bucket averages, lag/lead
+    over the per-(series,bucket) rows (tiny), anchors joined back by
+    their own grouping key, one bounded per-bucket argmax window.
+    Cross-products run in doubles (exactly-rounded mults — int64 would
+    overflow at µs×cents magnitudes; SURVEY §5.4 IEEE discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    us_day = 86_400_000_000
+    pts = ev.select(
+        "event_type",
+        F.expr(f"ts_us_long div {us_day}").alias("day"),
+        F.col("ts_us_long").alias("t_us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    b = pts.groupBy("event_type", "day").agg(
+        (F.sum("t_us").cast("double") / F.count("*")).alias("at"),
+        (F.sum("v").cast("double") / F.count("*")).alias("av"),
+    )
+    sw = Window.partitionBy("event_type")
+    ow = Window.partitionBy("event_type").orderBy("day")
+    anchors = b.select(
+        "event_type",
+        "day",
+        F.min("day").over(sw).alias("first_day"),
+        F.max("day").over(sw).alias("last_day"),
+        F.lag("at").over(ow).alias("ax"),
+        F.lag("av").over(ow).alias("ay"),
+        F.lead("at").over(ow).alias("cx"),
+        F.lead("av").over(ow).alias("cy"),
+    )
+    j = pts.join(F.broadcast(anchors), ["event_type", "day"])
+    area = F.abs(
+        (F.col("ax") - F.col("cx")) * (F.col("v") - F.col("ay"))
+        - (F.col("ax") - F.col("t_us")) * (F.col("cy") - F.col("ay"))
+    )
+    wf = Window.partitionBy("event_type", "day").orderBy("t_us", "event_id")
+    wl = Window.partitionBy("event_type", "day").orderBy(
+        F.col("t_us").desc(), F.col("event_id").desc()
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy(
+        area.desc(), "t_us", "event_id"
+    )
+    rk = (
+        F.when(F.col("day") == F.col("first_day"), F.row_number().over(wf))
+        .when(F.col("day") == F.col("last_day"), F.row_number().over(wl))
+        .otherwise(F.row_number().over(wa))
+    )
+    return (
+        j.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "day",
+            F.col("t_us").alias("sel_t_us"),
+            F.col("v").alias("sel_v_cents"),
+            F.when(F.col("day") == F.col("first_day"), F.lit("first"))
+            .when(F.col("day") == F.col("last_day"), F.lit("last"))
+            .otherwise(F.lit("lttb"))
+            .alias("kind"),
+        )
+    )

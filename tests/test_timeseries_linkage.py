@@ -291,3 +291,35 @@ def test_binary_files_roundtrip_fidelity(spark):
     )
     got = out.set_index("doc_id")["n_bytes"]
     assert got.sort_index().equals(docs.sort_index().astype(got.dtype))
+
+
+def test_lttb_keeps_endpoints_and_one_point_per_bucket(spark):
+    """Exactly one selected point per (series, day); the first/last
+    buckets keep the series' exact first/last points; selected points
+    exist in the raw series."""
+    import pyspark.sql.functions as F
+    from gvcf_hbase_spark.sources.tables import load_table
+
+    out = SPECS["ts_downsample_lttb"].fn(spark, SF_DIR).collect()
+    seen = {}
+    for r in out:
+        assert (r.event_type, r.day) not in seen
+        seen[(r.event_type, r.day)] = r
+    kinds = {}
+    for r in out:
+        kinds.setdefault(r.event_type, []).append(r.kind)
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", "ts_us_long",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    firsts = {
+        r.event_type: (r.t, r.v)
+        for r in ev.groupBy("event_type")
+        .agg(F.min_by(F.struct("ts_us_long", "v"), "ts_us_long").alias("s"))
+        .select("event_type", F.col("s.ts_us_long").alias("t"), F.col("s.v").alias("v"))
+        .collect()
+    }
+    for et, ks in kinds.items():
+        assert ks.count("first") == 1 and ks.count("last") == 1
+        fr = next(r for r in out if r.event_type == et and r.kind == "first")
+        assert (fr.sel_t_us, fr.sel_v_cents) == firsts[et]
