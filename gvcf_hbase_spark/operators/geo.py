@@ -334,3 +334,76 @@ def geo_trajectory_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("hop_1e6").cast("bigint").alias("max_hop_1e6"),
         )
     )
+
+
+# Non-convex 6-vertex test polygon (lon = x, lat = y), vertices offset to
+# .005 fractions so the .01-granular synthesized points never sit exactly
+# on a vertex latitude. Counter-clockwise-ish, with a notch at (1, 0.5).
+_POLY = [
+    (-12.005, -4.005),
+    (-2.005, -5.505),
+    (6.005, -2.005),
+    (1.005, 0.505),
+    (8.005, 3.505),
+    (-6.005, 4.505),
+]
+
+
+def _poly_cross_sql() -> str:
+    terms = []
+    n = len(_POLY)
+    for i in range(n):
+        x1, y1 = _POLY[i]
+        x2, y2 = _POLY[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN ({y1} > lat) <> ({y2} > lat) "
+            f"AND lon < {x1} + (lat - {y1}) * {x2 - x1} / {y2 - y1} "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_POLY_CONTAINS_ORACLE = f"""
+    WITH pts AS (
+      SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer
+    )
+    SELECT c_custkey,
+           CAST(({_poly_cross_sql()}) AS BIGINT) AS n_crossings,
+           (({_poly_cross_sql()}) % 2) = 1 AS inside
+    FROM pts
+"""
+
+
+@register("geo_polygon_contains", oracle=_POLY_CONTAINS_ORACLE, tags=("geo",))
+def geo_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon by ray casting against a literal non-convex
+    polygon: count edges a rightward ray from the point crosses — odd =
+    inside. Pure +,-,*,/ comparisons (no transcendentals, unlike the
+    haversine ops' round-absorbed sin/cos), so both engines agree
+    bit-for-bit without any rounding step.
+
+    Scale: embarrassingly parallel map work — the 6-edge fold is one
+    codegen'd expression per row, zero shuffle. With MANY polygons the
+    production shape is a bbox-grid bucket join first (the
+    `join_geo_grid` machinery) so each point only ray-casts candidate
+    polygons; with one literal polygon the bbox prune is constant-folded
+    by Catalyst and adds nothing, so it is omitted."""
+    pts = _points(spark, sf_dir)
+    n = len(_POLY)
+    cross = F.lit(0)
+    for i in range(n):
+        x1, y1 = _POLY[i]
+        x2, y2 = _POLY[(i + 1) % n]
+        hit = (
+            ((F.lit(y1) > F.col("lat")) != (F.lit(y2) > F.col("lat")))
+            & (
+                F.col("lon")
+                < F.lit(x1) + (F.col("lat") - F.lit(y1)) * F.lit(x2 - x1) / F.lit(y2 - y1)
+            )
+        )
+        cross = cross + F.when(hit, 1).otherwise(0)
+    return pts.select(
+        "c_custkey",
+        cross.cast("bigint").alias("n_crossings"),
+        (cross % 2 == 1).alias("inside"),
+    )

@@ -538,3 +538,36 @@ def test_hierarchy_depth_is_bit_length(spark):
     for r in rows:
         assert r.depth == int(r.node).bit_length()
         assert r.root_child == (1 if r.node >= 1 else None)
+
+
+def test_polygon_contains_matches_winding_number(spark):
+    """Engine ray-cast vs an INDEPENDENT winding-number implementation
+    (different algorithm, so a shared sign/direction bug can't hide):
+    every point's inside verdict must agree, and the split is
+    non-degenerate."""
+    from gvcf_hbase_spark.operators.geo import _POLY
+
+    rows = SPECS["geo_polygon_contains"].fn(spark, SF_DIR).collect()
+    assert rows
+
+    def winding(px, py):
+        w = 0
+        n = len(_POLY)
+        for i in range(n):
+            x1, y1 = _POLY[i]
+            x2, y2 = _POLY[(i + 1) % n]
+            if y1 <= py:
+                if y2 > py and (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) > 0:
+                    w += 1
+            elif y2 <= py and (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) < 0:
+                w -= 1
+        return w != 0
+
+    n_inside = 0
+    for r in rows:
+        lat = (r.c_custkey * 7919) % 1200 / 100.0 - 6.0
+        lon = (r.c_custkey * 104729) % 3400 / 100.0 - 17.0
+        expect = winding(lon, lat)
+        assert r.inside == expect, (r.c_custkey, lon, lat, r.n_crossings, expect)
+        n_inside += r.inside
+    assert 0 < n_inside < len(rows)
