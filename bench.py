@@ -66,6 +66,12 @@ HEADLINE = [
     # keyed cohort self-join behind the concordance matrix
     "sim_kmeans_step",
     "gvcf_genotype_concordance",
+    # round-4 widening batch 3 (late continuation): the two-phase
+    # distributed exact rank, the corpus-frequency segment dedup with
+    # in-row reassembly, and the site-key pair-expansion IBS screen
+    "feat_rank_bucketize",
+    "curate_segment_dedup",
+    "gvcf_relatedness_ibs",
 ]
 
 # The r01/r02-era comparable subset: round-over-round perf comparisons read

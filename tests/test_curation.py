@@ -174,3 +174,29 @@ def test_cc_lss_random_graphs_match_union_find(spark):
             (r.doc_id, r.cluster_id) for r in connected_components_lss(df).collect()
         )
         assert got == expected, f"seed={seed}"
+
+
+def test_segment_dedup_edges_and_reassembly(spark, tmp_path):
+    """Short docs (1 token = 1 partial segment), a doc whose every
+    segment is corpus-frequent (drops to empty string), and order-
+    preserving reassembly. Segment width 3, max occurrence 2."""
+    from tests.test_round3c_ops import _write_documents
+
+    boiler = "cookie banner text"
+    sf = _write_documents(
+        spark, tmp_path,
+        [
+            (boiler, "en", "s"),                          # 0: one segment
+            (boiler, "en", "s"),                          # 1: same (occ 2 so far)
+            (boiler, "en", "s"),                          # 2: occ 3 -> ALL drop
+            ("alpha beta gamma " + boiler, "en", "s"),    # 3: keeps first seg only
+            ("x", "en", "s"),                             # 4: 1-token partial segment
+        ],
+    )
+    out = {r.doc_id: r for r in SPECS["curate_segment_dedup"].fn(spark, sf).collect()}
+    # the boilerplate segment occurs 4x corpus-wide (> 2) -> dropped everywhere
+    for i in (0, 1, 2):
+        assert out[i].cleaned == "" and out[i].n_kept == 0 and out[i].n_dropped == 1
+    assert out[3].cleaned == "alpha beta gamma"
+    assert out[3].n_kept == 1 and out[3].n_dropped == 1
+    assert out[4].cleaned == "x" and out[4].n_kept == 1 and out[4].n_dropped == 0
