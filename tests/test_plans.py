@@ -691,3 +691,20 @@ def test_scene_cuts_shuffle_after_reduction(spark):
         b for b in plan.split("\n\n") if b.lstrip().startswith("(") and "Exchange" in b.split("\n")[0]
     ]
     assert exchange_blocks and all("payload" not in b for b in exchange_blocks)
+
+
+def test_round4_continuation_plan_shapes(spark):
+    """Exchange-count ceilings for the late round-4 flagship shapes: a
+    creeping extra shuffle fails the build, not the 100 TB run."""
+    bounds = {
+        "gvcf_singleton_share": 5,     # sites agg + carrier co-partition +
+                                       # sample rollup (partial+final)
+        "curate_segment_dedup": 5,     # gram-count agg + fp join + doc rollups
+        "gvcf_relatedness_ibs": 4,     # site-key co-partition both sides + pair agg
+        "feat_rank_bucketize": 6,      # vbkt window + tiny offsets + n + join
+        "multimodal_shard_manifest": 5,  # bucket window + offsets + shard agg
+    }
+    for key, cap in bounds.items():
+        plan = explain_str(SPECS[key].fn(spark, SF_DIR))
+        n = plan.count("Exchange ")
+        assert n <= cap, f"{key}: {n} exchanges (cap {cap}) — extra shuffle crept in"
