@@ -1565,3 +1565,53 @@ def curate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_dropped"),
     )
+
+
+_EPOCH_SHUFFLE_N_SHARDS = 8
+_EPOCH_SHUFFLE_EPOCHS = 2
+
+_EPOCH_SHUFFLE_ORACLE = f"""
+    SELECT e.epoch, d.doc_id,
+           md5(concat('ep', CAST(e.epoch AS VARCHAR), ':',
+                      CAST(d.doc_id AS VARCHAR))) AS sort_key,
+           CAST(concat('0x', substr(md5(concat('ep', CAST(e.epoch AS VARCHAR),
+                       ':', CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+             % {_EPOCH_SHUFFLE_N_SHARDS} AS shard
+    FROM documents d
+    CROSS JOIN (SELECT unnest(range({_EPOCH_SHUFFLE_EPOCHS})) AS epoch) e
+"""
+
+
+@register("curate_epoch_shuffle", oracle=_EPOCH_SHUFFLE_ORACLE, tags=("curation",))
+def curate_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-epoch shuffling: epoch e orders the corpus
+    by md5('ep{{e}}:' || doc_id) and shards it by the hash prefix — a
+    different permutation every epoch, yet bit-reproducible on re-run,
+    resume, or backfill (seeded-RNG shuffles are partitioning- and
+    scheduling-dependent; hash order is a pure function of the row).
+    The reader sorts within its shard by sort_key — no global sort
+    exists anywhere; the shard assignment IS the distributed shuffle.
+
+    Scale: pure map work per epoch (the epoch dim is a literal
+    broadcast); at 100 TB each epoch's shards are written
+    partitionBy(shard) and trainers stream shard files in sort_key
+    order — the standard reshuffle-between-epochs recipe with zero
+    cluster-side sorting."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(_EPOCH_SHUFFLE_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    j = d.crossJoin(F.broadcast(epochs))
+    key = F.md5(
+        F.concat(
+            F.lit("ep"), F.col("epoch").cast("string"), F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    return j.select(
+        "epoch",
+        "doc_id",
+        key.alias("sort_key"),
+        (
+            F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+            % _EPOCH_SHUFFLE_N_SHARDS
+        ).alias("shard"),
+    )

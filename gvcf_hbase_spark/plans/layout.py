@@ -683,3 +683,86 @@ def _register_round4_sinks() -> None:
 
 
 _register_round4_sinks()
+
+
+def _register_wap_sink() -> None:
+    from gvcf_hbase_spark.registry import register
+    from gvcf_hbase_spark.sources.tables import load_table
+
+    @register(
+        "sink_write_audit_publish",
+        oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM orders
+        WHERE o_orderkey % 3 <> 0
+        GROUP BY o_orderpriority
+        """,
+        tags=("sink", "layout"),
+    )
+    def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Write-Audit-Publish (the Iceberg/Delta WAP pattern without a
+        table format): the new snapshot lands in an UNPUBLISHED staging
+        dir, an AUDIT pass validates it (row count + key checksum
+        recomputed from the staged files must equal the expectation
+        computed from the source — a corrupt or partial write never
+        publishes), and only then an atomic pointer swap (os.replace of
+        a one-line manifest) makes readers see it. Readers resolve the
+        pointer first, so they observe the old or the new snapshot,
+        never a mix — the isolation a bare directory overwrite cannot
+        give. Final read-back through the pointer is hash-verified
+        against the source-side oracle (losslessness of the whole
+        write→audit→publish→read cycle).
+
+        Scale: audit is one aggregate over the staged files (count +
+        xor-ish sum of keys); publish is O(1) metadata. Same posture as
+        production WAP: data volume touches the cluster, the commit is
+        a pointer."""
+        import hashlib
+        import os
+        import tempfile
+
+        snap = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 3 != 0
+        ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+        root = tempfile.mkdtemp(prefix="gvcf_wap_")
+        version = "v2"
+        staging = f"{root}/{version}"
+        snap.write.mode("overwrite").parquet(staging)
+
+        # AUDIT: recompute from the STAGED FILES and compare to the source
+        expect = snap.agg(
+            F.count("*").alias("n"), F.sum("o_orderkey").alias("ksum")
+        ).collect()[0]
+        staged = spark.read.parquet(staging)
+        got = staged.agg(
+            F.count("*").alias("n"), F.sum("o_orderkey").alias("ksum")
+        ).collect()[0]
+        if (got.n, got.ksum) != (expect.n, expect.ksum):
+            raise RuntimeError(
+                f"WAP audit failed: staged ({got.n},{got.ksum}) "
+                f"!= expected ({expect.n},{expect.ksum}) — not publishing"
+            )
+
+        # PUBLISH: atomic pointer swap
+        ptr_tmp = f"{root}/.ptr.{os.getpid()}"
+        with open(ptr_tmp, "w", encoding="utf-8") as fh:
+            fh.write(version)
+        os.replace(ptr_tmp, f"{root}/CURRENT")
+
+        # READ path: resolve pointer, then read the published snapshot
+        with open(f"{root}/CURRENT", encoding="utf-8") as fh:
+            published = fh.read().strip()
+        back = spark.read.parquet(f"{root}/{published}")
+        return back.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).cast("bigint").alias("total_cents"),
+        )
+
+
+_register_wap_sink()

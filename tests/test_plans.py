@@ -140,7 +140,9 @@ def test_no_cartesian_products_anywhere(spark):
                         "analytics_decay_score",
                         # <=2-row rank dim probed against the ~100-row
                         # histogram (containment predicate, tiny by design)
-                        "agg_median_twophase"}
+                        "agg_median_twophase",
+                        # 2-row literal epoch dim crossed into the corpus
+                        "curate_epoch_shuffle"}
     for key, spec in SPECS.items():
         if key == "join_cross" or "streaming" in spec.tags:
             continue
