@@ -1615,3 +1615,102 @@ def curate_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _EPOCH_SHUFFLE_N_SHARDS
         ).alias("shard"),
     )
+
+
+# Deterministic dirty-URL synthesis: scheme/host case noise, a default
+# :80 port, and a utm tracking param in varying positions. The dirt keys
+# on doc_id % 7 while the canonical identity keys on % 3/% 5/% 20 —
+# 7 ∤ lcm(3,5,20,2)=60, so every canonical group contains SEVERAL raw
+# spellings and the dedup genuinely collapses case/port/utm variants.
+_URL_RAW_SQL = """concat(
+    CASE WHEN doc_id % 7 = 0 THEN 'HTTP://WWW.Example' ELSE 'http://www.example' END,
+    CAST(doc_id % 3 AS VARCHAR), '.com',
+    CASE WHEN doc_id % 7 < 3 THEN ':80' ELSE '' END,
+    '/path/', CAST(doc_id % 5 AS VARCHAR), '/',
+    CASE WHEN doc_id % 7 = 1 THEN concat('?utm_source=news&id=', CAST(doc_id % 20 AS VARCHAR))
+         WHEN doc_id % 7 = 2 THEN concat('?id=', CAST(doc_id % 20 AS VARCHAR), '&utm_campaign=x')
+         ELSE concat('?id=', CAST(doc_id % 20 AS VARCHAR)) END)"""
+
+_URL_CANON_STEPS_SQL = """
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            concat(lower(regexp_extract({url}, '^[^/]*//[^/]*', 0)),
+                   regexp_replace({url}, '^[^/]*//[^/]*', '')),
+            ':80(/|$)', '\\1'),
+          'utm_[^&]*&', ''),
+        '[?&]utm_[^&]*$', '')"""
+
+
+def _url_canon_col(url):
+    """Engine-portable URL canonicalization: lowercase the
+    scheme://host prefix (path/query case is significant, host case is
+    not), strip the default :80 port, drop utm_* tracking params
+    whether they sit first, middle, or last — identical regexps run on
+    both engines."""
+    prefix = F.regexp_extract(url, r"^[^/]*//[^/]*", 0)
+    rest = F.regexp_replace(url, r"^[^/]*//[^/]*", "")
+    c = F.concat(F.lower(prefix), rest)
+    c = F.regexp_replace(c, r":80(/|$)", r"$1")
+    c = F.regexp_replace(c, r"utm_[^&]*&", "")
+    return F.regexp_replace(c, r"[?&]utm_[^&]*$", "")
+
+
+_URL_DEDUP_ORACLE = f"""
+    WITH raw AS (SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents),
+    canon AS (
+      SELECT doc_id, url,
+             {_URL_CANON_STEPS_SQL.format(url="url")} AS canonical_url
+      FROM raw
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_dupes,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM canon
+    GROUP BY canonical_url
+"""
+
+
+@register("curate_url_dedup", oracle=_URL_DEDUP_ORACLE, tags=("curation", "dedup"))
+def curate_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the first dedup any web-crawl
+    pipeline runs (cheaper than any content hash: the KEY collapses).
+    Canonical form lowercases scheme+host only (path/query case is
+    significant), strips the default :80 port, and drops utm_*
+    tracking params in any position; groups then count duplicates and
+    pick the keeper (min doc_id). The canonicalizer works on the URL
+    STRING (not by re-deriving from the synthesis), so the oracle's
+    identical regexps check real string surgery.
+
+    Scale: canonicalization is pure map work; the dedup aggregate
+    shuffles canonical keys only. At 100 TB this runs BEFORE fetching
+    or hashing content — the whole point of key-level dedup."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.when(F.col("doc_id") % 7 == 0, F.lit("HTTP://WWW.Example")).otherwise(
+            F.lit("http://www.example")
+        ),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".com"),
+        F.when(F.col("doc_id") % 7 < 3, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/path/"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("/"),
+        F.when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(F.lit("?utm_source=news&id="), (F.col("doc_id") % 20).cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(F.lit("?id="), (F.col("doc_id") % 20).cast("string"), F.lit("&utm_campaign=x")),
+        )
+        .otherwise(F.concat(F.lit("?id="), (F.col("doc_id") % 20).cast("string"))),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    canon = raw.select("doc_id", "url", _url_canon_col(F.col("url")).alias("canonical_url"))
+    return canon.groupBy("canonical_url").agg(
+        F.count("*").cast("bigint").alias("n_dupes"),
+        F.countDistinct("url").cast("bigint").alias("n_raw_forms"),
+        F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+    )

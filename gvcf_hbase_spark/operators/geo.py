@@ -407,3 +407,60 @@ def geo_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
         cross.cast("bigint").alias("n_crossings"),
         (cross % 2 == 1).alias("inside"),
     )
+
+
+_GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GEOHASH_CHARS = 6  # 30 bits: 15 lon + 15 lat, interleaved lon-first
+
+
+def _geohash_bits_sql(lat: str, lon: str) -> str:
+    """30-bit interleaved geohash integer (lon bit first, MSB-first) as
+    engine-portable SQL: floors of scaled doubles, then shift-and-mask
+    interleave — pure integer arithmetic after the two floors."""
+    lonb = f"CAST(floor((({lon}) + 180.0) / 360.0 * 32768.0) AS BIGINT)"
+    latb = f"CAST(floor((({lat}) + 90.0) / 180.0 * 32768.0) AS BIGINT)"
+    terms = []
+    for t in range(15):
+        terms.append(f"((({lonb}) >> {14 - t}) & 1) * {1 << (29 - 2 * t)}")
+        terms.append(f"((({latb}) >> {14 - t}) & 1) * {1 << (28 - 2 * t)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _geohash_str_sql(bits: str) -> str:
+    chars = [
+        f"substr('{_GEOHASH_ALPHABET}', CAST((({bits}) >> {25 - 5 * i}) & 31 AS INT) + 1, 1)"
+        for i in range(_GEOHASH_CHARS)
+    ]
+    return "concat(" + ", ".join(chars) + ")"
+
+
+def geohash6(lat, lon):
+    """Column expression: standard 6-char geohash of (lat, lon) — the
+    interoperable cell id every geo stack understands (vs the internal
+    grid cells of `join_geo_grid`). Bit-exact across engines: two
+    floors, then integer shifts only."""
+    lat_s, lon_s = "__gh_lat", "__gh_lon"
+    expr = _geohash_str_sql(_geohash_bits_sql(lat_s, lon_s))
+    return F.expr(expr.replace(lat_s, "lat").replace(lon_s, "lon"))
+
+
+_GEOHASH_ORACLE = f"""
+    WITH pts AS (
+      SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer
+    )
+    SELECT c_custkey, {_geohash_str_sql(_geohash_bits_sql("lat", "lon"))} AS gh6
+    FROM pts
+"""
+
+
+@register("geo_geohash_encode", oracle=_GEOHASH_ORACLE, tags=("geo",))
+def geo_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard base-32 geohash encoding (6 chars ≈ 1.2 km × 0.6 km
+    cells): normalize → 15-bit quantize per axis → lon-first bit
+    interleave → base-32 chars. The Morton/Z-order kernel again
+    (`sink_zorder_layout`) but emitting the INTEROP string format, so
+    cells join directly against external geo datasets. Zero shuffle,
+    whole-stage codegen; prefix truncation gives coarser cells for
+    free (substr(gh6, 1, k))."""
+    pts = _points(spark, sf_dir)
+    return pts.select("c_custkey", geohash6(F.col("lat"), F.col("lon")).alias("gh6"))

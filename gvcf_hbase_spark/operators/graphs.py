@@ -15,7 +15,7 @@ directly.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from gvcf_hbase_spark.registry import register
 from gvcf_hbase_spark.sources.tables import load_table
@@ -836,4 +836,105 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(contrib).cast("bigint").alias("ra_1e6"),
         )
         .filter(F.col("n_common") >= 2)
+    )
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+    l{r} AS (
+      SELECT src AS node, label FROM (
+        SELECT a.src, l.label,
+               row_number() OVER (PARTITION BY a.src
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM adj a JOIN {prev} l ON l.node = a.dst
+        GROUP BY a.src, l.label)
+      WHERE rn = 1
+    )""")
+        prev = f"l{r}"
+    return f"""
+    WITH nodes AS (
+      SELECT c_custkey AS node, c_custkey // 6 AS g, c_custkey % 6 AS pos
+      FROM customer
+    ),
+    intra AS (
+      SELECT a.node AS u, b.node AS v
+      FROM nodes a JOIN nodes b ON a.g = b.g AND a.pos < b.pos
+    ),
+    bridge AS (
+      SELECT a.node AS u, b.node AS v
+      FROM nodes a JOIN nodes b ON b.node = a.node + 1
+      WHERE a.node % 6 = 5
+    ),
+    e AS (SELECT u, v FROM intra UNION ALL SELECT u, v FROM bridge),
+    adj AS (SELECT u AS src, v AS dst FROM e
+            UNION ALL SELECT v AS src, u AS dst FROM e),
+    l0 AS (SELECT node, node AS label FROM nodes),{",".join(rounds)}
+    SELECT node, label AS community,
+           CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
+             AS community_size
+    FROM {prev}
+"""
+
+
+@register("graph_lpa_communities", oracle=_lpa_oracle(), tags=("graph", "iterative"))
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (k=3 rounds, pinned tie rule):
+    every node adopts the MODE of its neighbors' labels, ties to the
+    smallest label — community detection, distinct from connected
+    components (`dedup_cluster_cc`): the fixture's 6-cliques joined by
+    single bridge edges stay SEPARATE communities (a bridge endpoint's
+    five clique neighbors outvote its one outside neighbor) where CC
+    would merge the whole chain into one component. Free-running LPA is
+    iteration-order-dependent; fixing synchronous rounds + the
+    count-then-min tie break makes it a well-defined, oracle-checkable
+    operator (the oracle unrolls the same 3 rounds as CTEs).
+
+    Scale per round: one edge-key shuffle (labels joined to the static
+    adjacency, checkpointed once) + one (node,label) mode aggregate with
+    map-side combine; O(rounds) passes like PageRank/k-core."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("node"))
+    nodes = c.select(
+        "node",
+        F.expr("node div 6").alias("g"),
+        (F.col("node") % 6).alias("pos"),
+    )
+    a, b = nodes.alias("a"), nodes.alias("b")
+    intra = a.join(b, "g").filter(F.col("a.pos") < F.col("b.pos")).select(
+        F.col("a.node").alias("u"), F.col("b.node").alias("v")
+    )
+    nxt = nodes.select((F.col("node") - 1).alias("prev_node"), F.col("node").alias("v"))
+    bridge = (
+        nodes.filter(F.col("node") % 6 == 5)
+        .join(nxt, F.col("node") == F.col("prev_node"))
+        .select(F.col("node").alias("u"), "v")
+    )
+    e = intra.union(bridge)
+    adj = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .union(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=False)  # static side, consumed every round
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(_LPA_ROUNDS):
+        nbr = adj.join(labels, adj["dst"] == labels["node"]).select(
+            "src", "label"
+        )
+        cnt = nbr.groupBy("src", "label").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("src").orderBy(F.col("c").desc(), "label")
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+    cw = Window.partitionBy("label")
+    return labels.select(
+        "node",
+        F.col("label").alias("community"),
+        F.count("*").over(cw).cast("bigint").alias("community_size"),
     )

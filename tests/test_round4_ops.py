@@ -571,3 +571,13 @@ def test_polygon_contains_matches_winding_number(spark):
         assert r.inside == expect, (r.c_custkey, lon, lat, r.n_crossings, expect)
         n_inside += r.inside
     assert 0 < n_inside < len(rows)
+
+
+def test_geohash_known_value(spark):
+    """The canonical example: geohash(57.64911, 10.40744) = 'u4pruy'
+    (external ground truth, not our own formula replayed)."""
+    import pyspark.sql.functions as F
+    from gvcf_hbase_spark.operators.geo import geohash6
+
+    df = spark.createDataFrame([(57.64911, 10.40744)], "lat double, lon double")
+    assert df.select(geohash6(F.col("lat"), F.col("lon")).alias("g")).collect()[0].g == "u4pruy"
