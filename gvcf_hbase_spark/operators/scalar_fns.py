@@ -816,3 +816,40 @@ def fn_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ip").cast("bigint").alias("max_ip"),
         dotted.alias("min_ip_dotted"),
     )
+
+
+_AES_ORACLE = """
+    SELECT doc_id, text,
+           CAST(16 * (octet_length(encode(text)) // 16 + 1) AS BIGINT)
+             AS cipher_len
+    FROM documents
+"""
+
+
+@register("fn_aes_roundtrip", oracle=_AES_ORACLE, tags=("fn", "security"))
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: aes_encrypt → aes_decrypt must
+    be the identity (the oracle checks the decrypted text against the
+    plaintext — an engine-independent contract, not a replay of our own
+    ciphertext), plus the PKCS#7 ciphertext length law (16·⌊n/16+1⌋)
+    which IS deterministic under ECB. ECB is used precisely because the
+    roundtrip must be testable — GCM's random IV is the right call in
+    production and is one literal away; the at-rest pattern (encrypt on
+    write, decrypt behind a view) works identically.
+
+    Scale: pure codegen'd map work, zero shuffle; the key arrives as a
+    literal here but would come from a KMS-backed conf in production."""
+    d = load_table(spark, sf_dir, "documents")
+    # 16-byte AES-128 demo key, inlined in the exprs below
+    cipher = F.expr(
+        "aes_encrypt(text, '0123456789abcdef', 'ECB', 'PKCS')"
+    )
+    plain = F.expr(
+        "CAST(aes_decrypt(aes_encrypt(text, '0123456789abcdef', 'ECB', 'PKCS'),"
+        " '0123456789abcdef', 'ECB', 'PKCS') AS STRING)"
+    )
+    return d.select(
+        "doc_id",
+        plain.alias("text"),
+        F.octet_length(cipher).cast("bigint").alias("cipher_len"),
+    )
