@@ -95,6 +95,12 @@ COMPARABLE_15 = [
 ]
 
 
+# The r03-era 24-query headline (everything through anomaly_cusum):
+# second like-for-like series so r03→r05+ comparisons stay honest as
+# HEADLINE keeps widening (r04 verdict action 7).
+COMPARABLE_24 = HEADLINE[: HEADLINE.index("anomaly_cusum") + 1]
+
+
 def run_once(df) -> float:
     """Time the action only (plan construction stays off the clock, the
     r01/r02-comparable methodology)."""
@@ -141,6 +147,7 @@ def main() -> None:
 
     total = round(sum(times.values()), 4)
     comparable_15 = round(sum(times[k] for k in COMPARABLE_15 if k in times), 4)
+    comparable_24 = round(sum(times[k] for k in COMPARABLE_24 if k in times), 4)
     print(
         json.dumps(
             {
@@ -149,6 +156,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "comparable_15_total": comparable_15,
+                "comparable_24_total": comparable_24,
                 "sf": float(sf),
             }
         )

@@ -16,6 +16,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from gvcf_hbase_spark.functions.ranks import attach_two_phase_ntile
 from gvcf_hbase_spark.registry import register
 from gvcf_hbase_spark.sources.tables import load_table
 
@@ -598,22 +599,26 @@ def analytics_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative share down the curve.
 
     The log collapses in the per-customer aggregate (one shuffle); the
-    decile assignment is ONE global ntile window over the customer-level
-    table — the only global sort, on (rev, custkey) rows, with the pinned
-    tiebreak making decile boundaries deterministic. Everything after
-    runs on 10 rows (decile agg + two windows over it). At 100 TB the
-    global ntile over customers is the pressure point; the two-phase
-    distributed rank (`curate_pack_batches`' prefix-sum pattern) is the
-    drop-in replacement, leaving the decile table identical.
+    decile assignment is the TWO-PHASE distributed ntile
+    (`functions.ranks`): customers bucket by ``-(rev div 2^20)`` —
+    monotone under the (rev DESC, custkey) order, constant across rev
+    ties — rank locally per bucket, add the exclusive per-bucket offsets
+    (one row per bucket, broadcast), then decile = rank arithmetic. No
+    single-partition window ever sees the per-customer relation; the
+    pinned tiebreak keeps decile boundaries deterministic. Everything
+    after runs on 10 rows (decile agg + two windows over it).
     """
     o = load_table(spark, sf_dir, "orders")
     r = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("rev")
     )
-    d = r.select(
-        "rev",
-        F.ntile(10).over(Window.orderBy(F.col("rev").desc(), "o_custkey")).alias("decile"),
-    )
+    d = attach_two_phase_ntile(
+        r,
+        order=[F.col("rev").desc(), F.col("o_custkey")],
+        bucket=-F.floor(F.col("rev") / F.lit(1 << 20)),
+        tiles=10,
+        out="decile",
+    ).select("rev", F.col("decile").cast("int").alias("decile"))
     g = d.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
         F.sum("rev").alias("revenue_cents"),
@@ -1072,10 +1077,12 @@ _LIFT_ORACLE = """
     WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
     n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
     tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM ut GROUP BY 1),
+    tcf AS (SELECT tc.* FROM tc CROSS JOIN n WHERE n_t * 1000 >= n_users),
+    utf AS (SELECT ut.* FROM ut JOIN tcf USING (event_type)),
     pairs AS (
       SELECT a.event_type AS type_a, b.event_type AS type_b,
              CAST(count(*) AS BIGINT) AS n_ab
-      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      FROM utf a JOIN utf b ON a.user_id = b.user_id AND a.event_type < b.event_type
       GROUP BY 1, 2
     )
     SELECT type_a, type_b, n_ab,
@@ -1084,8 +1091,8 @@ _LIFT_ORACLE = """
            CAST(floor(n_ab * n.n_users * 1000000.0 / (ta.n_t * tb.n_t) + 0.5)
                 AS BIGINT) AS lift_1e6
     FROM pairs
-    JOIN tc ta ON ta.event_type = pairs.type_a
-    JOIN tc tb ON tb.event_type = pairs.type_b
+    JOIN tcf ta ON ta.event_type = pairs.type_a
+    JOIN tcf tb ON tb.event_type = pairs.type_b
     CROSS JOIN n
 """
 
@@ -1100,19 +1107,28 @@ def analytics_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     interactions.
 
     Pipeline: one distinct to (user, type) — the basket relation whose
-    shuffle is the only full-data exchange; the pair self-join is equi
-    on user_id with per-user fan-out ≤ (#types choose 2) (bounded by
-    the type vocabulary, NOT by event volume — a user with a million
-    events still contributes one row per type); the type-frequency and
-    user-count sides are vocabulary-sized broadcasts. Ratios are
-    integer-quantized. At web scale the identical plan runs with items
-    for types — fan-out then needs the standard frequent-item pruning
-    (drop types below minimum support BEFORE the pair join), which
-    drops in as one filter on the broadcast side."""
+    shuffle is the only full-data exchange; then the standard Apriori
+    FREQUENT-ITEM PRUNING: types below 0.1% user support are dropped
+    BEFORE the pair join via a broadcast semi-join of the
+    vocabulary-sized frequency table (on this fixture every type is
+    frequent, so the oracle — which applies the identical ``n_t * 1000
+    >= n_users`` predicate — sees the same rows; at web scale with
+    items for types this filter is what bounds the fan-out). The pair
+    self-join is equi on user_id with per-user fan-out ≤ (#frequent
+    types choose 2), NOT bounded by event volume; the type-frequency
+    and user-count sides are vocabulary-sized broadcasts. Ratios are
+    integer-quantized."""
     ev = load_table(spark, sf_dir, "events")
     ut = ev.select("user_id", "event_type").distinct()
     n = ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
-    tc = ut.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_t"))
+    tc = (
+        ut.groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_t"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("n_t") * 1000 >= F.col("n_users"))
+        .select("event_type", "n_t")
+    )
+    ut = ut.join(F.broadcast(tc.select("event_type")), "event_type", "leftsemi")
     a = ut.select("user_id", F.col("event_type").alias("type_a"))
     b = ut.select("user_id", F.col("event_type").alias("type_b"))
     pairs = (
@@ -1476,12 +1492,14 @@ def analytics_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The raw log collapses in ONE per-user hash aggregate (map-side
     combine, all-int partials); the anchor enters as a one-row broadcast.
-    Quintile assignment is three global ntile windows over the collapsed
-    per-user table with pinned (metric, user_id) tiebreaks — fully
-    deterministic on both engines. Like the pareto op, the global ntile
-    over #users rows is the 100 TB pressure point and the two-phase
-    distributed rank (`curate_pack_batches`) is the documented drop-in;
-    everything upstream keys on user_id and scales flat."""
+    Quintile assignment is three TWO-PHASE distributed ntiles
+    (`functions.ranks`), never a single-partition window over the
+    per-user relation: recency buckets by ``-recency_days`` (one bucket
+    per distinct day — bounded), frequency by its own value, monetary by
+    ``cents div 2^20``; each gets a bucket-local rank plus broadcast
+    per-bucket offsets, and the quintile is rank arithmetic. Pinned
+    (metric, user_id) tiebreaks keep both engines identical; everything
+    upstream keys on user_id and scales flat."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts_us_long").alias("t"), "value"
     )
@@ -1501,17 +1519,39 @@ def analytics_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary_cents",
     )
-    r_w = Window.orderBy(F.col("recency_days").desc(), "user_id")
-    f_w = Window.orderBy(F.col("frequency").asc(), "user_id")
-    m_w = Window.orderBy(F.col("monetary_cents").asc(), "user_id")
-    scored = base.select(
+    # Three INDEPENDENT score branches off base, joined back on user_id —
+    # chaining the ntiles instead would re-nest each stage's count/offset
+    # branches and blow the plan up combinatorially; as flat branches the
+    # per-user aggregate subtree is identical in all of them and Spark's
+    # ReuseExchange materializes it once.
+    scored = base
+    for out, metric, order, bucket in (
+        (
+            "r_score",
+            "recency_days",
+            [F.col("recency_days").desc(), F.col("user_id")],
+            -F.col("recency_days"),
+        ),
+        ("f_score", "frequency", [F.col("frequency").asc(), F.col("user_id")], F.col("frequency")),
+        (
+            "m_score",
+            "monetary_cents",
+            [F.col("monetary_cents").asc(), F.col("user_id")],
+            F.floor(F.col("monetary_cents") / F.lit(1 << 20)),
+        ),
+    ):
+        branch = attach_two_phase_ntile(
+            base.select("user_id", metric), order=order, bucket=bucket, tiles=5, out=out
+        ).select("user_id", out)
+        scored = scored.join(branch, "user_id")
+    scored = scored.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary_cents",
-        F.ntile(5).over(r_w).cast("bigint").alias("r_score"),
-        F.ntile(5).over(f_w).cast("bigint").alias("f_score"),
-        F.ntile(5).over(m_w).cast("bigint").alias("m_score"),
+        F.col("r_score").cast("bigint").alias("r_score"),
+        F.col("f_score").cast("bigint").alias("f_score"),
+        F.col("m_score").cast("bigint").alias("m_score"),
     )
     return scored.select(
         "*",

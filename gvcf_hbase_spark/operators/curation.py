@@ -701,21 +701,36 @@ def curate_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     into shards — the LPT greedy that bounds shard-size skew to one
     document regardless of the length distribution (a naive hash shard
     can be tokens-skewed by whole documents' variance). Deterministic:
-    re-runs produce identical shards. The rank is a single global
-    window ordered on a 12-byte row — at 100 TB replace it with the
-    two-phase distributed rank (bucket + offsets) exactly as
-    `curate_pack_batches` does for its prefix sum; the dealing arithmetic
-    is unchanged."""
+    re-runs produce identical shards.
+
+    Scale shape: the global rank is the TWO-PHASE distributed rank
+    (same machinery as `feat_rank_bucketize` / `curate_pack_batches`'s
+    prefix sum), never a single-partition window over the corpus: rows
+    bucket by ``-(n_tokens div 64)`` — monotone in the (n_tokens DESC)
+    sort order and constant across n_tokens ties, so value buckets are
+    rank-contiguous — rank locally inside each bucket, then add the
+    exclusive running count of earlier buckets (a window over ONE ROW
+    PER BUCKET, broadcast back). Every sort is bounded by a bucket; the
+    dealing arithmetic is unchanged."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.size(F.split(normalize_text(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    ).withColumn("vbkt", -F.floor(F.col("n_tokens") / F.lit(64)).cast("long"))
+    in_bkt = Window.partitionBy("vbkt").orderBy(F.col("n_tokens").desc(), "doc_id")
+    local = toks.withColumn("lr", F.row_number().over(in_bkt))
+    counts = toks.groupBy("vbkt").agg(F.count("*").alias("c"))
+    off_w = Window.orderBy("vbkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "vbkt", F.coalesce(F.sum("c").over(off_w), F.lit(0)).alias("off")
     )
-    w = Window.orderBy(F.col("n_tokens").desc(), "doc_id")
-    return toks.select(
-        "doc_id",
-        "n_tokens",
-        ((F.row_number().over(w) - 1) % _N_SHARDS).cast("int").alias("shard"),
+    return (
+        local.join(F.broadcast(offsets), "vbkt")
+        .select(
+            "doc_id",
+            "n_tokens",
+            ((F.col("off") + F.col("lr") - 1) % _N_SHARDS).cast("int").alias("shard"),
+        )
     )
 
 
@@ -1295,12 +1310,16 @@ def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, `curate_oversample` replicates; this draws one global
     weighted sample.
 
-    Scale shape: key assignment is map-side; top-k is Spark's
-    TakeOrdered (per-partition heaps + driver merge of k rows — no
-    global sort materialization). Keys are 9dp-rounded before ranking
-    with a doc_id tiebreak so both engines select the identical sample
-    (the §5.4 discipline applied to a transcendental key); re-keying
-    with concat(doc_id, seed) gives fresh epochs, same plan."""
+    Scale shape: key assignment is map-side; top-k is
+    ``orderBy(...).limit(k)`` which Spark plans as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows — no global sort materialization, no full-corpus window).
+    Only the k survivors are then ranked, so the single-partition
+    window runs over exactly k rows. Keys are 9dp-rounded before
+    ranking with a doc_id tiebreak so both engines select the
+    identical sample (the §5.4 discipline applied to a transcendental
+    key); re-keying with concat(doc_id, seed) gives fresh epochs,
+    same plan. Plan shape pinned in tests/test_plans.py."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "long"
@@ -1308,10 +1327,10 @@ def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (h + F.lit(0.5)) / F.lit(4294967296.0)
     key = F.round(F.log(u) / F.col("n_chars"), 9)
     keyed = d.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"), key.alias("k"))
-    w = Window.orderBy(F.col("k").desc(), "doc_id")
+    topk = keyed.orderBy(F.col("k").desc(), "doc_id").limit(_WSAMPLE_K)
+    w = Window.orderBy(F.col("k").desc(), "doc_id")  # over the k survivors only
     return (
-        keyed.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= _WSAMPLE_K)
+        topk.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .select("rnk", "doc_id", "n_chars")
     )
 

@@ -147,9 +147,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables stay co-partitioned on id across iterations (one shuffle
     each per round, no growth), and the only driver scalar is n — the
     same single-aggregate-per-run posture as the CC convergence check.
-    Dangling-node mass redistribution is not needed on this fixture
-    (every node keeps a ring out-edge); the standard correction adds
-    one more scalar aggregate per round."""
+    Dangling-node mass IS redistributed (the standard correction):
+    each round sums the rank sitting on out-degree-0 nodes into a
+    1-row aggregate that broadcast-crossJoins back into the update —
+    never a driver collect. On this fixture the dangling set is empty
+    (every node keeps a ring out-edge) so the term is exactly 0 and
+    the unrolled-CTE oracle is unchanged, but the dataflow is the one
+    a real web graph needs."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
     n = c.count()
     nodes = c
@@ -172,8 +176,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (dedup_cluster_cc can't do this: its per-round convergence collect()
     # forces materialization during build regardless).
     contrib_src = edges.join(deg, "src").localCheckpoint(eager=False)
+    # Static dangling set (out-degree 0). Empty on this fixture; the
+    # per-round mass aggregate is the scale-correct redistribution.
+    dangling = nodes.join(
+        deg.withColumnRenamed("src", "id"), "id", "left_anti"
+    ).localCheckpoint(eager=False)
     rank = nodes.select("id", F.lit(1.0 / n).alias("r"))
     for _ in range(_PAGERANK_K):
+        dang = rank.join(dangling, "id", "leftsemi").agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
+        )
         contribs = (
             contrib_src.join(rank.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
@@ -181,9 +193,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rank = nodes.join(
             contribs.withColumnRenamed("dst", "id"), "id", "left"
-        ).select(
+        ).crossJoin(F.broadcast(dang)).select(
             "id",
-            (F.lit(0.15 / n) + 0.85 * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("r"),
+            (
+                F.lit(0.15 / n)
+                + 0.85
+                * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") / F.lit(float(n)))
+            ).alias("r"),
         ).localCheckpoint(eager=False)
     return rank.select("id", F.round(F.col("r") * n, 6).alias("rank_scaled"))
 
@@ -517,7 +533,9 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HIER_ROUNDS = 15  # covers trees of depth <= 15 (2^15 nodes in this forest)
+# Path-doubling rounds: k doublings cover depth <= 2^k, so 5 rounds
+# handle forests of up to 2^32 nodes (this fixture's depth is log2 n).
+_HIER_DOUBLINGS = 5
 
 _HIER_ORACLE = """
     WITH RECURSIVE parents AS (
@@ -550,44 +568,44 @@ def hierarchy_flatten_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     root it descends from — the 'division' column an org-chart or BOM
     rollup groups by).
 
-    The parent relation is joined AS A TABLE each round (the engine
-    never exploits that this fixture's parent is computable): state is
-    (node, current-ancestor, depth); each of the ⌈log₂ n⌉ rounds is one
-    equi-join on the ancestor key + a guarded advance (finished rows
-    pass through unchanged), with per-round lineage truncation like
-    every iterative op here. Unrolling to a FIXED bound (15 ≥ forest
-    depth at any tested SF) keeps the plan static; production swaps the
-    bound for the convergence-scalar loop `dedup_cluster_cc` uses. The
-    oracle replays the identical walk as a recursive CTE. Scale: state
-    is 3 ints per node, each round shuffles on one int key — the Pregel
-    lowering of pointer jumping WITHOUT path doubling; path doubling
-    (joining walk to itself) would halve the rounds to O(log depth) at
-    the cost of a fatter state — the documented upgrade for
-    deeper-than-2^15 hierarchies."""
+    The parent relation is joined AS A TABLE (the engine never exploits
+    that this fixture's parent is computable). This is genuine PATH
+    DOUBLING (pointer jumping): the state table state[v] = (ancestor
+    2^k steps up — clamped at the root, actual steps advanced, the
+    root-child if that segment crossed it) composes WITH ITSELF each
+    round — state'[v] = state[v] ∘ state[state[v].anc] via one left
+    equi-join on the ancestor key — so k rounds cover depth ≤ 2^k:
+    5 rounds for a 4-billion-node forest, vs. one-join-per-level for
+    the naive walk. Rows already at the root miss the join (node 0 is
+    not in the table) and pass through as identity; per-round lineage
+    truncation like every iterative op here. The oracle replays the
+    walk one level at a time as a recursive CTE, so the doubled
+    composition's algebra (depth addition, root-child coalesce) is
+    independently recomputed. Scale: state is 4 ints per node, each
+    round shuffles on one int key — O(log depth) rounds total."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("node"))
-    parents = c.select(
-        "node", F.floor(F.col("node") / 2).cast("long").alias("parent")
-    ).localCheckpoint(eager=False)
     state = c.select(
         "node",
-        F.col("node").alias("anc"),
-        F.lit(0).cast("bigint").alias("depth"),
-        F.lit(None).cast("bigint").alias("root_child"),
-    )
-    for _ in range(_HIER_ROUNDS):
-        p = parents.select(F.col("node").alias("p_node"), "parent")
+        F.floor(F.col("node") / 2).cast("long").alias("anc"),
+        F.when(F.col("node") > 0, 1).otherwise(0).cast("bigint").alias("depth"),
+        F.when(
+            (F.col("node") > 0) & (F.floor(F.col("node") / 2) == 0), F.col("node")
+        ).cast("bigint").alias("root_child"),
+    ).localCheckpoint(eager=False)
+    for _ in range(_HIER_DOUBLINGS):
+        hop = state.select(
+            F.col("node").alias("m_node"),
+            F.col("anc").alias("m_anc"),
+            F.col("depth").alias("m_depth"),
+            F.col("root_child").alias("m_rc"),
+        )
         state = (
-            state.join(p, state.anc == p.p_node, "left")
+            state.join(hop, state.anc == hop.m_node, "left")
             .select(
                 "node",
-                F.when(F.col("anc") > 0, F.col("parent")).otherwise(F.col("anc")).alias("anc"),
-                F.when(F.col("anc") > 0, F.col("depth") + 1).otherwise(F.col("depth")).alias("depth"),
-                F.coalesce(
-                    F.col("root_child"),
-                    F.when(
-                        (F.col("anc") > 0) & (F.col("parent") == 0), F.col("anc")
-                    ),
-                ).alias("root_child"),
+                F.coalesce("m_anc", "anc").alias("anc"),
+                (F.col("depth") + F.coalesce("m_depth", F.lit(0))).cast("bigint").alias("depth"),
+                F.coalesce("root_child", "m_rc").alias("root_child"),
             )
             .localCheckpoint(eager=False)
         )

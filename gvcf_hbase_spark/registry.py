@@ -77,77 +77,17 @@ def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # Driver-facing enumeration order. The correctness harness verifies only a
-# 50-key PREFIX of the inventory per round. r01–r03 windows earned 146
-# distinct driver verdicts; round 4 rotates the window to the cohort with
-# NO driver verdict ever (SURVEY §7.4 plan, r03 verdict action 3):
-# slots 1–3 the stale-evidence keys (r01 green predates an events-loader
-# change), 4–7 the gVCF flagship downstream family (verdict action 5),
-# 8–40 the analytics/timeseries/cdc/graphs/linkage modules (entirely
-# unverified), 41–48 the heaviest never-benched/never-verified
-# multimodal/curation/window/stream keys (including the two scale-shape
-# swaps this round so their rewrites earn fresh rows), and 49–50 the two
-# r03 driver ERRs (fn_array, fn_map_ops — array outputs flattened this
-# round, must re-earn green). The ~48 remaining never-verified keys queue
-# immediately after for the round-5 window.
+# 50-key PREFIX of the inventory per round. Cumulative driver verdicts after
+# r04: 191 of 344 keys. Round-5 rotation (r04 verdict action 1): the staged
+# round-5 queue block (53 never-driver-verified keys) is promoted to slots
+# 1–53 so CORRECTNESS_r05 verifies 50 of them; the 3-key overflow
+# (sink_merge_upsert / sink_partition_stats / sink_secondary_index, slots
+# 51–53) heads the round-6 queue, which is now staged EXPLICITLY below
+# (r04 verdict action 8): the remaining 100 never-driver-verified keys in
+# module order, 103 total for round 6 (+53 rotation at r06 covers 50 more,
+# leaving ~53 for round 7 — full driver coverage lands r07).
 _PRIORITY = [
-    # ---- stale evidence (r01 green predates loader change) ----
-    "scan_events_ns",
-    "win_carry_forward",
-    "win_frame_range",
-    # ---- gVCF downstream family (reference raison d'être) ----
-    "gvcf_allele_freq",
-    "gvcf_coverage_depth",
-    "gvcf_export_vcf_lines",
-    "gvcf_split_multiallelic",
-    # ---- analytics module (12) ----
-    "funnel_steps",
-    "agg_retention_cohort",
-    "agg_heavy_hitters",
-    "agg_corr_matrix",
-    "analytics_event_transitions",
-    "agg_weighted_median",
-    "agg_entropy",
-    "analytics_gini",
-    "analytics_ab_ttest",
-    "analytics_pareto_share",
-    "analytics_pattern_match",
-    "analytics_rate_wilson",
-    # ---- timeseries module (11) ----
-    "ts_resample_interpolate",
-    "anomaly_zscore",
-    "win_distinct_running",
-    "ts_ewma",
-    "ts_lag_features",
-    "win_rolling_corr",
-    "anomaly_cusum",
-    "ts_seasonal_decompose",
-    "win_streak_longest",
-    "anomaly_mad",
-    "ts_forecast_seasonal_naive",
-    # ---- cdc (3) + graphs (5) + linkage (2) ----
-    "cdc_compact_latest",
-    "cdc_scd2_intervals",
-    "join_point_in_time",
-    "graph_triangle_count",
-    "graph_pagerank",
-    "graph_degree_histogram",
-    "graph_bipartite_projection",
-    "graph_jaccard_neighbors",
-    "join_fuzzy_levenshtein",
-    "linkage_best_match",
-    # ---- heaviest never-verified multimodal/curation/window/stream ----
-    "multimodal_phash_neardup",
-    "multimodal_audio_energy",
-    "multimodal_byte_histogram",
-    "curate_boilerplate_ngrams",
-    "curate_budget_select",
-    "win_percentile_running",
-    "stream_complete_topk",
-    "stream_join_stream_outer",
-    # ---- r03 driver ERRs, fixed this round (slots 49–50) ----
-    "fn_array",
-    "fn_map_ops",
-    # ================= round-5 window queue (never verified) =================
+    # ============== round-5 window (slots 1–50; 51–53 overflow) ==============
     "agg_bool_logic",
     "agg_geometric_mean",
     "agg_histogram",
@@ -201,34 +141,113 @@ _PRIORITY = [
     "sink_merge_upsert",
     "sink_partition_stats",
     "sink_secondary_index",
+    # ======= round-6 window queue (100 never-driver-verified, staged) =======
+    # (Together with the 3-key overflow above: 103 keys for rounds 6–7.)
+    "agg_listagg_distinct",
+    "scan_file_metadata",
+    "win_mtd_ytd",
+    "sql_pipe_syntax",
+    "sql_scripting_vars",
+    "sql_parameterized",
+    "fn_datetime_extra",
+    "fn_codec_roundtrip",
+    "fn_cidr_match",
+    "fn_aes_roundtrip",
+    "dedup_simhash_recall",
+    "dedup_semantic_centroid",
+    "sim_mips_topk",
+    "sim_rp_projection",
+    "sim_kmeans_step",
+    "sim_pq_adc_topk",
+    "text_toxicity_wordlist",
+    "text_readability",
+    "text_bpe_regex_tokens",
+    "text_collocations_pmi",
+    "multimodal_scene_cuts",
+    "multimodal_chunk_dedup",
+    "multimodal_shard_manifest",
+    "curate_quality_score_lr",
+    "curate_interleave_roundrobin",
+    "profile_freshness_lag",
+    "curate_weighted_sample",
+    "profile_pk_fk_inference",
+    "curate_dataset_card",
+    "curate_segment_dedup",
+    "curate_epoch_shuffle",
+    "curate_url_dedup",
+    "analytics_pattern_kleene",
+    "analytics_attribution_last_touch",
+    "agg_share_of_total",
+    "win_period_growth",
+    "analytics_association_lift",
+    "agg_ks_test",
+    "funnel_time_window",
+    "analytics_cohort_ltv",
+    "analytics_rfm_segment",
+    "analytics_ols_multi",
+    "analytics_cuped",
+    "analytics_path_topk",
+    "analytics_funnel_summary",
+    "analytics_shapley_attribution",
+    "analytics_decay_score",
+    "analytics_dau_wau",
+    "agg_median_twophase",
+    "analytics_chi_square",
+    "analytics_mann_whitney",
+    "analytics_anova",
+    "analytics_survival_km",
+    "stats_bh_fdr",
+    "stats_bootstrap_ci",
+    "feat_rank_bucketize",
+    "feat_standard_scale",
+    "feat_frequency_encode",
+    "feat_hashing_trick",
+    "feat_target_encode_loo",
+    "ts_autocorr",
+    "win_moving_slope",
+    "ts_cross_correlation",
+    "ts_changepoint_meanshift",
+    "ts_downsample_m4",
+    "ts_downsample_lttb",
+    "linkage_golden_record",
+    "cdc_snapshot_diff",
+    "graph_khop_reach",
+    "graph_sssp_bounded",
+    "hierarchy_flatten_bounded",
+    "graph_clustering_coefficient",
+    "graph_kcore_bounded",
+    "graph_resource_allocation",
+    "graph_lpa_communities",
+    "agg_countmin_freq",
+    "agg_bloom_membership",
+    "agg_hll_intersection",
+    "geo_haversine_nearest",
+    "join_geo_grid",
+    "geo_cell_density",
+    "geo_trajectory_length",
+    "geo_polygon_contains",
+    "geo_geohash_encode",
+    "udtf_analyze_dynamic",
+    "stream_pattern_kleene",
+    "gvcf_titv_ratio",
+    "gvcf_dp_stats",
+    "gvcf_block_compression",
+    "gvcf_hwe_chi2",
+    "gvcf_genotype_concordance",
+    "gvcf_mendelian_violations",
+    "gvcf_roh_runs",
+    "gvcf_variant_density",
+    "gvcf_callable_regions",
+    "gvcf_singleton_share",
+    "gvcf_relatedness_ibs",
+    "source_gvcf_datasource",
+    "sink_zorder_layout",
+    "sink_write_audit_publish",
 ]
-# The 66 round-4 additions (analytics_pattern_kleene, stream_pattern_kleene,
-# agg_countmin_freq, agg_bloom_membership, text_toxicity_wordlist,
-# text_readability, curate_quality_score_lr, ts_autocorr, graph_khop_reach,
-# graph_sssp_bounded, analytics_attribution_last_touch,
-# dedup_semantic_centroid, fn_datetime_extra, sim_mips_topk,
-# text_bpe_regex_tokens, multimodal_scene_cuts, sink_zorder_layout,
-# dedup_simhash_recall, agg_share_of_total, win_moving_slope,
-# agg_hll_intersection, win_period_growth, curate_interleave_roundrobin,
-# geo_haversine_nearest, join_geo_grid, fn_codec_roundtrip,
-# agg_listagg_distinct, profile_freshness_lag, gvcf_titv_ratio,
-# gvcf_dp_stats, gvcf_block_compression, cdc_snapshot_diff,
-# analytics_association_lift, ts_cross_correlation,
-# curate_weighted_sample, agg_ks_test, hierarchy_flatten_bounded,
-# analytics_chi_square, analytics_mann_whitney, analytics_anova,
-# analytics_survival_km, funnel_time_window, analytics_cohort_ltv,
-# geo_cell_density, geo_trajectory_length, analytics_rfm_segment,
-# graph_clustering_coefficient, ts_changepoint_meanshift,
-# ts_downsample_m4, text_collocations_pmi, sim_rp_projection,
-# gvcf_hwe_chi2, gvcf_genotype_concordance, gvcf_mendelian_violations,
-# sim_kmeans_step, analytics_ols_multi, multimodal_chunk_dedup,
-# analytics_cuped, analytics_path_topk, graph_kcore_bounded,
-# win_mtd_ytd, profile_pk_fk_inference, fn_cidr_match, gvcf_roh_runs,
-# analytics_funnel_summary, curate_dataset_card) are NOT
-# listed above: load_all() appends unlisted keys in module order AFTER the
-# queue, which is exactly the round-6 tail. Round-5 rotation: promote the
-# round-5 queue block (53 keys) to slots 1–50, spill the overflow + these
-# 66 to round 6.
+# Keys NOT listed above (all with a driver verdict from r01–r04) are
+# appended by load_all() in module registration order after the queues;
+# any brand-new round-5 key registers there too and joins the round-7
+# tail unless promoted.
 
 _loaded = False
 

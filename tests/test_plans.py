@@ -123,6 +123,12 @@ def test_no_cartesian_products_anywhere(spark):
                         "analytics_survival_km",
                         # 1-row recency-anchor broadcast into the RFM base
                         "analytics_rfm_segment",
+                        # 1-row corpus-total broadcast for the two-phase
+                        # ntile's rank arithmetic (functions/ranks.py)
+                        "analytics_pareto_share",
+                        # 1-row dangling-mass aggregate crossed back into
+                        # each PageRank round (standard correction)
+                        "graph_pagerank",
                         # two 1-row corpus-total broadcasts into the PMI row
                         "text_collocations_pmi",
                         # 1-row midpoint + 1-row theta broadcasts (CUPED)
@@ -710,3 +716,44 @@ def test_round4_continuation_plan_shapes(spark):
         plan = explain_str(SPECS[key].fn(spark, SF_DIR))
         n = plan.count("Exchange ")
         assert n <= cap, f"{key}: {n} exchanges (cap {cap}) — extra shuffle crept in"
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """r05: the Efraimidis–Spirakis top-k must be TakeOrderedAndProject
+    (per-partition heaps), with NO exchange and no corpus-wide window —
+    the survivor-ranking window runs after the limit, over k rows."""
+    plan = explain_str(SPECS["curate_weighted_sample"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange ") == 0, "weighted sample must not shuffle"
+
+
+def test_two_phase_rank_shapes(spark):
+    """r05: the three rewritten global-window ops must rank via the
+    two-phase bucketed form — a hash-partitioned bucket window plus
+    broadcast offsets — never a single-partition window over the
+    corpus-sized relation. Exchange-count ceilings pin the shape."""
+    cases = {
+        # key: (exchange cap, bucket-partitioning marker)
+        "curate_shard_balance": (4, "hashpartitioning(vbkt"),
+        "analytics_pareto_share": (12, "hashpartitioning(__vbkt"),
+        "analytics_rfm_segment": (60, "hashpartitioning(__vbkt"),
+    }
+    for key, (cap, marker) in cases.items():
+        plan = explain_str(SPECS[key].fn(spark, SF_DIR))
+        n = plan.count("Exchange ")
+        assert n <= cap, f"{key}: {n} exchanges (cap {cap})"
+        assert marker in plan, f"{key}: bucketed rank window missing"
+        assert "BroadcastExchange" in plan, f"{key}: offsets must broadcast"
+
+
+def test_bipartite_projection_plan_shape(spark):
+    """r05 (r04 verdict action 2): pin the bipartite-projection shape.
+    The pair join must stay an equi-join on the part key (hash or
+    sort-merge — never a nested-loop/cartesian pair expansion) and the
+    exchange count must not creep: the r04 1.68→2.74 s bench wobble was
+    load, not plan, and this pin keeps it that way."""
+    plan = explain_str(SPECS["graph_bipartite_projection"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    n = plan.count("Exchange ")
+    assert n <= 6, f"{n} exchanges — extra shuffle crept in"

@@ -7,6 +7,7 @@ the streaming-only operators (watermark drop, dedup, stateful).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from tests.conftest import SF_DIR, canon_rows
 from gvcf_hbase_spark.registry import load_all
@@ -410,3 +411,120 @@ def test_complete_mode_topk_across_micro_batches(spark, tmp_path):
     ]
     assert sorted(stream) == sorted(batch)
     assert len(stream) == 10
+
+
+@pytest.mark.continuous_trigger
+def test_processing_time_trigger_rocksdb_state_recovery(spark, tmp_path):
+    """A REAL continuous run (r04 verdict action 6): processingTime
+    trigger + RocksDB state store, started, stopped mid-stream, and
+    restarted from the same checkpoint. availableNow proves batch≡stream
+    semantics; this proves the operational story — offsets and per-key
+    state must survive a stop/restart through the RocksDB provider, so
+    a purchase seen before the restart carries forward to events that
+    only arrive after it. Assertions: (1) the restarted run emits only
+    the new files' rows (offsets recovered, no reprocessing), (2) the
+    union of both runs equals the batch twin row for row (state
+    recovered — values cross the restart boundary), (3) the checkpoint
+    holds RocksDB-format state artifacts (.zip/.changelog), not the
+    default HDFS provider's .delta files."""
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gvcf_hbase_spark.sources.tables import load_table, with_event_time
+    from gvcf_hbase_spark.streaming.stream_ops import carry_forward_stateful
+
+    ev = load_table(spark, SF_DIR, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    pdf = ev.select(*cols).orderBy("ts_us_long", "event_id").toPandas()
+    src = tmp_path / "events_continuous"
+    src.mkdir()
+    parts = np.array_split(pdf, 4)
+
+    def write_part(i):
+        pq.write_table(
+            pa.Table.from_pandas(parts[i].reset_index(drop=True), preserve_index=False),
+            str(src / f"{i:02d}.parquet"),
+        )
+
+    write_part(0)
+    write_part(1)
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(str(src)).schema
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    # memory sink cannot recover from a checkpoint; the parquet file sink
+    # is the exactly-once sink a real deployment restarts against.
+    out = str(tmp_path / "out")
+
+    def read_out():
+        return {
+            r.event_id: r.last_purchase_value
+            for r in spark.read.parquet(out).collect()
+        }
+
+    try:
+        def start():
+            raw = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+            return (
+                carry_forward_stateful(with_event_time(raw))
+                .writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="250 milliseconds")
+                .start()
+            )
+
+        q1 = start()
+        q1.processAllAvailable()
+        q1.stop()
+        q1.awaitTermination()
+        run1 = read_out()
+        assert len(run1) == len(parts[0]) + len(parts[1])
+
+        # new data lands while the query is DOWN; restart from checkpoint
+        write_part(2)
+        write_part(3)
+        q2 = start()
+        q2.processAllAvailable()
+        q2.stop()
+        q2.awaitTermination()
+        both = read_out()
+        run2 = {k: v for k, v in both.items() if k not in run1}
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+    # (1) offsets recovered: the restart emits exactly the new files' rows
+    # (no reprocessing — run-1 event_ids appear once, with run-1 values)
+    assert len(both) == len(pdf)
+    assert len(run2) == len(parts[2]) + len(parts[3])
+    assert {k: both[k] for k in run1} == run1
+
+    # (2) state recovered: union equals the batch twin (carry-forward
+    # values for run-2 events depend on purchases seen only in run 1)
+    batch = {
+        r.event_id: r.last_purchase_value
+        for r in SPECS["win_carry_forward"].fn(spark, SF_DIR).collect()
+    }
+    assert both == batch
+
+    # (3) the state store on disk is RocksDB-format
+    import glob
+
+    arts = glob.glob(f"{ckpt}/state/**/*", recursive=True)
+    assert any(p.endswith((".zip", ".changelog")) for p in arts), arts
+    assert not any(p.endswith(".delta") for p in arts), "HDFS provider leaked in"
