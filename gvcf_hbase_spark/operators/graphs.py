@@ -283,11 +283,17 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     e = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
     deg = e.groupBy("p").agg(F.count("*").alias("d"))
-    # Both sides of the self-join consume `kept`; without truncation each
-    # side re-runs the distinct + degree semi-join. One lazy checkpoint
-    # materializes it once — measured 3.1 s → 2.3 s at sf0.1.
-    kept = e.join(deg.filter(F.col("d") <= 50).select("p"), "p").localCheckpoint(
-        eager=False
+    # Pin the pair stage's parallelism: the degree filter rides a broadcast
+    # join, so without this the pair explosion and its partial aggregate
+    # inherit the SCAN's partitioning (3 tasks on the 10 MB local fixture —
+    # the r04 bench regression). Hash-repartitioning on p is the
+    # co-location the self-join needs anyway, so no extra exchange survives
+    # at scale, and both join sides reuse the one exchange (ReuseExchange
+    # replaced the r04 localCheckpoint — measured faster and keeps the
+    # plan declarative for AQE).
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    kept = e.join(deg.filter(F.col("d") <= 50).select("p"), "p").repartition(
+        n_shuffle, F.col("p")
     )
     a = kept.alias("a")
     b = kept.alias("b")
@@ -341,10 +347,13 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
     deg = e.groupBy("p").agg(F.count("*").alias("d"))
     # `kept` feeds THREE consumers (both pair-join sides + the degree
-    # aggregate); truncate once so the distinct + semi-join runs once —
-    # same measured win as the projection op.
-    kept = e.join(deg.filter(F.col("d") <= 50).select("p"), "p").localCheckpoint(
-        eager=False
+    # aggregate). Hash-repartition on p pins the pair stage's parallelism
+    # (the broadcast degree filter would otherwise leave it on the scan's
+    # 3 fixture partitions) and ReuseExchange shares the one shuffle across
+    # all consumers — same rationale as the projection op above.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    kept = e.join(deg.filter(F.col("d") <= 50).select("p"), "p").repartition(
+        n_shuffle, F.col("p")
     )
     sdeg = kept.groupBy("s").agg(F.count("*").alias("ds"))
     a, b = kept.alias("a"), kept.alias("b")
