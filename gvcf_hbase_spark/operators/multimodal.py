@@ -662,6 +662,110 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_MASK = 63  # 6 mask bits => boundary prob 1/64 => mean chunk ~64 B
+_CDC_SHIFT_W = 64  # gear hash width: h_i depends on exactly the last 64 bytes
+
+
+def _gear_table():
+    """Deterministic 256-entry uint64 gear table: md5 of each byte value.
+    No RNG — identical on every run, platform, and executor."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(bytes([i])).digest()[:8], "big")
+            for i in range(256)
+        ],
+        dtype=np.uint64,
+    )
+
+
+def cdc_chunk_hashes(payload: bytes, gear) -> list[str]:
+    """Content-defined chunk boundaries via the Gear rolling hash, fully
+    vectorized: h_i = (h_{i-1} << 1) + G[b_i] mod 2^64, cut where
+    (h_i & MASK) == 0. Because the shift ages a byte out of h after 64
+    steps, h_i is EXACTLY the windowed sum Σ_{k<64} G[b_{i-k}] << k — so
+    the sequential recurrence is computable as 64 vectorized adds (no
+    per-byte Python loop; a production build fuses it into one C pass).
+    Boundaries therefore depend only on the trailing 64 bytes: inserting
+    or deleting bytes re-chunks at most one window past the edit, the
+    shift-robustness property fixed-width chunking lacks (and the whole
+    point of CDC — see the property test)."""
+    import hashlib
+
+    import numpy as np
+
+    b = np.frombuffer(payload, dtype=np.uint8)
+    n = b.size
+    if n == 0:
+        return []
+    g = gear[b]
+    h = np.zeros(n, dtype=np.uint64)
+    for k in range(min(_CDC_SHIFT_W, n)):
+        h[k:] += g[: n - k] << np.uint64(k)
+    cuts = np.flatnonzero((h & np.uint64(_CDC_MASK)) == 0)
+    ends = np.append(cuts[cuts < n - 1], n - 1)
+    out, start = [], 0
+    for e in ends:
+        out.append(hashlib.md5(payload[start : e + 1]).hexdigest())
+        start = e + 1
+    return out
+
+
+@register("multimodal_cdc_chunk_dedup", oracle=None, tags=("multimodal", "dedup"))
+def multimodal_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`multimodal_chunk_dedup`'s fixed 64-byte grid, upgraded to
+    CONTENT-DEFINED chunking (the upgrade that op's docstring promises):
+    boundaries come from a Gear rolling hash of the trailing 64 bytes
+    (see :func:`cdc_chunk_hashes`), so two payloads that share content at
+    DIFFERENT offsets still produce identical chunks — the dedup a blob
+    store actually achieves on shifted/near-duplicate media, which the
+    fixed grid structurally cannot see.
+
+    Plan shape is identical to the fixed twin: one mapInPandas pass turns
+    payload bytes into (source, chunk_hash) rows — the only Python stage,
+    Arrow-batched, emitting ~len/64 rows per payload — then the per-hash
+    count and per-source rollup collapse with map-side combine. The
+    shuffle carries one row per distinct chunk per task; payload bytes
+    never shuffle. Rows-only by design: a windowed rolling hash is not
+    expressible in the oracle's SQL; determinism, shift-robustness, and
+    report-invariant properties are pinned in tests instead."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    wp = d.select("source", F.encode("text", "UTF-8").alias("payload"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gear = _gear_table()
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            srcs, hashes = [], []
+            for src, payload in zip(pdf["source"], pdf["payload"]):
+                hs = cdc_chunk_hashes(bytes(payload), gear)
+                srcs.extend([src] * len(hs))
+                hashes.extend(hs)
+            if srcs:
+                yield pd.DataFrame({"source": srcs, "chunk_hash": hashes})
+
+    chunks = wp.mapInPandas(gen, "source string, chunk_hash string")
+    per_hash = chunks.groupBy("source", "chunk_hash").agg(F.count("*").alias("k"))
+    return (
+        per_hash.groupBy("source")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_chunks"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            (F.sum("k") - F.count("*")).cast("bigint").alias("n_dup"),
+            F.floor(
+                (F.sum("k") - F.count("*")) * 1_000_000.0 / F.sum("k") + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("dup_ratio_1e6"),
+        )
+        .orderBy("source")
+    )
+
+
 _SHARD_BUDGET = 8_192  # bytes per training shard (soft cap)
 _SHARD_BKT_W = 100  # docs per prefix-sum bucket
 

@@ -1361,3 +1361,163 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kind"),
         )
     )
+
+
+_LTTB_EXACT_ORACLE = """
+    WITH RECURSIVE pts AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    fd AS (
+      SELECT event_type, min(day) AS first_day, max(day) AS last_day
+      FROM pts GROUP BY 1
+    ),
+    p2 AS (
+      SELECT p.*, p.t_us - f.first_day * 86400000000 AS tt,
+             f.first_day, f.last_day
+      FROM pts p JOIN fd f USING (event_type)
+    ),
+    dsum AS (
+      SELECT event_type, day, count(*) AS n,
+             sum(tt) AS sx, sum(v) AS sy
+      FROM p2 GROUP BY event_type, day
+    ),
+    days AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             count(*) OVER (PARTITION BY event_type) AS b
+      FROM dsum
+    ),
+    firstpt AS (
+      SELECT event_type, day, tt, t_us, v FROM (
+        SELECT p2.*, row_number() OVER (PARTITION BY event_type
+                                        ORDER BY t_us, event_id) AS rk
+        FROM p2 WHERE day = first_day
+      ) WHERE rk = 1
+    ),
+    lastpt AS (
+      SELECT event_type, day, t_us, v FROM (
+        SELECT p2.*, row_number() OVER (PARTITION BY event_type
+                                        ORDER BY t_us DESC, event_id DESC) AS rk
+        FROM p2 WHERE day = last_day AND last_day > first_day
+      ) WHERE rk = 1
+    ),
+    walk(event_type, i, day, sel_tt, sel_t_us, sel_v, kind) AS (
+      SELECT f.event_type, 1, f.day, f.tt, f.t_us, f.v, 'first'
+      FROM firstpt f
+      UNION ALL
+      SELECT w.event_type, w.i + 1, cur.day,
+             pick.tt, pick.t_us, pick.v, 'lttb'
+      FROM walk w
+      JOIN days cur ON cur.event_type = w.event_type AND cur.i = w.i + 1
+                   AND w.i + 1 <= cur.b - 1
+      JOIN days nxt ON nxt.event_type = w.event_type AND nxt.i = w.i + 2,
+      LATERAL (
+        SELECT p.tt, p.t_us, p.v
+        FROM p2 p
+        WHERE p.event_type = w.event_type AND p.day = cur.day
+        ORDER BY abs(CAST(nxt.n * w.sel_tt - nxt.sx AS DOUBLE)
+                       * CAST(p.v - w.sel_v AS DOUBLE)
+                   - CAST(w.sel_tt - p.tt AS DOUBLE)
+                       * CAST(nxt.sy - nxt.n * w.sel_v AS DOUBLE)) DESC,
+                 p.t_us, p.event_id
+        LIMIT 1
+      ) pick
+    )
+    SELECT event_type, day, sel_t_us, sel_v_cents, kind FROM (
+      SELECT event_type, day, sel_t_us, sel_v AS sel_v_cents, kind FROM walk
+      UNION ALL
+      SELECT event_type, day, t_us, v, 'last' FROM lastpt
+    )
+"""
+
+
+@register("ts_downsample_lttb_exact", oracle=_LTTB_EXACT_ORACLE, tags=("timeseries",))
+def ts_downsample_lttb_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sequential LTTB (Steinarsson 2013), closing the documented
+    deviation of `ts_downsample_lttb`'s parallel variant: each interior
+    bucket's pick maximizes the triangle with the PREVIOUSLY SELECTED
+    point (the true recurrence) and the next bucket's mean — so picks
+    chain left-to-right and cannot be computed bucket-independently.
+
+    Execution: applyInPandas per series key. Exact LTTB is inherently
+    sequential per series (each pick reads the previous pick), so
+    one-series-per-task is the contract — the right trade when series
+    count is large and per-series length is bounded (the dashboard/
+    downsample setting; 100 TB of telemetry is millions of series
+    × bounded points, and the OUTPUT is one row per bucket). The walk
+    itself is vectorized per bucket (numpy argmax over the bucket's
+    candidates); only the bucket loop is Python.
+
+    Determinism (SURVEY §5.4): timestamps rebase to the series' first
+    day so every cross term is a product of two exact-in-double int64s;
+    IEEE round-to-nearest multiply/subtract is bit-identical on both
+    engines, and ties break on (t_us, event_id). The oracle replays the
+    identical recurrence as a recursive CTE whose per-step argmax is a
+    LATERAL ORDER-BY-LIMIT-1 — a genuinely independent evaluation
+    strategy for the same chain. First/last series points are kept
+    exactly as in the paper (and the parallel twin)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    us_day = 86_400_000_000
+    pts = ev.select(
+        "event_type",
+        F.expr(f"ts_us_long div {us_day}").alias("day"),
+        F.col("ts_us_long").alias("t_us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["t_us", "event_id"], kind="mergesort")
+        days = np.sort(pdf["day"].unique())
+        first_day = int(days[0])
+        tt = (pdf["t_us"] - first_day * us_day).to_numpy(dtype="int64")
+        day = pdf["day"].to_numpy()
+        t_us = pdf["t_us"].to_numpy(dtype="int64")
+        v = pdf["v"].to_numpy(dtype="int64")
+        et = pdf["event_type"].iloc[0]
+        sums = {
+            int(d): (
+                int((day == d).sum()),
+                int(tt[day == d].sum()),
+                int(v[day == d].sum()),
+            )
+            for d in days
+        }
+        out = []
+        m0 = day == days[0]
+        # rows are (t_us, event_id)-sorted, so the first masked row IS the
+        # deterministic first point (and the last masked row the last one)
+        i0 = np.flatnonzero(m0)[0]
+        sel_tt, sel_v = int(tt[i0]), int(v[i0])
+        out.append((et, int(days[0]), int(t_us[i0]), sel_v, "first"))
+        for j in range(1, len(days) - 1):
+            nn, sx, sy = sums[int(days[j + 1])]
+            m = day == days[j]
+            ctt, cv = tt[m], v[m]
+            a = (float(nn * sel_tt - sx)) * (cv - sel_v).astype("float64")
+            b = (sel_tt - ctt).astype("float64") * float(sy - nn * sel_v)
+            area = np.abs(a - b)
+            # argmax with (area DESC, t_us, event_id) tie-break: rows are
+            # already (t_us, event_id)-sorted, argmax takes the first max
+            k = int(np.argmax(area))
+            idx = np.flatnonzero(m)[k]
+            sel_tt, sel_v = int(tt[idx]), int(v[idx])
+            out.append((et, int(days[j]), int(t_us[idx]), sel_v, "lttb"))
+        if len(days) > 1:
+            il = np.flatnonzero(day == days[-1])[-1]
+            out.append((et, int(days[-1]), int(t_us[il]), int(v[il]), "last"))
+        return pd.DataFrame(
+            out, columns=["event_type", "day", "sel_t_us", "sel_v_cents", "kind"]
+        )
+
+    return pts.groupBy("event_type").applyInPandas(
+        walk,
+        "event_type string, day long, sel_t_us long, sel_v_cents long, kind string",
+    )

@@ -1195,6 +1195,13 @@ _SINGLETON_ORACLE = _ROH_CTE + r""",
 """
 
 _IBS_ORACLE = _ROH_CTE + r"""
+    , thinned AS (
+      SELECT contig, pos FROM expanded
+      GROUP BY contig, pos
+      HAVING min(alt_n) <> max(alt_n)
+         AND substr(md5(contig || ':' || CAST(pos AS VARCHAR)), 1, 1)
+             IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+    )
     SELECT a.sample_id AS sample_a, b.sample_id AS sample_b,
            CAST(count(*) AS BIGINT) AS n_sites,
            CAST(sum(CASE WHEN abs(a.alt_n - b.alt_n) = 2 THEN 1 ELSE 0 END)
@@ -1207,7 +1214,9 @@ _IBS_ORACLE = _ROH_CTE + r"""
                        + sum(CASE WHEN abs(a.alt_n - b.alt_n) = 1
                              THEN 1 ELSE 0 END)) * 1000000.0
                       / (2 * count(*)) + 0.5) AS BIGINT) AS ibs_score_1e6
-    FROM expanded a JOIN expanded b
+    FROM expanded a
+    JOIN thinned t ON a.contig = t.contig AND a.pos = t.pos
+    JOIN expanded b
       ON a.contig = b.contig AND a.pos = b.pos AND a.sample_id < b.sample_id
     GROUP BY a.sample_id, b.sample_id
 """
@@ -1343,12 +1352,34 @@ def _register_cohort_queries() -> None:
 
         Self-join co-partitioned on the site key (contig, pos): one
         exchange per side, pair expansion happens inside partitions.
-        Pairs are O(N^2) in samples — real cohort tools thin to ~50k
-        LD-pruned sites and block the sample axis (KING's approach);
-        at that site budget the per-pair cost is bounded and the
-        partial aggregation collapses each site partition to <=N^2/2
-        running counters before the final exchange."""
+        Pairs are O(N^2) in samples, so SITE THINNING runs BEFORE the
+        pair join (KING's approach, built in rather than promised):
+        monomorphic sites drop first — every pair is trivially IBS2
+        there, zero relatedness signal — then a deterministic md5
+        bucket filter keeps 12/16 of the informative sites (the knob a
+        biobank turns down to its ~50k-site budget; hash thinning is
+        re-run-stable and append-stable like `curate_hash_split`). The
+        thin relation is one row per kept site, semi-joined on the same
+        (contig, pos) key the pair join co-partitions on, so the pair
+        fan-out is bounded by budget x N^2/2 counters, not by
+        cohort x genome."""
         d = _dosage_grid(spark, sf_dir)
+        thinned = (
+            d.groupBy("contig", "pos")
+            .agg(F.min("alt_n").alias("lo"), F.max("alt_n").alias("hi"))
+            .filter(
+                (F.col("lo") != F.col("hi"))
+                & F.substring(
+                    F.md5(
+                        F.concat(F.col("contig"), F.lit(":"), F.col("pos").cast("string"))
+                    ),
+                    1,
+                    1,
+                ).isin(list("0123456789ab"))
+            )
+            .select("contig", "pos")
+        )
+        d = d.join(thinned, ["contig", "pos"], "leftsemi")
         a = d.select("contig", "pos", F.col("sample_id").alias("sample_a"), F.col("alt_n").alias("da"))
         b = d.select("contig", "pos", F.col("sample_id").alias("sample_b"), F.col("alt_n").alias("db"))
         pairs = a.join(b, ["contig", "pos"]).filter(F.col("sample_a") < F.col("sample_b"))

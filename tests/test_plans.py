@@ -76,6 +76,9 @@ def test_relational_paths_are_jvm_only(spark):
         "udtf_analyze_dynamic",
         # r05: gear rolling-hash chunker is a declared mapInPandas stage
         "multimodal_cdc_chunk_dedup",
+        # r05: exact sequential LTTB is a declared per-series
+        # applyInPandas walk (the recurrence cannot parallelize)
+        "ts_downsample_lttb_exact",
     }
     for key, spec in SPECS.items():
         if key in python_ok or "streaming" in spec.tags:

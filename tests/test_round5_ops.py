@@ -1,0 +1,151 @@
+"""Round-5 additions: content-defined chunking (CDC) properties.
+
+The CDC op is rows-only by design (a windowed rolling hash is not
+SQL-expressible), so the properties that justify it are pinned here:
+determinism, the shift-robustness that is CDC's entire reason to exist
+(fixed-grid chunking fails it), boundary-length statistics, and the
+report invariants of the Spark op itself.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_DIR
+from gvcf_hbase_spark.operators.multimodal import (
+    _CDC_MASK,
+    _gear_table,
+    cdc_chunk_hashes,
+)
+from gvcf_hbase_spark.registry import load_all
+
+SPECS = load_all()
+
+
+@pytest.fixture(scope="module")
+def gear():
+    return _gear_table()
+
+
+def _payload(seed: int, n: int = 4096) -> bytes:
+    # deterministic pseudo-random bytes without RNG state: md5 counter mode
+    import hashlib
+
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out.extend(hashlib.md5(f"{seed}:{i}".encode()).digest())
+        i += 1
+    return bytes(out[:n])
+
+
+def test_cdc_deterministic(gear):
+    p = _payload(1)
+    assert cdc_chunk_hashes(p, gear) == cdc_chunk_hashes(p, gear)
+    assert cdc_chunk_hashes(b"", gear) == []
+
+
+def test_cdc_shift_robustness(gear):
+    """Prepending bytes must re-chunk only a bounded prefix: every
+    boundary past (first aligned cut + 64-byte window) is a function of
+    local content only, so the chunk streams converge and share their
+    entire tail. A fixed 64-byte grid shares ~no chunks after a 3-byte
+    shift — this property is the op's reason to exist."""
+    p = _payload(2, 8192)
+    a = cdc_chunk_hashes(p, gear)
+    b = cdc_chunk_hashes(b"xyz" + p, gear)
+    # compare aligned from the end; allow the first few chunks to differ
+    tail = min(len(a), len(b)) - 3
+    assert tail > 10, "fixture payload must produce enough chunks"
+    assert a[-tail:] == b[-tail:]
+    # and the overlap is large relative to the stream
+    shared = len(set(a) & set(b))
+    assert shared >= len(a) - 3
+
+
+def test_cdc_chunk_length_statistics(gear):
+    """Mask of 6 bits => geometric boundaries with mean ~64 B; the mean
+    over a real payload must land well inside [16, 256]."""
+    p = _payload(3, 1 << 15)
+    hashes = cdc_chunk_hashes(p, gear)
+    mean = len(p) / len(hashes)
+    assert 16 <= mean <= 256, mean
+    assert (_CDC_MASK + 1) == 64
+
+
+def test_cdc_concatenation_reuses_interior_chunks(gear):
+    """Chunks strictly inside each half survive concatenation — only the
+    seam window re-chunks (the dedup win on shifted/duplicated media)."""
+    x, y = _payload(4, 4096), _payload(5, 4096)
+    cx, cy, cxy = (
+        cdc_chunk_hashes(x, gear),
+        cdc_chunk_hashes(y, gear),
+        cdc_chunk_hashes(x + y, gear),
+    )
+    # all x-chunks except the last (seam) appear in the concatenation,
+    # and all y-chunks except the first window's worth
+    assert set(cx[:-1]) <= set(cxy)
+    assert set(cy[3:]) <= set(cxy)
+
+
+def test_cdc_spark_report_invariants(spark):
+    """The registered op's per-source report must be internally
+    consistent and cover every non-empty source in the fixture."""
+    df = SPECS["multimodal_cdc_chunk_dedup"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert rows, "report must be non-empty"
+    for r in rows:
+        assert r.n_chunks >= r.n_distinct > 0
+        assert r.n_dup == r.n_chunks - r.n_distinct
+        expect = int((r.n_dup * 1_000_000.0 / r.n_chunks) + 0.5)
+        assert r.dup_ratio_1e6 == expect
+    from gvcf_hbase_spark.sources.tables import load_table
+
+    n_sources = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.length("text") > 0)
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources
+
+
+def test_lttb_exact_vs_parallel_structure(spark):
+    """The exact sequential LTTB must agree with the parallel variant on
+    everything that is NOT the recurrence: same (series, day) coverage
+    (one pick per day), identical first/last picks (both variants keep
+    them by definition), and every pick must be a real point of its
+    bucket."""
+    exact = SPECS["ts_downsample_lttb_exact"].fn(spark, SF_DIR).collect()
+    par = SPECS["ts_downsample_lttb"].fn(spark, SF_DIR).collect()
+
+    def by_key(rows):
+        return {(r.event_type, r.day): r for r in rows}
+
+    e, p = by_key(exact), by_key(par)
+    assert set(e) == set(p), "same (series, day) coverage"
+    for k in e:
+        assert e[k].kind == p[k].kind
+        if e[k].kind in ("first", "last"):
+            assert (e[k].sel_t_us, e[k].sel_v_cents) == (
+                p[k].sel_t_us,
+                p[k].sel_v_cents,
+            ), f"{k}: first/last picks must be identical across variants"
+
+    # every exact pick is a genuine point of its (series, day) bucket
+    from gvcf_hbase_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    pts = {
+        (r.event_type, r.day, r.t_us, r.v)
+        for r in ev.selectExpr(
+            "event_type",
+            "ts_us_long div 86400000000 as day",
+            "ts_us_long as t_us",
+            "cast(floor(value * 100 + 0.5) as long) as v",
+        ).collect()
+    }
+    for r in exact:
+        assert (r.event_type, r.day, r.sel_t_us, r.sel_v_cents) in pts
