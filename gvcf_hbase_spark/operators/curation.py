@@ -1733,3 +1733,94 @@ def curate_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("url").cast("bigint").alias("n_raw_forms"),
         F.min("doc_id").cast("bigint").alias("keep_doc_id"),
     )
+
+
+_DSIR_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tok_ne AS (SELECT * FROM tok WHERE term <> ''),
+    counts AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS cc,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      FROM tok_ne GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(sum(cc) AS BIGINT) AS nc, CAST(sum(ct) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS v
+      FROM counts
+    ),
+    lm AS (
+      SELECT term,
+             ln(CAST(ct + 1 AS DOUBLE) / (nt + v))
+               - ln(CAST(cc + 1 AS DOUBLE) / (nc + v)) AS lr
+      FROM counts CROSS JOIN tot
+    ),
+    dterm AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok_ne GROUP BY doc_id, term
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.cnt) AS BIGINT) AS n_tokens,
+           round(sum(d.cnt * lm.lr), 4) AS dsir_logweight
+    FROM dterm d JOIN lm USING (term)
+    GROUP BY d.doc_id
+"""
+
+
+@register("curate_dsir_weights", oracle=_DSIR_ORACLE, tags=("curation", "text"))
+def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, data selection via
+    importance resampling): score every raw document by
+    log p_target(doc) - log p_raw(doc) under two unigram LMs — the
+    target here is the English slice (in production: the high-quality
+    reference corpus), the raw LM is the whole pool. Feeding these
+    weights to `curate_weighted_sample`'s Gumbel top-k IS importance
+    resampling; this op materializes the reusable artifact (the
+    per-doc weight column).
+
+    Both LMs come from ONE token explode: a single (term)-keyed count
+    aggregate carries the corpus count and the target count side by
+    side (the target LM is a conditional sum, not a second scan), the
+    normalizers are a 1-row broadcast, and add-one smoothing over the
+    shared vocab keeps unseen-in-target terms finite. Scoring joins the
+    per-(doc, term) counts to the vocab-sized LM table on the same term
+    key the counts aggregate shuffled on, then rolls up per doc. No
+    stage touches more than (tokens) rows; the LM table is vocab-sized.
+    Float discipline: ln() on identically-constructed doubles, weights
+    rounded to 4dp (the `text_unigram_logprob` precedent)."""
+    from gvcf_hbase_spark.sources.tables import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = tok.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("cc"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("bigint").alias("ct"),
+    )
+    tot = counts.agg(
+        F.sum("cc").cast("bigint").alias("nc"),
+        F.sum("ct").cast("bigint").alias("nt"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    lm = counts.crossJoin(F.broadcast(tot)).select(
+        "term",
+        (
+            F.log((F.col("ct") + 1).cast("double") / (F.col("nt") + F.col("v")))
+            - F.log((F.col("cc") + 1).cast("double") / (F.col("nc") + F.col("v")))
+        ).alias("lr"),
+    )
+    dterm = tok.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("cnt"))
+    return (
+        dterm.join(lm, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.col("cnt") * F.col("lr")), 4).alias("dsir_logweight"),
+        )
+    )

@@ -176,30 +176,38 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (dedup_cluster_cc can't do this: its per-round convergence collect()
     # forces materialization during build regardless).
     contrib_src = edges.join(deg, "src").localCheckpoint(eager=False)
-    # Static dangling set (out-degree 0). Empty on this fixture; the
-    # per-round mass aggregate is the scale-correct redistribution.
+    # Static dangling set (out-degree 0). One cheap existence probe at
+    # build specializes the plan: when the graph HAS no dangling nodes
+    # (this fixture — every node keeps a ring out-edge) the per-round
+    # mass aggregate would fold a provably-zero term into every update,
+    # so it is elided; when dangling nodes exist, each round sums their
+    # rank into a 1-row aggregate that broadcast-crossJoins back into
+    # the update — never a driver collect. Same data-dependent plan
+    # specialization as the broadcast-vs-blocked dispatch in similarity.
     dangling = nodes.join(
         deg.withColumnRenamed("src", "id"), "id", "left_anti"
     ).localCheckpoint(eager=False)
+    has_dangling = not dangling.isEmpty()
     rank = nodes.select("id", F.lit(1.0 / n).alias("r"))
     for _ in range(_PAGERANK_K):
-        dang = rank.join(dangling, "id", "leftsemi").agg(
-            F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
-        )
         contribs = (
             contrib_src.join(rank.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("r") / F.col("od")).alias("inflow"))
         )
-        rank = nodes.join(
-            contribs.withColumnRenamed("dst", "id"), "id", "left"
-        ).crossJoin(F.broadcast(dang)).select(
-            "id",
-            (
-                F.lit(0.15 / n)
-                + 0.85
-                * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") / F.lit(float(n)))
-            ).alias("r"),
+        upd = nodes.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+        if has_dangling:
+            dang = rank.join(dangling, "id", "leftsemi").agg(
+                F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
+            )
+            upd = upd.crossJoin(F.broadcast(dang))
+            inflow = F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") / F.lit(
+                float(n)
+            )
+        else:
+            inflow = F.coalesce(F.col("inflow"), F.lit(0.0))
+        rank = upd.select(
+            "id", (F.lit(0.15 / n) + 0.85 * inflow).alias("r")
         ).localCheckpoint(eager=False)
     return rank.select("id", F.round(F.col("r") * n, 6).alias("rank_scaled"))
 

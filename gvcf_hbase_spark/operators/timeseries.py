@@ -1521,3 +1521,106 @@ def ts_downsample_lttb_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         walk,
         "event_type string, day long, sel_t_us long, sel_v_cents long, kind string",
     )
+
+
+_HOLT_ORACLE = """
+    WITH RECURSIVE pts AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, day,
+             CAST(sum(v) AS DOUBLE) / count(*) AS y,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             count(*) OVER (PARTITION BY event_type) AS b
+      FROM pts GROUP BY event_type, day
+    ),
+    init AS (
+      SELECT d0.event_type, d0.day, d0.y, d0.b,
+             d0.y AS l, coalesce(d1.y - d0.y, 0.0) AS tr
+      FROM d d0 LEFT JOIN d d1
+        ON d1.event_type = d0.event_type AND d1.i = 2
+      WHERE d0.i = 1
+    ),
+    hw(event_type, i, day, l, tr) AS (
+      SELECT event_type, 1, day, l, tr FROM init
+      UNION ALL
+      SELECT w.event_type, w.i + 1, nxt.day,
+             0.5 * nxt.y + 0.5 * (w.l + w.tr),
+             0.5 * ((0.5 * nxt.y + 0.5 * (w.l + w.tr)) - w.l) + 0.5 * w.tr
+      FROM hw w
+      JOIN d nxt ON nxt.event_type = w.event_type AND nxt.i = w.i + 1
+    )
+    SELECT event_type, day,
+           round(l, 4) AS level,
+           round(tr, 4) AS trend,
+           round(l + tr, 4) AS forecast_next
+    FROM hw
+"""
+
+
+@register("ts_holt_winters", oracle=_HOLT_ORACLE, tags=("timeseries",))
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double exponential smoothing (level + trend, alpha = beta
+    = 1/2) over each series' daily means — the trend-aware forecast
+    `ts_forecast_seasonal_naive` cannot give, and the second genuinely
+    SEQUENTIAL per-series recurrence here (after exact LTTB):
+    l_t = a*y_t + (1-a)(l_{t-1} + b_{t-1}),
+    b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}, init l_0 = y_0,
+    b_0 = y_1 - y_0.
+
+    Execution: the raw log collapses to per-(series, day) means in one
+    map-side-combining aggregate (the only full-data shuffle), then the
+    recurrence walks the DAY GRID per series inside applyInPandas —
+    state is two doubles, work is O(days), and one-series-per-task is
+    the contract exactly as in `ts_downsample_lttb_exact`. At 100 TB
+    the heavy dimension (events per day) is gone before Python sees a
+    row; the walked relation is series x days.
+
+    Determinism: day means divide exact int cent-sums by counts — the
+    same IEEE double on both engines — and halving coefficients make
+    every step multiply-by-0.5/add; the oracle replays the identical
+    recurrence as a recursive CTE and outputs round to 4dp."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    us_day = 86_400_000_000
+    d = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts_us_long div {us_day}").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg((F.sum("v").cast("double") / F.count("*")).alias("y"))
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        ys = pdf["y"].to_numpy()
+        days = pdf["day"].to_numpy()
+        et = pdf["event_type"].iloc[0]
+        lvl = float(ys[0])
+        tr = float(ys[1] - ys[0]) if len(ys) > 1 else 0.0
+        out = [(et, int(days[0]), lvl, tr)]
+        for t in range(1, len(ys)):
+            new_l = 0.5 * float(ys[t]) + 0.5 * (lvl + tr)
+            tr = 0.5 * (new_l - lvl) + 0.5 * tr
+            lvl = new_l
+            out.append((et, int(days[t]), lvl, tr))
+        return pd.DataFrame(out, columns=["event_type", "day", "l", "tr"])
+
+    # rounding stays JVM-side: F.round is the half-up the oracle's round()
+    # also implements (pandas .round is half-to-even — a latent mismatch)
+    raw = d.groupBy("event_type").applyInPandas(
+        walk, "event_type string, day long, l double, tr double"
+    )
+    return raw.select(
+        "event_type",
+        "day",
+        F.round("l", 4).alias("level"),
+        F.round("tr", 4).alias("trend"),
+        F.round(F.col("l") + F.col("tr"), 4).alias("forecast_next"),
+    )

@@ -79,6 +79,8 @@ def test_relational_paths_are_jvm_only(spark):
         # r05: exact sequential LTTB is a declared per-series
         # applyInPandas walk (the recurrence cannot parallelize)
         "ts_downsample_lttb_exact",
+        # r05: Holt level+trend recurrence, same per-series walk contract
+        "ts_holt_winters",
     }
     for key, spec in SPECS.items():
         if key in python_ok or "streaming" in spec.tags:
@@ -153,7 +155,9 @@ def test_no_cartesian_products_anywhere(spark):
                         # histogram (containment predicate, tiny by design)
                         "agg_median_twophase",
                         # 2-row literal epoch dim crossed into the corpus
-                        "curate_epoch_shuffle"}
+                        "curate_epoch_shuffle",
+                        # 1-row LM-normalizer broadcast into the vocab table
+                        "curate_dsir_weights"}
     for key, spec in SPECS.items():
         if key == "join_cross" or "streaming" in spec.tags:
             continue
@@ -713,7 +717,12 @@ def test_round4_continuation_plan_shapes(spark):
         "gvcf_singleton_share": 5,     # sites agg + carrier co-partition +
                                        # sample rollup (partial+final)
         "curate_segment_dedup": 5,     # gram-count agg + fp join + doc rollups
-        "gvcf_relatedness_ibs": 4,     # site-key co-partition both sides + pair agg
+        "gvcf_relatedness_ibs": 10,    # r05 KING thinning: the dosage-grid
+                                       # subtree now feeds 3 consumers (thin
+                                       # stats + both pair sides), duplicated
+                                       # in the STATIC plan; AQE stage reuse
+                                       # dedupes the identical exchanges at
+                                       # runtime (same as bipartite)
         "feat_rank_bucketize": 6,      # vbkt window + tiny offsets + n + join
         "multimodal_shard_manifest": 5,  # bucket window + offsets + shard agg
     }

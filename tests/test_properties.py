@@ -389,3 +389,32 @@ def test_autocorr_matches_float_reference(spark):
             assert abs(got - round(ref * 1e6)) <= 1, (r.user_id, k, got, ref)
             checked += 1
     assert checked > 0
+
+
+# ---- r05: two-phase rank / ntile arithmetic (functions/ranks.py) ----
+# The bucket machinery is Spark-level (tested in test_round5_ops); the
+# ntile-from-rank ARITHMETIC is pure and must equal the SQL-standard
+# definition for every (n, tiles, rank) — hypothesis sweeps it.
+
+
+@given(
+    n=st.integers(min_value=1, max_value=10_000),
+    tiles=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_ntile_arithmetic_matches_sql_standard(n, tiles):
+    q, r = divmod(n, tiles)
+    # SQL standard: first r tiles get q+1 rows, the rest get q
+    expect = []
+    for tile in range(1, tiles + 1):
+        size = q + 1 if tile <= r else q
+        expect.extend([tile] * size)
+
+    def tile_of(rk):  # mirror of ranks.ntile_from_rank, scalar form
+        thr = r * (q + 1)
+        if rk <= thr:
+            return (rk - 1) // (q + 1) + 1
+        return r + (rk - thr - 1) // q + 1
+
+    got = [tile_of(rk) for rk in range(1, n + 1)]
+    assert got == expect

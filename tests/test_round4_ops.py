@@ -412,16 +412,23 @@ def test_freshness_lag_zero_for_newest(spark):
 
 def test_driver_window_prefix_is_the_planned_rotation():
     """The driver verifies only the FIRST 50 enumeration keys; pin the
-    r04 window so a stray registration-order change can't silently
-    displace the planned never-verified cohort."""
+    CURRENT (r05) window so a stray registration-order change can't
+    silently displace the planned never-verified cohort."""
     keys = list(SPECS)
     from gvcf_hbase_spark.registry import _PRIORITY
 
     assert keys[:50] == _PRIORITY[:50]
-    assert keys[48:50] == ["fn_array", "fn_map_ops"]
+    # r05 rotation: the window head is the never-driver-verified cohort,
+    # the 3-key sink overflow sits at slots 51-53 heading the r06 queue
+    assert keys[0] == "agg_bool_logic"
+    assert keys[50:53] == [
+        "sink_merge_upsert",
+        "sink_partition_stats",
+        "sink_secondary_index",
+    ]
     # new ops register AFTER the priority window, so later additions can
     # only grow the tail — the prefix pins above are the actual guard
-    assert len(SPECS) >= 310
+    assert len(SPECS) >= 344
 
 
 def test_snapshot_diff_classification(spark, tmp_path):

@@ -149,3 +149,36 @@ def test_lttb_exact_vs_parallel_structure(spark):
     }
     for r in exact:
         assert (r.event_type, r.day, r.sel_t_us, r.sel_v_cents) in pts
+
+
+def test_two_phase_ntile_equals_native(spark):
+    """functions/ranks.py must reproduce row_number()/ntile() OVER a
+    global ORDER BY bit-for-bit — including tie groups and the uneven
+    n % tiles remainder — for every bucket granularity (one mega bucket,
+    per-value buckets, coarse buckets)."""
+    from pyspark.sql import Window
+
+    from gvcf_hbase_spark.functions.ranks import (
+        attach_two_phase_ntile,
+        attach_two_phase_rank,
+    )
+
+    # 997 rows, heavy ties (v = i % 37), deterministic
+    df = spark.range(997).select(
+        F.col("id"), (F.col("id") % 37).alias("v")
+    )
+    order = [F.col("v").asc(), F.col("id")]
+    w = Window.orderBy(*order)
+    native = df.select(
+        "id",
+        F.row_number().over(w).alias("rk"),
+        F.ntile(7).over(w).alias("t7"),
+        F.ntile(5).over(w).alias("t5"),
+    )
+    for bucket in (F.lit(0), F.col("v"), F.floor(F.col("v") / 8)):
+        got_rk = attach_two_phase_rank(df, order, bucket, out="rk")
+        got = attach_two_phase_ntile(got_rk, order, bucket, tiles=7, out="t7")
+        got = attach_two_phase_ntile(got, order, bucket, tiles=5, out="t5")
+        a = {r.id: (r.rk, r.t7, r.t5) for r in got.collect()}
+        b = {r.id: (r.rk, r.t7, r.t5) for r in native.collect()}
+        assert a == b
