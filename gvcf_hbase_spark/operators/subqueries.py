@@ -1297,3 +1297,82 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "v_orders_param", "lo": 1000, "hi": 9000},
     )
+
+
+_RECURSIVE_CTE_BODY = """
+    WITH RECURSIVE walk(node, anc, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM {customer}
+      UNION ALL
+      SELECT node, CAST(floor(anc / 2) AS BIGINT), depth + 1
+      FROM walk WHERE anc > 0
+    )
+    SELECT node,
+           CAST(max(depth) AS BIGINT) AS depth,
+           CAST(sum(anc) AS BIGINT) AS path_id_sum
+    FROM walk
+    GROUP BY node
+"""
+
+
+@register(
+    "sql_recursive_cte",
+    oracle=_RECURSIVE_CTE_BODY.format(customer="customer"),
+    tags=("sql", "graph"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 recursive CTE (`WITH RECURSIVE`, SPARK-24497): the
+    ancestor walk over the halving parent forest (parent = node div 2,
+    root 0) written DECLARATIVELY — each node's depth and the sum of
+    its ancestor-path ids. The engine iterates the recursive step to a
+    fixpoint internally (same anchor/step semantics as the oracle's
+    recursive CTE — the SQL text is IDENTICAL on both engines, modulo
+    the view name), so the unrolled-loop dataflow twin
+    `hierarchy_flatten_bounded` and its path-doubling now have the
+    declarative third form, hash-proven equivalent end to end.
+
+    Scale note: a recursive CTE shuffles per iteration like the
+    hand-rolled loop but the ROW SET shrinks as walks hit the root
+    (WHERE anc > 0 drops finished rows), and the engine owns lineage
+    truncation between steps. Path-doubling (the dataflow op) remains
+    the O(log depth) choice for very deep hierarchies; this is the
+    surface a SQL-first user actually writes."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_rcte")
+    return spark.sql(_RECURSIVE_CTE_BODY.format(customer="v_customer_rcte"))
+
+
+_SQL_UDF_ORACLE = """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@register("sql_udf_scalar", oracle=_SQL_UDF_ORACLE, tags=("sql",))
+def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-defined scalar function (CREATE FUNCTION ... RETURN
+    <expr>, SPARK-46246) + GROUP BY ALL: the discounted-revenue
+    quantizer is declared ONCE as a catalog function and reused in the
+    aggregate — the governance surface that lets a platform team pin
+    shared business logic (rounding/quantization rules) in SQL without
+    shipping a Python UDF. SQL UDFs inline into the plan at analysis
+    time (the body is an expression, not a black box), so pushdown and
+    codegen see straight through them — the oracle proves it by
+    inlining the body manually. GROUP BY ALL infers the grouping key
+    from the non-aggregate select list (same inference DuckDB pioneered
+    — the oracle spells the key out, proving the inference)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_rev_cents(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(p * (1 - d) * 100 + 0.5) AS BIGINT)"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_udf")
+    return spark.sql("""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(disc_rev_cents(l_extendedprice, l_discount)) AS BIGINT)
+                 AS revenue_cents
+        FROM v_lineitem_udf
+        GROUP BY ALL
+    """)
