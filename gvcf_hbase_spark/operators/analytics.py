@@ -2353,3 +2353,97 @@ def agg_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.col("median_x2").cast("bigint").alias("median_x2"),
     )
+
+
+_DID_ORACLE = """
+    WITH t AS (
+      SELECT CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) % 2 AS g,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+      WHERE regexp_extract(props, '(\\d+)', 1) <> ''
+    ),
+    split AS (SELECT min(us) + CAST((max(us) - min(us)) / 2 AS BIGINT) AS mid FROM t),
+    cells AS (
+      SELECT
+        CAST(sum(CASE WHEN g = 1 AND us >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+        CAST(sum(CASE WHEN g = 1 AND us >= mid THEN cents ELSE 0 END) AS BIGINT) AS s_tp,
+        CAST(sum(CASE WHEN g = 1 AND us <  mid THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+        CAST(sum(CASE WHEN g = 1 AND us <  mid THEN cents ELSE 0 END) AS BIGINT) AS s_tr,
+        CAST(sum(CASE WHEN g = 0 AND us >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+        CAST(sum(CASE WHEN g = 0 AND us >= mid THEN cents ELSE 0 END) AS BIGINT) AS s_cp,
+        CAST(sum(CASE WHEN g = 0 AND us <  mid THEN 1 ELSE 0 END) AS BIGINT) AS n_cr,
+        CAST(sum(CASE WHEN g = 0 AND us <  mid THEN cents ELSE 0 END) AS BIGINT) AS s_cr
+      FROM t CROSS JOIN split
+    )
+    SELECT n_tp, n_tr, n_cp, n_cr,
+           round(CAST(s_tp AS DOUBLE) / n_tp / 100, 4) AS treat_post_mean,
+           round(CAST(s_tr AS DOUBLE) / n_tr / 100, 4) AS treat_pre_mean,
+           round(CAST(s_cp AS DOUBLE) / n_cp / 100, 4) AS ctrl_post_mean,
+           round(CAST(s_cr AS DOUBLE) / n_cr / 100, 4) AS ctrl_pre_mean,
+           round((CAST(s_tp AS DOUBLE) / n_tp - CAST(s_tr AS DOUBLE) / n_tr
+                  - (CAST(s_cp AS DOUBLE) / n_cp - CAST(s_cr AS DOUBLE) / n_cr))
+                 / 100, 4) AS did_estimate
+    FROM cells
+"""
+
+
+@register("analytics_diff_in_diff", oracle=_DID_ORACLE, tags=("analytics", "agg"))
+def analytics_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the 2×2 (cohort × pre/post) readout
+    whose interaction term — (treat_post − treat_pre) − (ctrl_post −
+    ctrl_pre) — removes both the group baseline and the common time
+    trend, the causal-inference staple when a feature launches for one
+    cohort mid-stream. Cohort assignment follows `analytics_ab_ttest`'s
+    deterministic props-digit parity; the period split is the corpus
+    time midpoint entering as a 1-row broadcast (`analytics_cuped`'s
+    idiom).
+
+    The whole log collapses in ONE global aggregate of eight
+    conditional int-cent partials (map-side combine; the 2×2 is
+    columns, not rows, so no shuffle key at all) and the estimate is
+    pure arithmetic over the 1-row result — the cheapest possible plan
+    at any scale. Exact int sums; means divide once and round."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (F.regexp_extract("props", r"(\d+)", 1).try_cast("bigint") % 2).alias("g")
+    t = ev.select(
+        g,
+        F.col("ts_us_long").alias("us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    ).filter(F.col("g").isNotNull())
+    split = t.agg(
+        (F.min("us") + ((F.max("us") - F.min("us")) / 2).cast("bigint")).alias("mid")
+    )
+    w = t.crossJoin(F.broadcast(split))
+
+    def cell(cond, val):
+        return F.sum(F.when(cond, val).otherwise(0)).cast("bigint")
+
+    treat, ctrl = F.col("g") == 1, F.col("g") == 0
+    post, pre = F.col("us") >= F.col("mid"), F.col("us") < F.col("mid")
+    cells = w.agg(
+        cell(treat & post, 1).alias("n_tp"),
+        cell(treat & post, F.col("cents")).alias("s_tp"),
+        cell(treat & pre, 1).alias("n_tr"),
+        cell(treat & pre, F.col("cents")).alias("s_tr"),
+        cell(ctrl & post, 1).alias("n_cp"),
+        cell(ctrl & post, F.col("cents")).alias("s_cp"),
+        cell(ctrl & pre, 1).alias("n_cr"),
+        cell(ctrl & pre, F.col("cents")).alias("s_cr"),
+    )
+    m = lambda s, n: F.col(s).cast("double") / F.col(n)
+    return cells.select(
+        "n_tp",
+        "n_tr",
+        "n_cp",
+        "n_cr",
+        F.round(m("s_tp", "n_tp") / 100, 4).alias("treat_post_mean"),
+        F.round(m("s_tr", "n_tr") / 100, 4).alias("treat_pre_mean"),
+        F.round(m("s_cp", "n_cp") / 100, 4).alias("ctrl_post_mean"),
+        F.round(m("s_cr", "n_cr") / 100, 4).alias("ctrl_pre_mean"),
+        F.round(
+            (m("s_tp", "n_tp") - m("s_tr", "n_tr") - (m("s_cp", "n_cp") - m("s_cr", "n_cr")))
+            / 100,
+            4,
+        ).alias("did_estimate"),
+    )

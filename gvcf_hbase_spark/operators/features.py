@@ -304,3 +304,68 @@ def feat_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(F.broadcast(g), "l_returnflag").select(
         "l_orderkey", "l_linenumber", "l_returnflag", loo.alias("loo_mean_1e4")
     )
+
+
+_WOE_ORACLE = """
+    WITH lab AS (
+      SELECT o_orderpriority AS cat,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    per_cat AS (
+      SELECT cat,
+             CAST(sum(y) AS BIGINT) AS pos,
+             CAST(sum(1 - y) AS BIGINT) AS neg
+      FROM lab GROUP BY cat
+    ),
+    tot AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS p_tot, CAST(sum(neg) AS BIGINT) AS n_tot
+      FROM per_cat
+    )
+    SELECT cat, pos, neg,
+           round(ln((CAST(pos AS DOUBLE) / p_tot)
+                    / (CAST(neg AS DOUBLE) / n_tot)), 6) AS woe,
+           round(((CAST(pos AS DOUBLE) / p_tot) - (CAST(neg AS DOUBLE) / n_tot))
+                 * ln((CAST(pos AS DOUBLE) / p_tot)
+                      / (CAST(neg AS DOUBLE) / n_tot)), 6) AS iv_term
+    FROM per_cat CROSS JOIN tot
+"""
+
+
+@register("feat_woe_encode", oracle=_WOE_ORACLE, tags=("features", "agg"))
+def feat_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence categorical encoding (the credit-scoring
+    standard): per category, WOE = ln((pos_c/pos_total)/(neg_c/neg_total))
+    with the per-category information-value term (pos_share − neg_share)
+    × WOE — summing iv_term gives the feature's IV screening statistic.
+    Binary target: order fully fulfilled (status 'F').
+
+    One collapsing aggregate carries pos and neg side by side (the same
+    conditional-sum trick as `curate_dsir_weights`' two LMs); totals are
+    a 1-row broadcast; the encode table is category-sized and broadcast
+    back wherever it is applied. Every fixture category has both classes,
+    so no smoothing branch executes — production adds the usual +0.5
+    half-count on both shares (one expression change, same plan)."""
+    o = load_table(spark, sf_dir, "orders")
+    lab = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    per_cat = lab.groupBy("cat").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+    )
+    tot = per_cat.agg(
+        F.sum("pos").cast("bigint").alias("p_tot"),
+        F.sum("neg").cast("bigint").alias("n_tot"),
+    )
+    ps = F.col("pos").cast("double") / F.col("p_tot")
+    ns = F.col("neg").cast("double") / F.col("n_tot")
+    woe = F.log(ps / ns)
+    return per_cat.crossJoin(F.broadcast(tot)).select(
+        "cat",
+        "pos",
+        "neg",
+        F.round(woe, 6).alias("woe"),
+        F.round((ps - ns) * woe, 6).alias("iv_term"),
+    )

@@ -85,11 +85,11 @@ def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # 51–53) heads the round-6 queue, which is now staged EXPLICITLY below
 # (r04 verdict action 8): the remaining 100 never-driver-verified keys in
 # module order, 103 total for round 6 (+53 rotation at r06 covers 50 more,
-# leaving ~53 for round 7 — full driver coverage lands r07). The six
+# leaving ~53 for round 7 — full driver coverage lands r07). The eight
 # round-5 additions (multimodal_cdc_chunk_dedup, ts_downsample_lttb_exact,
-# curate_dsir_weights, ts_holt_winters, sql_recursive_cte, sql_udf_scalar)
-# enumerate after _PRIORITY via load_all()'s registration-order append,
-# i.e. at the round-7 queue tail.
+# curate_dsir_weights, ts_holt_winters, sql_recursive_cte, sql_udf_scalar,
+# feat_woe_encode, analytics_diff_in_diff) enumerate after _PRIORITY via
+# load_all()'s registration-order append, i.e. at the round-7 queue tail.
 _PRIORITY = [
     # ============== round-5 window (slots 1–50; 51–53 overflow) ==============
     "agg_bool_logic",

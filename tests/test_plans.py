@@ -157,7 +157,11 @@ def test_no_cartesian_products_anywhere(spark):
                         # 2-row literal epoch dim crossed into the corpus
                         "curate_epoch_shuffle",
                         # 1-row LM-normalizer broadcast into the vocab table
-                        "curate_dsir_weights"}
+                        "curate_dsir_weights",
+                        # 1-row class-total broadcast into the category table
+                        "feat_woe_encode",
+                        # 1-row midpoint broadcast into the 2x2 collapse
+                        "analytics_diff_in_diff"}
     for key, spec in SPECS.items():
         if key == "join_cross" or "streaming" in spec.tags:
             continue
