@@ -1569,15 +1569,17 @@ _OLS_MULTI_ORACLE = """
       FROM lineitem
     ),
     s AS (
+      -- HUGEINT (int128) sums: Σy² alone is ~6e19 at sf0.1, past int64;
+      -- the Spark side uses decimal(38,0) for the same exactness
       SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
-             CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x1 * x1) AS BIGINT) AS sx1x1,
-             CAST(sum(x2 * x2) AS BIGINT) AS sx2x2,
-             CAST(sum(x1 * x2) AS BIGINT) AS sx1x2,
-             CAST(sum(x1 * y) AS BIGINT) AS sx1y,
-             CAST(sum(x2 * y) AS BIGINT) AS sx2y,
-             CAST(sum(y * y) AS BIGINT) AS syy
+             sum(CAST(x1 AS HUGEINT)) AS sx1, sum(CAST(x2 AS HUGEINT)) AS sx2,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x1 AS HUGEINT) * x1) AS sx1x1,
+             sum(CAST(x2 AS HUGEINT) * x2) AS sx2x2,
+             sum(CAST(x1 AS HUGEINT) * x2) AS sx1x2,
+             sum(CAST(x1 AS HUGEINT) * y) AS sx1y,
+             sum(CAST(x2 AS HUGEINT) * y) AS sx2y,
+             sum(CAST(y AS HUGEINT) * y) AS syy
       FROM t
     ),
     m AS (
@@ -1638,17 +1640,21 @@ def analytics_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("x2"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
     )
+    # decimal(38,0) sums: Σy² is ~6e19 at sf0.1 — past int64, found by the
+    # 10x-gate mirror. Wide-decimal keeps every statistic EXACT (the oracle
+    # mirrors with HUGEINT); doubles enter only at the closed-form solve.
+    d = lambda c: F.col(c).cast("decimal(19,0)")
     s = li.agg(
         F.count("*").alias("n"),
-        F.sum("x1").alias("sx1"),
-        F.sum("x2").alias("sx2"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x1") * F.col("x1")).alias("sx1x1"),
-        F.sum(F.col("x2") * F.col("x2")).alias("sx2x2"),
-        F.sum(F.col("x1") * F.col("x2")).alias("sx1x2"),
-        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
-        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(d("x1")).alias("sx1"),
+        F.sum(d("x2")).alias("sx2"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(d("x1") * d("x1")).alias("sx1x1"),
+        F.sum(d("x2") * d("x2")).alias("sx2x2"),
+        F.sum(d("x1") * d("x2")).alias("sx1x2"),
+        F.sum(d("x1") * d("y")).alias("sx1y"),
+        F.sum(d("x2") * d("y")).alias("sx2y"),
+        F.sum(d("y") * d("y")).alias("syy"),
     )
     n = F.col("n")
     a11 = n * F.col("sx1x1") - F.col("sx1") * F.col("sx1")

@@ -1764,7 +1764,7 @@ _DSIR_ORACLE = """
     )
     SELECT d.doc_id,
            CAST(sum(d.cnt) AS BIGINT) AS n_tokens,
-           round(sum(d.cnt * lm.lr), 4) AS dsir_logweight
+           round(sum(d.cnt * lm.lr), 4) + 0.0 AS dsir_logweight
     FROM dterm d JOIN lm USING (term)
     GROUP BY d.doc_id
 """
@@ -1821,6 +1821,11 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("bigint").alias("n_tokens"),
-            F.round(F.sum(F.col("cnt") * F.col("lr")), 4).alias("dsir_logweight"),
+            # + 0.0 normalizes IEEE negative zero: a weight that rounds to
+            # -0.0 on one engine and +0.0 on the other is the same number
+            # but a different repr — found by the sf0.1 mirror
+            (F.round(F.sum(F.col("cnt") * F.col("lr")), 4) + F.lit(0.0)).alias(
+                "dsir_logweight"
+            ),
         )
     )

@@ -64,26 +64,53 @@ def main() -> int:
 
     qs = contract.queries()
     oracles = contract.oracle_sql()
+
+    def build_session():
+        return (
+            SparkSession.builder.appName("driver-mirror")
+            .master("local[32]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+
+    def check(key, spark):
+        df = qs[key](spark, sf_dir)
+        if key not in oracles or key in skip_oracle:
+            return f"rows-only: {df.count()}"
+        s_cols, s_rows = canon_rows(df.toPandas())
+        o_cols, o_rows = canon_rows(con.execute(oracles[key]).df())
+        if s_cols != o_cols:
+            return f"FAIL schema: spark={s_cols} oracle={o_cols}"
+        if len(s_rows) != len(o_rows):
+            return f"FAIL rows: spark={len(s_rows)} oracle={len(o_rows)}"
+        if s_rows != o_rows:
+            bad = next(i for i, (s, o) in enumerate(zip(s_rows, o_rows)) if s != o)
+            return f"FAIL values @sortedrow {bad}: spark={s_rows[bad]} oracle={o_rows[bad]}"
+        return "match"
+
     t0 = time.perf_counter()
     for key in sorted(qs):
         try:
-            df = qs[key](spark, sf_dir)
-            if key not in oracles or key in skip_oracle:
-                cnt = df.count()
-                results[key] = f"rows-only: {cnt}"
-                continue
-            s_cols, s_rows = canon_rows(df.toPandas())
-            o_cols, o_rows = canon_rows(con.execute(oracles[key]).df())
-            if s_cols != o_cols:
-                results[key] = f"FAIL schema: spark={s_cols} oracle={o_cols}"
-            elif len(s_rows) != len(o_rows):
-                results[key] = f"FAIL rows: spark={len(s_rows)} oracle={len(o_rows)}"
-            elif s_rows != o_rows:
-                bad = next(i for i, (s, o) in enumerate(zip(s_rows, o_rows)) if s != o)
-                results[key] = f"FAIL values @sortedrow {bad}: spark={s_rows[bad]} oracle={o_rows[bad]}"
-            else:
-                results[key] = "match"
+            results[key] = check(key, spark)
         except Exception as e:
+            # A memory-pressure task failure can kill the whole local-mode
+            # JVM; every later key would then cascade-fail with 'stopped
+            # SparkContext' / 'Connection refused' (seen on the sf0.1 run
+            # under co-tenant load). Rebuild the session and retry ONCE so
+            # one casualty doesn't void the rest of the evidence.
+            if spark._sc._jsc is None or spark._sc._jvm is None or "SparkContext" in str(e) or "Connection refused" in str(e):
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                SparkSession._instantiatedSession = None
+                SparkSession._activeSession = None
+                spark = build_session()
+                try:
+                    results[key] = check(key, spark) + " (after session rebuild)"
+                    continue
+                except Exception as e2:
+                    e = e2
             results[key] = f"FAIL exec: {type(e).__name__}: {str(e)[:200]}"
             traceback.print_exc(limit=2, file=sys.stderr)
 
@@ -93,7 +120,7 @@ def main() -> int:
             {
                 "sf_dir": sf_dir,
                 "total": len(qs),
-                "match": sum(1 for v in results.values() if v == "match"),
+                "match": sum(1 for v in results.values() if v.startswith("match")),
                 "rows_only": sum(1 for v in results.values() if v.startswith("rows-only")),
                 "fails": fails,
                 "wall_s": round(time.perf_counter() - t0, 2),
