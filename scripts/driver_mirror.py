@@ -115,19 +115,24 @@ def main() -> int:
             traceback.print_exc(limit=2, file=sys.stderr)
 
     fails = {k: v for k, v in results.items() if v.startswith("FAIL")}
-    print(
-        json.dumps(
-            {
-                "sf_dir": sf_dir,
-                "total": len(qs),
-                "match": sum(1 for v in results.values() if v.startswith("match")),
-                "rows_only": sum(1 for v in results.values() if v.startswith("rows-only")),
-                "fails": fails,
-                "wall_s": round(time.perf_counter() - t0, 2),
-            },
-            indent=None,
-        )
+    summary = json.dumps(
+        {
+            "sf_dir": sf_dir,
+            "total": len(qs),
+            "match": sum(1 for v in results.values() if v.startswith("match")),
+            "rows_only": sum(1 for v in results.values() if v.startswith("rows-only")),
+            "fails": fails,
+            "wall_s": round(time.perf_counter() - t0, 2),
+        },
+        indent=None,
     )
+    print(summary)
+    # stdout can be interleaved by JVM unified-logging lines (gc warnings
+    # land on stdout, not stderr) — persist the summary where a pipe can't
+    # lose it. One file per SF so concurrent runs don't clobber each other.
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    with open(f"/tmp/driver_mirror_{tag}.json", "w") as f:
+        f.write(summary + "\n")
     return 1 if fails else 0
 
 
