@@ -72,6 +72,13 @@ HEADLINE = [
     "feat_rank_bucketize",
     "curate_segment_dedup",
     "gvcf_relatedness_ibs",
+    # round-6 widening (r05 verdict action 6): the three most expensive
+    # never-benched shapes — the Spark 4 recursive-CTE fixpoint, the
+    # mapInPandas Gear rolling-hash CDC chunker, and the applyInPandas
+    # sequential LTTB walk
+    "sql_recursive_cte",
+    "multimodal_cdc_chunk_dedup",
+    "ts_downsample_lttb_exact",
 ]
 
 # The r01/r02-era comparable subset: round-over-round perf comparisons read

@@ -42,12 +42,27 @@ def attach_two_phase_rank(
     """Append the global ``row_number() OVER (ORDER BY *order)`` as
     column ``out`` without a single-partition window.
 
-    ``bucket`` MUST be monotone in the sort order and constant across
+    ``bucket`` MUST be monotone in the sort order, constant across
     ties of the non-tiebreak sort keys (callers pass e.g.
-    ``-floor(col/W)`` for a descending sort on ``col``). With
-    ``with_total`` a ``__n`` total-row-count column (1-row broadcast)
-    is appended too — ``attach_two_phase_ntile`` needs it."""
-    tagged = df.withColumn(_VBKT, bucket.cast("long"))
+    ``-floor(col/W)`` for a descending sort on ``col``), and NON-NULL
+    for every row: a NULL bucket would silently miss the offsets join
+    and drop the row from the output (native row_number/ntile would
+    rank it), so the plan raises at runtime instead — coalesce NULLs
+    into a real bucket value BEFORE calling if the metric is nullable.
+    With ``with_total`` a ``__n`` total-row-count column (1-row
+    broadcast) is appended too — ``attach_two_phase_ntile`` needs it."""
+    # Coalesce is lazily evaluated, so the error branch costs nothing on
+    # the non-null path; a NULL bucket fails the job loudly rather than
+    # losing rows in the inner join below.
+    tagged = df.withColumn(
+        _VBKT,
+        F.coalesce(
+            bucket.cast("long"),
+            F.raise_error(
+                F.lit("attach_two_phase_rank: bucket expression must be non-null")
+            ).cast("long"),
+        ),
+    )
     in_bkt = Window.partitionBy(_VBKT).orderBy(*order)
     local = tagged.withColumn(_LR, F.row_number().over(in_bkt))
     counts = tagged.groupBy(_VBKT).agg(F.count("*").alias(_CNT))
@@ -62,6 +77,56 @@ def attach_two_phase_rank(
         n = counts.agg(F.sum(_CNT).cast("long").alias(_N))
         out_df = out_df.crossJoin(F.broadcast(n))
     return out_df.drop(_VBKT, _LR, _OFF)
+
+
+def attach_two_phase_cumsum(
+    df: DataFrame,
+    order: list[Column],
+    bucket: Column,
+    sums: dict[str, str],
+) -> DataFrame:
+    """Append inclusive running sums ``sum(src) OVER (ORDER BY *order)``
+    as ``{src: out}`` columns without a single-partition window — the
+    running-SUM sibling of :func:`attach_two_phase_rank`, same bucket
+    contract (monotone in the sort order, constant across ties,
+    non-null). Phase 1 runs each cumulative sum inside its bucket (a
+    keyed window); phase 2 folds the exclusive prefix of PER-BUCKET
+    totals (one row per bucket) back in via a broadcast join. Used by
+    the exact CDF statistics (`agg_ks_test`, `analytics_mann_whitney`)
+    whose support relation is value-domain-sized: bounded today, but a
+    wide domain at 100× would otherwise ride one task."""
+    tagged = df.withColumn(
+        _VBKT,
+        F.coalesce(
+            bucket.cast("long"),
+            F.raise_error(
+                F.lit("attach_two_phase_cumsum: bucket expression must be non-null")
+            ).cast("long"),
+        ),
+    )
+    in_bkt = (
+        Window.partitionBy(_VBKT)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = tagged
+    for src, out in sums.items():
+        local = local.withColumn(out, F.sum(src).over(in_bkt))
+    totals = tagged.groupBy(_VBKT).agg(
+        *[F.sum(src).alias(f"__t{out}") for src, out in sums.items()]
+    )
+    off_w = Window.orderBy(_VBKT).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        _VBKT,
+        *[
+            F.coalesce(F.sum(f"__t{out}").over(off_w), F.lit(0)).alias(f"__o{out}")
+            for out in sums.values()
+        ],
+    )
+    out_df = local.join(F.broadcast(offsets), _VBKT)
+    for out in sums.values():
+        out_df = out_df.withColumn(out, F.col(out) + F.col(f"__o{out}"))
+    return out_df.drop(_VBKT, *[f"__o{out}" for out in sums.values()])
 
 
 def ntile_from_rank(rk: Column, n: Column, tiles: int) -> Column:

@@ -16,7 +16,10 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from gvcf_hbase_spark.functions.ranks import attach_two_phase_ntile
+from gvcf_hbase_spark.functions.ranks import (
+    attach_two_phase_cumsum,
+    attach_two_phase_ntile,
+)
 from gvcf_hbase_spark.registry import register
 from gvcf_hbase_spark.sources.tables import load_table
 
@@ -1208,12 +1211,14 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merged support — pure int64 on cent-quantized values; only the
     final normalized D divides. Plan: both samples collapse to
     per-distinct-value counts first (map-side combine; the support is
-    bounded by the value DOMAIN, not the row count), so the cumulative
-    window runs over ≤ |support| rows — the single-partition ORDER BY
-    is bounded the same way `agg_share_of_total`'s is, and at 100 TB
-    the domain-sized relation is what makes an exact global sup
-    computable at all. The argmax value is reported with a
-    deterministic min-tiebreak on both sides."""
+    bounded by the value DOMAIN, not the row count), then the
+    cumulative counts come from the TWO-PHASE cumsum
+    (functions/ranks.py): a keyed window inside cent-value buckets plus
+    a broadcast join of per-bucket prefix totals — so no
+    single-partition window ever sees the support relation, and a wide
+    value domain at 100× costs one more bucket, not one task. The
+    argmax value is reported with a deterministic min-tiebreak on both
+    sides."""
     ev = load_table(spark, sf_dir, "events")
     c = F.round(F.col("value") * 100, 0).cast("bigint")
     sides = ev.filter(F.col("event_type").isin("view", "purchase")).select(
@@ -1227,12 +1232,12 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_x"), 1).otherwise(0)).cast("bigint").alias("nx"),
         F.sum(F.when(~F.col("is_x"), 1).otherwise(0)).cast("bigint").alias("ny"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = pts.select(
-        "v",
-        F.sum("cx_here").over(w).alias("cx"),
-        F.sum("cy_here").over(w).alias("cy"),
-    )
+    cum = attach_two_phase_cumsum(
+        pts,
+        [F.col("v")],
+        F.floor(F.col("v") / 1000),  # per-$10 cent buckets, monotone in v
+        {"cx_here": "cx", "cy_here": "cy"},
+    ).select("v", "cx", "cy")
     diffs = cum.crossJoin(F.broadcast(n)).select(
         "v",
         "nx",
@@ -1640,9 +1645,12 @@ def analytics_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("x2"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
     )
-    # decimal(38,0) sums: Σy² is ~6e19 at sf0.1 — past int64, found by the
-    # 10x-gate mirror. Wide-decimal keeps every statistic EXACT (the oracle
-    # mirrors with HUGEINT); doubles enter only at the closed-form solve.
+    # decimal(19,0) OPERANDS whose products/sums widen to decimal(38,0)
+    # under Spark's decimal arithmetic: Σy² is ~6e19 at sf0.1 — past int64,
+    # found by the 10x-gate mirror. The 38-digit headroom is what keeps
+    # every statistic EXACT (the oracle mirrors with HUGEINT); do NOT
+    # tighten the operand cast — exactness lives in the widened results,
+    # not the operands. Doubles enter only at the closed-form solve.
     d = lambda c: F.col(c).cast("decimal(19,0)")
     s = li.agg(
         F.count("*").alias("n"),
@@ -2358,6 +2366,73 @@ def agg_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("n").cast("bigint").alias("n"),
         F.col("median_x2").cast("bigint").alias("median_x2"),
+    )
+
+
+_QUANTILES_PCTS = (25, 50, 75, 90, 99)
+
+_QUANTILES_ORACLE = """
+    WITH v AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    n AS (SELECT count(*) AS n FROM v),
+    r AS (SELECT c, row_number() OVER (ORDER BY c) AS rk FROM v),
+    t AS (
+      SELECT pct, CAST(ceil(pct * n.n / 100.0) AS BIGINT) AS rank_at
+      FROM (VALUES (25), (50), (75), (90), (99)) p(pct) CROSS JOIN n
+    )
+    SELECT CAST(t.pct AS INT) AS pct, t.rank_at AS rank_at,
+           r.c AS value_cents
+    FROM t JOIN r ON r.rk = t.rank_at
+"""
+
+
+@register("agg_quantiles_multi", oracle=_QUANTILES_ORACLE, tags=("analytics", "agg"))
+def agg_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT multi-quantile (p25/p50/p75/p90/p99 of extendedprice, lower
+    quantile_disc semantics: value at rank ⌈q·n⌉) — `agg_median_twophase`'s
+    selection algorithm generalized to a whole quantile VECTOR in the
+    same two phases: one value-bucket histogram locates every target
+    rank's bucket at once, and phase 2 ranks only inside the ≤5 hit
+    buckets. The naive `sort + pick ranks` is a global single-partition
+    sort; Spark's exact `percentile(array)` buffers all values per
+    group — this shape is the one that reports exact tail quantiles
+    (the p99 a latency/price SLO actually needs) at 100 TB: the
+    histogram is domain-bounded, the phase-2 sort is bucket-bounded,
+    and adding quantiles adds broadcast rows, not passes. The oracle
+    recomputes every rank independently via a full row_number."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    ).withColumn("bucket", F.expr(f"cents div {_MEDIAN_BKT_W}"))
+    hist = base.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    cw = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.select("bucket", "cnt", F.sum("cnt").over(cw).alias("cum"))
+        .withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+    )
+    nrow = base.agg(F.count("*").alias("n"))
+    ranks = nrow.select(
+        "n",
+        F.explode(F.array(*[F.lit(p) for p in _QUANTILES_PCTS])).alias("pct"),
+    ).withColumn(
+        "rank_at", F.ceil(F.col("pct") * F.col("n") / F.lit(100.0)).cast("long")
+    )
+    targets = (
+        cum.crossJoin(F.broadcast(ranks))
+        .filter((F.col("cum_prev") < F.col("rank_at")) & (F.col("rank_at") <= F.col("cum")))
+        .select("bucket", "pct", "rank_at", "cum_prev")
+    )
+    phase2 = base.join(F.broadcast(targets), "bucket")
+    lw = Window.partitionBy("bucket", "pct").orderBy("cents")
+    sel = phase2.withColumn("lr", F.row_number().over(lw)).filter(
+        F.col("lr") == F.col("rank_at") - F.col("cum_prev")
+    )
+    return sel.select(
+        F.col("pct").cast("int").alias("pct"),
+        F.col("rank_at").cast("bigint").alias("rank_at"),
+        F.col("cents").cast("bigint").alias("value_cents"),
     )
 
 

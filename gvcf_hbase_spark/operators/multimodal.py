@@ -662,7 +662,7 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CDC_MASK = 63  # 6 mask bits => boundary prob 1/64 => mean chunk ~64 B
+_CDC_MASK_BITS = 6  # 6 test bits => boundary prob 1/64 => mean chunk ~64 B
 _CDC_SHIFT_W = 64  # gear hash width: h_i depends on exactly the last 64 bytes
 
 
@@ -684,15 +684,24 @@ def _gear_table():
 
 def cdc_chunk_hashes(payload: bytes, gear) -> list[str]:
     """Content-defined chunk boundaries via the Gear rolling hash, fully
-    vectorized: h_i = (h_{i-1} << 1) + G[b_i] mod 2^64, cut where
-    (h_i & MASK) == 0. Because the shift ages a byte out of h after 64
-    steps, h_i is EXACTLY the windowed sum Σ_{k<64} G[b_{i-k}] << k — so
-    the sequential recurrence is computable as 64 vectorized adds (no
+    vectorized: h_i = (h_{i-1} << 1) + G[b_i] mod 2^64, cut where the
+    HIGH ``_CDC_MASK_BITS`` bits of h_i are all zero (the FastCDC/Gear
+    convention: the left shift ages each byte's entropy TOWARD the high
+    bits, so the high bits mix contributions from the whole 64-byte
+    window — a low-bit test would see only the trailing 6 bytes).
+    Because the shift ages a byte out of h after 64 steps, h_i is
+    EXACTLY the windowed sum Σ_{k<64} G[b_{i-k}] << k — so the
+    sequential recurrence is computable as 64 vectorized adds (no
     per-byte Python loop; a production build fuses it into one C pass).
     Boundaries therefore depend only on the trailing 64 bytes: inserting
     or deleting bytes re-chunks at most one window past the edit, the
     shift-robustness property fixed-width chunking lacks (and the whole
-    point of CDC — see the property test)."""
+    point of CDC — see the property test). Degenerate content caveat: a
+    long run of ONE byte value drives h to a constant, so such a run
+    cuts either everywhere or nowhere past the warm-up window (true of
+    any deterministic content-defined rule); production CDC bounds both
+    failure modes with min/max chunk sizes, which this exhibit omits to
+    keep the boundary rule pure."""
     import hashlib
 
     import numpy as np
@@ -705,7 +714,7 @@ def cdc_chunk_hashes(payload: bytes, gear) -> list[str]:
     h = np.zeros(n, dtype=np.uint64)
     for k in range(min(_CDC_SHIFT_W, n)):
         h[k:] += g[: n - k] << np.uint64(k)
-    cuts = np.flatnonzero((h & np.uint64(_CDC_MASK)) == 0)
+    cuts = np.flatnonzero((h >> np.uint64(64 - _CDC_MASK_BITS)) == 0)
     ends = np.append(cuts[cuts < n - 1], n - 1)
     out, start = [], 0
     for e in ends:

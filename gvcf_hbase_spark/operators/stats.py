@@ -32,6 +32,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from gvcf_hbase_spark.functions.ranks import attach_two_phase_cumsum
 from gvcf_hbase_spark.registry import register
 from gvcf_hbase_spark.sources.tables import load_table
 
@@ -168,16 +169,20 @@ def analytics_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation z.
 
     Exactness: both samples collapse to per-distinct-cent counts first
-    (map-side combine, support bounded by the value DOMAIN), so average
-    ranks of tie blocks come from one integer cumulative window over the
-    support relation: the tie block at value v occupies ranks
-    before+1 … before+t, so 2·R₁ = Σ n1ᵥ·(2·before + t + 1) — pure
-    int64 (the doubling clears the ½ of the average rank; U is reported
-    doubled for the same reason). The tie-correction term Σ(t³−t) is an
-    integer sum. Only the final z divides/roots, computed from exact
-    ints in one identical expression per engine; a degenerate zero
-    variance (all values tied) yields NULL on both sides rather than an
-    ANSI divide-by-zero."""
+    (map-side combine, support bounded by the value DOMAIN), then the
+    integer cumulative count over the support comes from the TWO-PHASE
+    cumsum (functions/ranks.py): a keyed window inside cent-value
+    buckets plus a broadcast join of per-bucket prefix totals — no
+    single-partition window ever sees the support relation, so a wide
+    value domain at 100× costs one more bucket, not one task. The tie
+    block at value v occupies ranks before+1 … before+t, so
+    2·R₁ = Σ n1ᵥ·(2·before + t + 1) — pure int64 (the doubling clears
+    the ½ of the average rank; U is reported doubled for the same
+    reason). The tie-correction term Σ(t³−t) is an integer sum. Only
+    the final z divides/roots, computed from exact ints in one
+    identical expression per engine; a degenerate zero variance (all
+    values tied) yields NULL on both sides rather than an ANSI
+    divide-by-zero."""
     ev = load_table(spark, sf_dir, "events")
     sides = ev.filter(F.col("event_type").isin("click", "view")).select(
         F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
@@ -187,15 +192,12 @@ def analytics_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_x"), 1).otherwise(0)).alias("n1x"),
         F.sum(F.when(~F.col("is_x"), 1).otherwise(0)).alias("n2x"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t_here = F.col("n1x") + F.col("n2x")
-    cum = pts.select(
-        "v",
-        "n1x",
-        "n2x",
-        t_here.alias("t_here"),
-        F.sum(t_here).over(w).alias("cumall"),
-    )
+    cum = attach_two_phase_cumsum(
+        pts.withColumn("t_here", F.col("n1x") + F.col("n2x")),
+        [F.col("v")],
+        F.floor(F.col("v") / 1000),  # per-$10 cent buckets, monotone in v
+        {"t_here": "cumall"},
+    ).select("v", "n1x", "n2x", "t_here", "cumall")
     parts = cum.agg(
         F.sum("n1x").alias("n1"),
         F.sum("n2x").alias("n2"),

@@ -1418,10 +1418,14 @@ _LTTB_EXACT_ORACLE = """
         SELECT p.tt, p.t_us, p.v
         FROM p2 p
         WHERE p.event_type = w.event_type AND p.day = cur.day
-        ORDER BY abs(CAST(nxt.n * w.sel_tt - nxt.sx AS DOUBLE)
+        -- HUGEINT keeps n·sel_tt exact (rebased tt ~3e13 µs × bucket
+        -- counts overflows BIGINT at scale); the Python side subtracts
+        -- in arbitrary-precision int before float(), so exact-int-then-
+        -- double is the identity both engines must share.
+        ORDER BY abs(CAST(CAST(nxt.n AS HUGEINT) * w.sel_tt - nxt.sx AS DOUBLE)
                        * CAST(p.v - w.sel_v AS DOUBLE)
                    - CAST(w.sel_tt - p.tt AS DOUBLE)
-                       * CAST(nxt.sy - nxt.n * w.sel_v AS DOUBLE)) DESC,
+                       * CAST(nxt.sy - CAST(nxt.n AS HUGEINT) * w.sel_v AS DOUBLE)) DESC,
                  p.t_us, p.event_id
         LIMIT 1
       ) pick

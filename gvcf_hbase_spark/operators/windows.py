@@ -374,9 +374,10 @@ def win_percentile_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²) per key on unbounded history, the r03-flagged scale hazard.
     The trailing ROWS frame caps per-row cost at a constant 25-element
     sort regardless of key history length, which is the form that
-    survives 100 TB; callers who need the full-history quantile at
-    scale demote to approx_percentile per key (one pass, mergeable
-    sketch) rather than a window."""
+    survives 100 TB; callers who need the full-history EXACT quantile
+    use `win_percentile_running_full` (streaming two-heap, O(log n)
+    per row), and at sketch-tolerant scale approx_percentile per key
+    (one pass, mergeable) replaces the window entirely."""
     ev = _events_us(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
@@ -387,6 +388,78 @@ def win_percentile_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("running_median"),
+    )
+
+
+@register(
+    "win_percentile_running_full",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(round(2 * quantile_cont(CAST(round(value * 100, 0) AS BIGINT), 0.5)
+             OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                   ROWS UNBOUNDED PRECEDING), 0) AS BIGINT)
+             AS med_cents_2x
+    FROM events
+    """,
+    tags=("window", "timeseries"),
+)
+def win_percentile_running_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-HISTORY exact running median per user — the scale-safe form
+    of the growing-frame percentile window (`win_percentile_running`'s
+    trailing-25 twin bounds the frame instead; this op keeps the
+    unbounded semantics and fixes the cost): a native
+    ``percentile() OVER (ROWS UNBOUNDED PRECEDING)`` re-materializes
+    and re-sorts the whole growing frame per row — O(n²) per key, the
+    r03-flagged scale hazard — while the streaming TWO-HEAP algorithm
+    here maintains the lower-half max-heap / upper-half min-heap
+    invariant for O(log n) per row, one sequential pass per key inside
+    ``applyInPandas`` (keys are the parallelism unit, same contract as
+    `ts_downsample_lttb_exact`).
+
+    Determinism: values quantize to int64 cents BEFORE the heaps, and
+    the median is reported DOUBLED (2·mid for odd frames, lo+hi for
+    even) so it stays pure int64 — no float interpolation to diverge
+    on; the oracle's quantile_cont interpolation on ints is exact in
+    double and 2× it is integral, so both engines report the identical
+    integer."""
+    import pandas as pd
+
+    ev = _events_us(spark, sf_dir)
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts_us_long",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_cents"),
+    )
+
+    def med(pdf: pd.DataFrame) -> pd.DataFrame:
+        import heapq
+
+        pdf = pdf.sort_values(["ts_us_long", "event_id"], kind="mergesort")
+        lo: list[int] = []  # max-heap of lower half (negated)
+        hi: list[int] = []  # min-heap of upper half
+        out: list[int] = []
+        for c in pdf["v_cents"]:
+            c = int(c)
+            if lo and c > -lo[0]:
+                heapq.heappush(hi, c)
+            else:
+                heapq.heappush(lo, -c)
+            if len(lo) > len(hi) + 1:
+                heapq.heappush(hi, -heapq.heappop(lo))
+            elif len(hi) > len(lo):
+                heapq.heappush(lo, -heapq.heappop(hi))
+            out.append(-2 * lo[0] if len(lo) > len(hi) else -lo[0] + hi[0])
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(),
+                "user_id": pdf["user_id"].to_numpy(),
+                "med_cents_2x": out,
+            }
+        )
+
+    return pts.groupBy("user_id").applyInPandas(
+        med, "event_id long, user_id long, med_cents_2x long"
     )
 
 

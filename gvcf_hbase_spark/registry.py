@@ -78,75 +78,21 @@ def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-facing enumeration order. The correctness harness verifies only a
 # 50-key PREFIX of the inventory per round. Cumulative driver verdicts after
-# r04: 191 of 344 keys. Round-5 rotation (r04 verdict action 1): the staged
-# round-5 queue block (53 never-driver-verified keys) is promoted to slots
-# 1–53 so CORRECTNESS_r05 verifies 50 of them; the 3-key overflow
-# (sink_merge_upsert / sink_partition_stats / sink_secondary_index, slots
-# 51–53) heads the round-6 queue, which is now staged EXPLICITLY below
-# (r04 verdict action 8): the remaining 100 never-driver-verified keys in
-# module order, 103 total for round 6 (+53 rotation at r06 covers 50 more,
-# leaving ~53 for round 7 — full driver coverage lands r07). The eight
-# round-5 additions (multimodal_cdc_chunk_dedup, ts_downsample_lttb_exact,
-# curate_dsir_weights, ts_holt_winters, sql_recursive_cte, sql_udf_scalar,
-# feat_woe_encode, analytics_diff_in_diff) enumerate after _PRIORITY via
-# load_all()'s registration-order append, i.e. at the round-7 queue tail.
+# r05: 241 of 352 keys (CORRECTNESS_r05: 50/50 green on the round-5 window).
+# Round-6 rotation (r05 verdict action 1): the 3-key round-5 overflow
+# (sink_merge_upsert / sink_partition_stats / sink_secondary_index) plus the
+# first 47 of the staged never-driver-verified block are promoted to slots
+# 1–50, so CORRECTNESS_r06 lifts cumulative coverage 241 → 291. The round-7
+# queue (slots 51+) is staged EXPLICITLY below (r05 verdict action 8): the
+# remaining 53 staged keys in module order, then the eight round-5 additions
+# — 61 keys, of which r07 verifies 50; the 11-key tail plus any round-6
+# additions (which enumerate after _PRIORITY via load_all()'s
+# registration-order append) complete coverage at r08.
 _PRIORITY = [
-    # ============== round-5 window (slots 1–50; 51–53 overflow) ==============
-    "agg_bool_logic",
-    "agg_geometric_mean",
-    "agg_histogram",
-    "agg_mode_deterministic",
-    "agg_rollup",
-    "source_csv_corrupt_recovery",
-    "source_jsonl_roundtrip",
-    "source_orc_roundtrip",
-    "source_schema_evolution",
-    "source_xml_roundtrip",
-    "join_asof_nearest",
-    "join_asof_tolerance",
-    "join_runtime_bloom",
-    "win_frame_time_range",
-    "win_gaps_islands",
-    "win_interval_merge",
-    "win_session_rollup",
-    "win_time_weighted_avg",
-    "set_except_distinct",
-    "join_lateral_topn",
-    "agg_bitmap_distinct",
-    "fn_bitwise",
-    "fn_collation",
-    "fn_data_masking",
-    "fn_explode_outer",
-    "fn_regexp_extract_all",
-    "fn_try_arith",
-    "fn_url_parse",
-    "fn_variant_json",
-    "dedup_containment",
-    "dedup_incremental",
-    "sim_centroid_label",
-    "sim_cosine_pairs_blocked",
-    "sim_embed_quantize",
-    "sim_knn_blocked",
-    "text_chunk_sliding",
-    "text_keyword_topk",
-    "text_ngram_counts",
-    "text_normalize",
-    "text_unigram_logprob",
-    "curate_oversample",
-    "curate_shard_balance",
-    "curate_winsorize",
-    "dedup_canonical_select",
-    "profile_table_quality",
-    "udf_arrow_batch",
-    "udf_arrow_scalar",
-    "source_binary_files",
-    "join_dpp_partitioned",
-    "sink_compact_small_files",
+    # ============== round-6 window (slots 1–50) ==============
     "sink_merge_upsert",
     "sink_partition_stats",
     "sink_secondary_index",
-    # ======= round-6 window queue (100 never-driver-verified, staged) =======
-    # (Together with the 3-key overflow above: 103 keys for rounds 6–7.)
     "agg_listagg_distinct",
     "scan_file_metadata",
     "win_mtd_ytd",
@@ -194,6 +140,8 @@ _PRIORITY = [
     "analytics_funnel_summary",
     "analytics_shapley_attribution",
     "analytics_decay_score",
+    # ======= round-7 window queue (61 never-driver-verified, staged) =======
+    # 53 remaining staged keys in module order + the 8 round-5 additions.
     "analytics_dau_wau",
     "agg_median_twophase",
     "analytics_chi_square",
@@ -247,10 +195,18 @@ _PRIORITY = [
     "source_gvcf_datasource",
     "sink_zorder_layout",
     "sink_write_audit_publish",
+    "sql_recursive_cte",
+    "sql_udf_scalar",
+    "feat_woe_encode",
+    "analytics_diff_in_diff",
+    "curate_dsir_weights",
+    "ts_holt_winters",
+    "multimodal_cdc_chunk_dedup",
+    "ts_downsample_lttb_exact",
 ]
-# Keys NOT listed above (all with a driver verdict from r01–r04) are
+# Keys NOT listed above (all with a driver verdict from r01–r05) are
 # appended by load_all() in module registration order after the queues;
-# any brand-new round-5 key registers there too and joins the round-7
+# any brand-new round-6 key registers there too and joins the round-8
 # tail unless promoted.
 
 _loaded = False

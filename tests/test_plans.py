@@ -764,6 +764,24 @@ def test_two_phase_rank_shapes(spark):
         assert "BroadcastExchange" in plan, f"{key}: offsets must broadcast"
 
 
+def test_two_phase_cumsum_shapes(spark):
+    """r06 (r05 verdict action 4): the two value-domain CDF statistics
+    must take their cumulative counts from the two-phase bucketed cumsum
+    (functions/ranks.py) — the only partition-less window left in their
+    plans is the bounded one-row-per-bucket offsets pass, whose input is
+    an aggregate, never the support relation itself."""
+    # Static caps: the KS plan replays the cum/diffs subtree under three
+    # consumers (mx, argmax-at, final), so the static count is high; AQE
+    # stage reuse dedupes the identical halves at runtime (same note as
+    # the bipartite pin).
+    for key, cap in {"agg_ks_test": 34, "analytics_mann_whitney": 12}.items():
+        plan = explain_str(SPECS[key].fn(spark, SF_DIR))
+        assert "hashpartitioning(__vbkt" in plan, f"{key}: bucketed cumsum missing"
+        assert "BroadcastExchange" in plan, f"{key}: offsets must broadcast"
+        n = plan.count("Exchange ")
+        assert n <= cap, f"{key}: {n} exchanges (cap {cap})"
+
+
 def test_bipartite_projection_plan_shape(spark):
     """r05 (r04 verdict action 2): pin the bipartite-projection shape.
     The pair join must stay an equi-join on the part key (hash or

@@ -412,23 +412,23 @@ def test_freshness_lag_zero_for_newest(spark):
 
 def test_driver_window_prefix_is_the_planned_rotation():
     """The driver verifies only the FIRST 50 enumeration keys; pin the
-    CURRENT (r05) window so a stray registration-order change can't
+    CURRENT (r06) window so a stray registration-order change can't
     silently displace the planned never-verified cohort."""
     keys = list(SPECS)
     from gvcf_hbase_spark.registry import _PRIORITY
 
     assert keys[:50] == _PRIORITY[:50]
-    # r05 rotation: the window head is the never-driver-verified cohort,
-    # the 3-key sink overflow sits at slots 51-53 heading the r06 queue
-    assert keys[0] == "agg_bool_logic"
-    assert keys[50:53] == [
-        "sink_merge_upsert",
-        "sink_partition_stats",
-        "sink_secondary_index",
-    ]
+    # r06 rotation: the 3-key sink overflow heads the window, followed by
+    # the first 47 staged never-driver-verified keys; slot 51 starts the
+    # staged round-7 queue (53 remaining + the 8 round-5 additions)
+    assert keys[0] == "sink_merge_upsert"
+    assert keys[3] == "agg_listagg_distinct"
+    assert keys[49] == "analytics_decay_score"
+    assert keys[50] == "analytics_dau_wau"
+    assert keys[110] == "ts_downsample_lttb_exact"
     # new ops register AFTER the priority window, so later additions can
     # only grow the tail — the prefix pins above are the actual guard
-    assert len(SPECS) >= 344
+    assert len(SPECS) >= 352
 
 
 def test_snapshot_diff_classification(spark, tmp_path):

@@ -14,7 +14,7 @@ import pytest
 
 from tests.conftest import SF_DIR
 from gvcf_hbase_spark.operators.multimodal import (
-    _CDC_MASK,
+    _CDC_MASK_BITS,
     _gear_table,
     cdc_chunk_hashes,
 )
@@ -65,13 +65,37 @@ def test_cdc_shift_robustness(gear):
 
 
 def test_cdc_chunk_length_statistics(gear):
-    """Mask of 6 bits => geometric boundaries with mean ~64 B; the mean
-    over a real payload must land well inside [16, 256]."""
+    """Test of 6 (high) bits => geometric boundaries with mean ~64 B;
+    the mean over a real payload must land well inside [16, 256]."""
     p = _payload(3, 1 << 15)
     hashes = cdc_chunk_hashes(p, gear)
     mean = len(p) / len(hashes)
     assert 16 <= mean <= 256, mean
-    assert (_CDC_MASK + 1) == 64
+    assert (1 << _CDC_MASK_BITS) == 64
+
+
+def test_cdc_boundary_uses_full_window_not_trailing_bytes(gear):
+    """The cut test reads the HIGH bits of the gear hash, so the
+    boundary decision at a position must mix the whole 64-byte window:
+    payloads that share the same trailing 8 bytes but differ before
+    must NOT all make the same cut decision at the end. Regression for
+    the low-bit-mask bug where (h & 63) depended only on the trailing
+    6 bytes, so any shared 6-byte suffix forced identical decisions."""
+    import numpy as np
+
+    suffix = _payload(7, 8)
+    decisions = set()
+    for seed in range(40):
+        p = _payload(seed, 256) + suffix
+        b = np.frombuffer(p, dtype=np.uint8)
+        g = gear[b]
+        h = np.zeros(b.size, dtype=np.uint64)
+        for k in range(min(64, b.size)):
+            h[k:] += g[: b.size - k] << np.uint64(k)
+        # record the high bits themselves: under the buggy low-bit rule
+        # the TESTED bits were a pure function of the shared suffix
+        decisions.add(int(h[-1] >> np.uint64(64 - _CDC_MASK_BITS)))
+    assert len(decisions) > 1, "tested bits must vary with pre-suffix content"
 
 
 def test_cdc_concatenation_reuses_interior_chunks(gear):
