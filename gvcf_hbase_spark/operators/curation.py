@@ -1829,3 +1829,97 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_GOPHER_STOP_SQL = "'the', 'and', 'of', 'to', 'a', 'in', 'is'"  # STOPWORDS["en"]
+
+_GOPHER_ORACLE = f"""
+    WITH w AS (
+      SELECT source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS words,
+             length(replace(lower(text), ' ', '')) AS nonspace_chars,
+             len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols
+      FROM documents WHERE length(text) > 0
+    ),
+    r AS (
+      SELECT source,
+             len(words) AS wc,
+             CASE WHEN len(words) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_wc,
+             CASE WHEN len(words) > 0
+                   AND CAST(nonspace_chars AS DOUBLE) / len(words) BETWEEN 3 AND 10
+                  THEN 1 ELSE 0 END AS r_wlen,
+             CASE WHEN len(words) > 0
+                   AND CAST(n_symbols AS DOUBLE) / len(words) <= 0.1
+                  THEN 1 ELSE 0 END AS r_sym,
+             CASE WHEN len(words) > 0
+                   AND CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+                            AS DOUBLE) / len(words) >= 0.8
+                  THEN 1 ELSE 0 END AS r_alpha,
+             CASE WHEN len(list_filter(words, x -> x IN ({_GOPHER_STOP_SQL}))) >= 2
+                  THEN 1 ELSE 0 END AS r_stop
+      FROM w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(floor(sum(r_wc) * 1000000.0 / count(*) + 0.5) AS BIGINT) AS wc_rate_1e6,
+           CAST(floor(sum(r_wlen) * 1000000.0 / count(*) + 0.5) AS BIGINT) AS wlen_rate_1e6,
+           CAST(floor(sum(r_sym) * 1000000.0 / count(*) + 0.5) AS BIGINT) AS sym_rate_1e6,
+           CAST(floor(sum(r_alpha) * 1000000.0 / count(*) + 0.5) AS BIGINT) AS alpha_rate_1e6,
+           CAST(floor(sum(r_stop) * 1000000.0 / count(*) + 0.5) AS BIGINT) AS stop_rate_1e6,
+           CAST(sum(r_wc * r_wlen * r_sym * r_alpha * r_stop) AS BIGINT) AS n_keep
+    FROM r GROUP BY source
+"""
+
+
+@register("curate_gopher_report", oracle=_GOPHER_ORACLE, tags=("curation", "text"))
+def curate_gopher_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher-rule pass-rate report (Rae et al. 2021's quality
+    heuristics): word count in [50, 100k], mean word length in [3, 10],
+    symbol-to-word ratio ('#'/'...') ≤ 0.1, ≥80% of words containing an
+    alphabetic character, and ≥2 English stopwords — the rule battery a
+    curation run reads BEFORE committing to a filter threshold (per-rule
+    rates localize WHICH rule guts a source; `text_quality` gates
+    per-document, this op audits per-corpus-slice).
+
+    Determinism: every rule is an integer 0/1 computed from exact counts
+    by expressions written token-identically in both engines (mean word
+    length = non-space chars / word count — no per-word float math);
+    rates quantize to 1e-6 after one division. Plan: one map-side pass
+    computes all five rules per document (no explode — the word-level
+    predicates fold into size(filter(...)) array expressions), then ONE
+    per-source aggregate: the only shuffle carries ~|sources| rows."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    words = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    wc = F.size(words)
+    nonspace = F.length(F.replace(F.lower(F.col("text")), F.lit(" "), F.lit("")))
+    n_sym = F.regexp_count("text", F.lit(r"#|\.\.\."))
+    n_alpha_words = F.size(F.filter(words, lambda x: x.rlike("[a-z]")))
+    en = ["the", "and", "of", "to", "a", "in", "is"]
+    n_stop = F.size(F.filter(words, lambda x: x.isin(en)))
+    as01 = lambda cond: F.when(cond, 1).otherwise(0)
+    r = d.select(
+        "source",
+        as01(wc.between(50, 100000)).alias("r_wc"),
+        as01((wc > 0) & (nonspace.cast("double") / wc).between(3, 10)).alias("r_wlen"),
+        as01((wc > 0) & (n_sym.cast("double") / wc <= 0.1)).alias("r_sym"),
+        as01((wc > 0) & (n_alpha_words.cast("double") / wc >= 0.8)).alias("r_alpha"),
+        as01(n_stop >= 2).alias("r_stop"),
+    )
+    rate = lambda c: (
+        F.floor(F.sum(c) * 1_000_000.0 / F.count("*") + F.lit(0.5))
+        .cast("bigint")
+        .alias(f"{c[2:]}_rate_1e6")
+    )
+    return r.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        rate("r_wc"),
+        rate("r_wlen"),
+        rate("r_sym"),
+        rate("r_alpha"),
+        rate("r_stop"),
+        F.sum(
+            F.col("r_wc") * F.col("r_wlen") * F.col("r_sym") * F.col("r_alpha") * F.col("r_stop")
+        )
+        .cast("bigint")
+        .alias("n_keep"),
+    )

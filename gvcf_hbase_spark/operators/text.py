@@ -881,3 +881,94 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c2").cast("bigint").alias("c2"),
         F.floor(pmi * 1e6 + F.lit(0.5)).cast("bigint").alias("pmi_1e6"),
     )
+
+
+_ZIPF_TOP_K = 100  # rank depth of the log-log fit
+_ZIPF_MIN_TERMS = 10  # sources with a smaller vocabulary are skipped
+
+_ZIPF_ORACLE = f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, term, count(*) AS tf
+      FROM tok WHERE term <> '' GROUP BY source, term
+    ),
+    rk AS (
+      SELECT source, tf,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY tf DESC, term) AS r
+      FROM tf
+    ),
+    top AS (
+      SELECT source,
+             CAST(floor(ln(r) * 1000000 + 0.5) AS BIGINT) AS xi,
+             CAST(floor(ln(tf) * 1000000 + 0.5) AS BIGINT) AS yi
+      FROM rk WHERE r <= {_ZIPF_TOP_K}
+    ),
+    s AS (
+      SELECT source, count(*) AS k, sum(xi) AS sx, sum(yi) AS sy,
+             sum(xi * xi) AS sxx, sum(xi * yi) AS sxy
+      FROM top GROUP BY source
+    )
+    SELECT source, CAST(k AS BIGINT) AS n_terms,
+           CAST(floor(CAST(k * sxy - sx * sy AS DOUBLE)
+                      / CAST(k * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5)
+                AS BIGINT) AS slope_1e6
+    FROM s WHERE k >= {_ZIPF_MIN_TERMS}
+"""
+
+
+@register("text_zipf_slope", oracle=_ZIPF_ORACLE, tags=("text", "analytics"))
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent per source: OLS slope of ln(term frequency) against
+    ln(rank) over each source's top-100 terms — natural text follows
+    Zipf's law with slope ≈ −1, so a corpus slice whose slope drifts far
+    from −1 (too flat = scraped boilerplate/templates, too steep = spam
+    keyword stuffing) is a curation red flag next to `text_repetition`
+    and `text_quality`.
+
+    Determinism (§5.4 quantize-then-sum): ln(rank) and ln(tf) — both
+    logs of exact small ints — quantize to a 1e-6 grid as int64 BEFORE
+    the sufficient-statistic sums (the `text_collocations_pmi` / KM
+    precedent), so Σx, Σy, Σxx, Σxy are exact integers on both engines
+    and the closed-form slope divides once at the end in one identical
+    expression. Plan: token explode → (source, term) count (the only
+    corpus-sized shuffle, map-side combined) → per-source top-K rank
+    (keyed window over the per-source vocabulary — the `win_topk_group`
+    shape) → one row per source. Int64 headroom: xi, yi ≤ ln(tf_max)·1e6
+    ≈ 2e7, so k·Σxy ≤ 100·100·4e14 within int64 for any tf."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("source").orderBy(F.col("tf").desc(), F.col("term"))
+    top = (
+        tf.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _ZIPF_TOP_K)
+        .select(
+            "source",
+            F.floor(F.log(F.col("r").cast("double")) * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias("xi"),
+            F.floor(F.log(F.col("tf").cast("double")) * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias("yi"),
+        )
+    )
+    s = top.groupBy("source").agg(
+        F.count("*").alias("k"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+        F.sum(F.col("xi") * F.col("yi")).alias("sxy"),
+    )
+    k, sx, sy, sxx, sxy = (F.col(c) for c in ("k", "sx", "sy", "sxx", "sxy"))
+    slope = (k * sxy - sx * sy).cast("double") / (k * sxx - sx * sx).cast("double")
+    return s.filter(k >= _ZIPF_MIN_TERMS).select(
+        "source",
+        k.cast("bigint").alias("n_terms"),
+        F.floor(slope * 1e6 + F.lit(0.5)).cast("bigint").alias("slope_1e6"),
+    )
