@@ -1628,3 +1628,101 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("tr", 4).alias("trend"),
         F.round(F.col("l") + F.col("tr"), 4).alias("forecast_next"),
     )
+
+
+_KF_Q = 25.0  # process noise (cents^2): how fast the latent level drifts
+_KF_R = 400.0  # observation noise (cents^2): day-mean sampling error
+
+_KALMAN_ORACLE = f"""
+    WITH RECURSIVE pts AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, day,
+             CAST(sum(v) AS DOUBLE) / count(*) AS y,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM pts GROUP BY event_type, day
+    ),
+    kf(event_type, i, day, x, p) AS (
+      -- anchor literal must be cast: DuckDB types the recursion's p
+      -- column from the anchor, and a bare 400.0 is DECIMAL(4,1)
+      SELECT event_type, 1, day, y, CAST({_KF_R} AS DOUBLE) FROM d WHERE i = 1
+      UNION ALL
+      SELECT w.event_type, w.i + 1, nxt.day,
+             w.x + ((w.p + {_KF_Q}) / (w.p + {_KF_Q} + {_KF_R}))
+                 * (nxt.y - w.x),
+             (1 - (w.p + {_KF_Q}) / (w.p + {_KF_Q} + {_KF_R}))
+                 * (w.p + {_KF_Q})
+      FROM kf w
+      JOIN d nxt ON nxt.event_type = w.event_type AND nxt.i = w.i + 1
+    )
+    SELECT event_type, day,
+           round(x, 4) AS level_kf,
+           round(p, 6) AS p_var
+    FROM kf
+"""
+
+
+@register("ts_kalman_1d", oracle=_KALMAN_ORACLE, tags=("timeseries",))
+def ts_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter (local-level model) over each series' daily
+    means — the optimal linear denoiser when the latent level drifts
+    (process noise q) and day means are noisy reads (observation noise
+    r): per step, gain k = (p+q)/(p+q+r), level += k·(y − level),
+    p = (1−k)·(p+q). Converges to the steady-state gain a plain EWMA
+    (`ts_ewma`) hard-codes — here the gain ADAPTS (high after
+    data gaps, low once settled), which is why trackers use it.
+
+    Execution is the `ts_holt_winters` contract exactly: the raw log
+    collapses to per-(series, day) means in one map-side-combining
+    aggregate (the only full-data shuffle), then the genuinely
+    sequential recurrence walks the day grid per series inside
+    applyInPandas — state is two doubles. Determinism: both engines
+    start from the identical day-mean double and replay the identical
+    IEEE expression chain (the oracle spells the recurrence as a
+    recursive CTE with token-identical algebra); rounding stays
+    JVM-side half-up. The same recurrence gap-adaptively smooths
+    per-position depth tracks downstream of the A9 coverage rollup
+    (`gvcf_coverage_depth`)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    us_day = 86_400_000_000
+    d = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts_us_long div {us_day}").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg((F.sum("v").cast("double") / F.count("*")).alias("y"))
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        ys = pdf["y"].to_numpy()
+        days = pdf["day"].to_numpy()
+        et = pdf["event_type"].iloc[0]
+        x = float(ys[0])
+        p = _KF_R
+        out = [(et, int(days[0]), x, p)]
+        for t in range(1, len(ys)):
+            pp = p + _KF_Q
+            k = pp / (pp + _KF_R)
+            x = x + k * (float(ys[t]) - x)
+            p = (1.0 - k) * pp
+            out.append((et, int(days[t]), x, p))
+        return pd.DataFrame(out, columns=["event_type", "day", "x", "p"])
+
+    raw = d.groupBy("event_type").applyInPandas(
+        walk, "event_type string, day long, x double, p double"
+    )
+    return raw.select(
+        "event_type",
+        "day",
+        F.round("x", 4).alias("level_kf"),
+        F.round("p", 6).alias("p_var"),
+    )

@@ -80,6 +80,24 @@ def test_zipf_slope_is_negative_and_bounded(spark):
         assert -5_000_000 < r.slope_1e6 < 0, r
 
 
+def test_kalman_variance_converges(spark):
+    """The posterior variance sequence must decrease monotonically from
+    its r-init toward the steady-state fixed point p* = (sqrt(q² + 4qr)
+    − q)/2, independent of the data — the defining Kalman property."""
+    from gvcf_hbase_spark.operators.timeseries import _KF_Q, _KF_R
+
+    out = SPECS["ts_kalman_1d"].fn(spark, SF_DIR).collect()
+    series = {}
+    for r in out:
+        series.setdefault(r.event_type, []).append((r.day, r.p_var))
+    p_star = ((_KF_Q**2 + 4 * _KF_Q * _KF_R) ** 0.5 - _KF_Q) / 2
+    for et, pts in series.items():
+        ps = [p for _, p in sorted(pts)]
+        assert ps[0] == _KF_R
+        assert all(a >= b for a, b in zip(ps, ps[1:])), et
+        assert abs(ps[-1] - p_star) < 1.0, (et, ps[-1], p_star)
+
+
 def test_gopher_rules_on_crafted_docs(spark, tmp_path):
     """One doc passes all rules; one fails word count (too short); one
     fails the symbol ratio; one fails stopwords (no English stopwords)."""
