@@ -1923,3 +1923,99 @@ def curate_gopher_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_keep"),
     )
+
+
+_CCNET_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tok_ne AS (SELECT * FROM tok WHERE term <> ''),
+    lm AS (
+      SELECT term,
+             CAST(floor(ln(CAST(count(*) AS DOUBLE)
+                           / (SELECT count(*) FROM tok_ne)) * 1000000 + 0.5)
+                  AS BIGINT) AS qlogp
+      FROM tok_ne GROUP BY term
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(lm.qlogp) AS BIGINT) AS q_sum
+      FROM tok_ne t JOIN lm USING (term)
+      GROUP BY t.doc_id
+    ),
+    bucketed AS (
+      SELECT d.source, s.doc_id, s.n_tokens, s.q_sum,
+             ntile(3) OVER (PARTITION BY d.source
+                            ORDER BY CAST(s.q_sum AS DOUBLE) / s.n_tokens DESC,
+                                     s.doc_id) AS t3
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, source, n_tokens, q_sum,
+           CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS ccnet_bucket
+    FROM bucketed
+"""
+
+
+@register("curate_ccnet_buckets", oracle=_CCNET_ORACLE, tags=("curation", "text"))
+def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document with the unigram LM (the cheap perplexity proxy of
+    `text_unigram_logprob`), then split each source into head / middle /
+    tail terciles by mean token log-probability — the bucket label CCNet
+    keeps as a quality tier (train on head+middle, hold tail out). The
+    per-SOURCE tercile is the point: absolute perplexity is not
+    comparable across domains, rank within the slice is.
+
+    Determinism: per-term log-probabilities quantize to a 1e-6 int grid
+    AT THE LM (one value per term — no float sum ordering anywhere), so
+    each doc's score is an exact int sum; the tercile orders by the
+    exact-int ratio q_sum/n_tokens (one IEEE division both engines)
+    with doc_id tiebreak. Plan: one token explode feeds the LM aggregate
+    and the scoring join co-partitioned on term; the tercile is a keyed
+    window per source (giant single sources would upgrade to the
+    bucketed two-phase ntile of functions/ranks.py, keyed (source,
+    score-bucket))."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    total = tok.agg(F.count("*").alias("n_corpus"))
+    lm = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("tc"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.floor(F.log(F.col("tc") / F.col("n_corpus")) * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias("qlogp"),
+        )
+    )
+    scored = (
+        tok.join(lm, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("qlogp").cast("bigint").alias("q_sum"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        (F.col("q_sum").cast("double") / F.col("n_tokens")).desc(), F.col("doc_id")
+    )
+    return (
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .withColumn("t3", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "q_sum",
+            F.when(F.col("t3") == 1, "head")
+            .when(F.col("t3") == 2, "middle")
+            .otherwise("tail")
+            .alias("ccnet_bucket"),
+        )
+    )

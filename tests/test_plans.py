@@ -154,6 +154,9 @@ def test_no_cartesian_products_anywhere(spark):
                         # <=2-row rank dim probed against the ~100-row
                         # histogram (containment predicate, tiny by design)
                         "agg_median_twophase",
+                        # 5-row quantile-rank dim probed against the same
+                        # bounded histogram (same containment shape)
+                        "agg_quantiles_multi",
                         # 2-row literal epoch dim crossed into the corpus
                         "curate_epoch_shuffle",
                         # 1-row LM-normalizer broadcast into the vocab table
