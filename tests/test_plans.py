@@ -802,3 +802,45 @@ def test_bipartite_projection_plan_shape(spark):
     assert n <= 12, f"{n} exchanges — extra shuffle crept in"
     # the parallelism pin for the pair stage must be present
     assert "REPARTITION_BY_NUM" in plan or "hashpartitioning(p#" in plan
+
+
+def test_partitionless_windows_ride_aggregates_only(spark):
+    """r06 (r05 verdict note 3, pinned so it never needs re-auditing):
+    every WindowExec with NO partition key in these plans must consume
+    an AGGREGATE output (a domain/bucket-bounded relation — one row per
+    bucket/value/month), never a corpus-sized scan. Walks the optimized
+    logical plan: for each Window node with an empty partitionSpec, skip
+    unary Project/Filter/Sort children and require an Aggregate before
+    any relation leaf."""
+    keys = [
+        "agg_ks_test",
+        "analytics_mann_whitney",
+        "feat_rank_bucketize",
+        "curate_shard_balance",
+        "analytics_pareto_share",
+        "analytics_rfm_segment",
+        "multimodal_shard_manifest",
+        "curate_pack_batches",
+        "agg_median_twophase",
+        "agg_quantiles_multi",
+        "agg_share_of_total",
+        "win_mtd_ytd",
+    ]
+    passthrough = {"Project", "Filter", "Sort", "RepartitionByExpression", "Repartition"}
+
+    def check(node, key, inside_global_window=False):
+        name = node.getClass().getSimpleName()
+        if name == "Window" and node.partitionSpec().isEmpty():
+            child = node.child()
+            while child.getClass().getSimpleName() in passthrough:
+                child = child.children().apply(0)
+            cname = child.getClass().getSimpleName()
+            assert cname in ("Aggregate", "Window"), (
+                f"{key}: partition-less Window rides {cname}, not an aggregate"
+            )
+        for i in range(node.children().size()):
+            check(node.children().apply(i), key)
+
+    for key in keys:
+        df = SPECS[key].fn(spark, SF_DIR)
+        check(df._jdf.queryExecution().optimizedPlan(), key)
