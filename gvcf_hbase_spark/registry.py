@@ -205,9 +205,12 @@ _PRIORITY = [
     "ts_downsample_lttb_exact",
 ]
 # Keys NOT listed above (all with a driver verdict from r01–r05) are
-# appended by load_all() in module registration order after the queues;
-# any brand-new round-6 key registers there too and joins the round-8
-# tail unless promoted.
+# appended by load_all() in module registration order after the queues.
+# The six round-6 additions (win_percentile_running_full,
+# agg_quantiles_multi, text_zipf_slope, curate_gopher_report,
+# ts_kalman_1d, curate_ccnet_buckets) land in that tail — together with
+# the 11-key _PRIORITY overflow (slots 101–111) they form the round-8
+# window (17 keys) that completes full driver coverage.
 
 _loaded = False
 
