@@ -157,6 +157,9 @@ def test_no_cartesian_products_anywhere(spark):
                         # 5-row quantile-rank dim probed against the same
                         # bounded histogram (same containment shape)
                         "agg_quantiles_multi",
+                        # 1-row corpus-total broadcast into the LM table
+                        # (same shape as text_unigram_logprob)
+                        "curate_ccnet_buckets",
                         # 2-row literal epoch dim crossed into the corpus
                         "curate_epoch_shuffle",
                         # 1-row LM-normalizer broadcast into the vocab table
