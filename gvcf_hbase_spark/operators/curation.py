@@ -1973,15 +1973,23 @@ def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     AT THE LM (one value per term — no float sum ordering anywhere), so
     each doc's score is an exact int sum; the tercile orders by the
     exact-int ratio q_sum/n_tokens (one IEEE division both engines)
-    with doc_id tiebreak. Plan: one token explode feeds the LM aggregate
-    and the scoring join co-partitioned on term; the tercile is a keyed
-    window per source (giant single sources would upgrade to the
-    bucketed two-phase ntile of functions/ranks.py, keyed (source,
+    with doc_id tiebreak. Plan: ONE token explode feeds the corpus
+    total, the LM aggregate, and the scoring join — tok is
+    localCheckpoint(eager=False)'d (same truncation discipline as
+    graph_pagerank's contrib_src) because the static plan would
+    otherwise re-derive the explode up to three times and only AQE
+    exchange reuse might dedupe it; the tercile is a keyed window per
+    source (giant single sources would upgrade to the bucketed
+    two-phase ntile of functions/ranks.py, keyed (source,
     score-bucket))."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
-    ).filter(F.col("term") != "")
+    tok = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .localCheckpoint(eager=False)
+    )
     total = tok.agg(F.count("*").alias("n_corpus"))
     lm = (
         tok.groupBy("term")

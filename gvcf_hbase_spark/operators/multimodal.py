@@ -664,6 +664,12 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CDC_MASK_BITS = 6  # 6 test bits => boundary prob 1/64 => mean chunk ~64 B
 _CDC_SHIFT_W = 64  # gear hash width: h_i depends on exactly the last 64 bytes
+# FastCDC-style bounds (mean/4, mean*4): the hash test is suppressed for
+# the first _CDC_MIN-1 bytes of every chunk, and a cut is FORCED at
+# _CDC_MAX — bounding both degenerate modes of a pure content rule
+# (cut-everywhere => 1-byte chunks; cut-nowhere => one payload-sized chunk).
+_CDC_MIN = 16
+_CDC_MAX = 256
 
 
 def _gear_table():
@@ -693,15 +699,19 @@ def cdc_chunk_hashes(payload: bytes, gear) -> list[str]:
     EXACTLY the windowed sum Σ_{k<64} G[b_{i-k}] << k — so the
     sequential recurrence is computable as 64 vectorized adds (no
     per-byte Python loop; a production build fuses it into one C pass).
-    Boundaries therefore depend only on the trailing 64 bytes: inserting
-    or deleting bytes re-chunks at most one window past the edit, the
-    shift-robustness property fixed-width chunking lacks (and the whole
-    point of CDC — see the property test). Degenerate content caveat: a
-    long run of ONE byte value drives h to a constant, so such a run
-    cuts either everywhere or nowhere past the warm-up window (true of
-    any deterministic content-defined rule); production CDC bounds both
-    failure modes with min/max chunk sizes, which this exhibit omits to
-    keep the boundary rule pure."""
+    Hash boundaries therefore depend only on the trailing 64 bytes:
+    inserting or deleting bytes re-chunks a bounded region past the
+    edit, the shift-robustness property fixed-width chunking lacks (and
+    the whole point of CDC — see the property test). A long run of ONE
+    byte value drives h to a constant, so the pure content rule would
+    cut either everywhere or nowhere past the warm-up window (true of
+    any deterministic content-defined rule); FastCDC's min/max bounds
+    cap both failure modes: the hash test is suppressed inside the
+    first ``_CDC_MIN - 1`` bytes of each chunk and a cut is FORCED at
+    ``_CDC_MAX``, so every chunk length (except the final tail) lies in
+    [_CDC_MIN, _CDC_MAX]. The candidate positions stay fully
+    vectorized; only the O(#chunks) walk that applies the bounds is
+    sequential (as is the per-chunk md5 it feeds)."""
     import hashlib
 
     import numpy as np
@@ -714,10 +724,14 @@ def cdc_chunk_hashes(payload: bytes, gear) -> list[str]:
     h = np.zeros(n, dtype=np.uint64)
     for k in range(min(_CDC_SHIFT_W, n)):
         h[k:] += g[: n - k] << np.uint64(k)
-    cuts = np.flatnonzero((h >> np.uint64(64 - _CDC_MASK_BITS)) == 0)
-    ends = np.append(cuts[cuts < n - 1], n - 1)
+    # candidate cut ENDS (inclusive byte index) under the pure hash rule
+    cand = np.flatnonzero((h >> np.uint64(64 - _CDC_MASK_BITS)) == 0)
     out, start = [], 0
-    for e in ends:
+    while start < n:
+        lo = start + _CDC_MIN - 1  # earliest allowed inclusive end
+        hi = min(start + _CDC_MAX - 1, n - 1)  # forced cut / end of payload
+        i = int(np.searchsorted(cand, lo))
+        e = int(cand[i]) if i < cand.size and cand[i] <= hi else hi
         out.append(hashlib.md5(payload[start : e + 1]).hexdigest())
         start = e + 1
     return out

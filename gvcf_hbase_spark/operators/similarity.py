@@ -1274,3 +1274,110 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _PQ_TOPK)
         .select("q_id", F.col("rk").cast("bigint").alias("rk"), "vec_id", "adc_1e6")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN calibration ops (r06 verdict action 5): the recall/precision gauge a
+# production vector pipeline runs BEFORE trusting an approximate tier —
+# registered queries (same confusion-row shape as dedup_simhash_recall),
+# not pytest constants, so a user can re-measure on THEIR corpus.
+# ---------------------------------------------------------------------------
+
+
+def _confusion_row(truth: DataFrame, pred: DataFrame, keys: list[str]) -> DataFrame:
+    """One-row recall/precision report: three scalar aggregates reduced
+    independently and cross-joined as 1-row broadcasts (the same
+    1-row-cross pattern as dedup_simhash_recall — never a driver
+    collect), ratios integer-quantized so no float reaches the hash."""
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    npred = pred.agg(F.count("*").cast("bigint").alias("n_pred"))
+    nh = truth.join(pred, keys, "left_semi").agg(
+        F.count("*").cast("bigint").alias("n_hit")
+    )
+    return (
+        nh.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(npred))
+        .select(
+            "n_truth",
+            "n_pred",
+            "n_hit",
+            F.floor(F.col("n_hit") * 1_000_000 / F.nullif(F.col("n_truth"), F.lit(0)))
+            .cast("bigint")
+            .alias("recall_1e6"),
+            F.floor(F.col("n_hit") * 1_000_000 / F.nullif(F.col("n_pred"), F.lit(0)))
+            .cast("bigint")
+            .alias("precision_1e6"),
+        )
+    )
+
+
+@register("sim_ann_ivf_recall", oracle=None, tags=("similarity", "ann", "eval"))
+def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k calibration: recall@k (and precision) of the
+    broadcast-free approximate path (``sim_knn_ivf`` / knn_topk_ivf,
+    16 cells, corpus in 2 / queries probing 4) against the EXACT top-k
+    (``sim_knn_topk``'s scorer — broadcast or blocked, identical
+    results), in ONE output row. This is the query that tunes (cells,
+    probe) on a new corpus: the ANN tier is the documented ≥5M-vector
+    path, and its quality gauge should be runnable where the data is,
+    not a test-suite constant. Rows-only by design (sample-trained
+    centroids are not SQL-expressible); tests bound recall at two SFs.
+
+    Scale: both sides are the already-scale-shaped operators; the
+    confusion reduce adds three scalar aggregates and a semi join on
+    (vec_id, neighbor_id) — nothing new shuffles vectors."""
+    truth = sim_knn_topk(spark, sf_dir).select("vec_id", "neighbor_id")
+    pred = knn_topk_ivf(_emb(spark, sf_dir), k=_KNN_K).select("vec_id", "neighbor_id")
+    return _confusion_row(truth, pred, ["vec_id", "neighbor_id"])
+
+
+@register("sim_pq_recall", oracle=None, tags=("similarity", "ann", "eval"))
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC calibration: recall@k of ``sim_pq_adc_topk``'s compressed
+    search against the EXACT L2 top-k for the same query set, one output
+    row. n_pred = n_truth = nq·k by construction, so recall = precision
+    here; both are still reported so the schema matches the other
+    calibration ops. Rows-only by design (lossy quantization); tests
+    bound recall at two SFs.
+
+    The exact side streams the corpus ONCE per partition with a
+    vectorized squared-L2 against the 10 broadcast query vectors
+    (|q|² + |x|² − 2·q@xᵀ — no (nq × rows × dim) temp), keeps a local
+    top-k per partition, and ranks the (#partitions × nq × k) survivors
+    in one tiny global window — the same local-top-k-then-rank shape as
+    the ADC scorer, so at 100 TB the exact pass costs one corpus scan,
+    which is exactly what a calibration run budgets."""
+    e = _emb(spark, sf_dir)
+    qpdf = e.orderBy("vec_id").limit(_PQ_NQ).select("vec_id", "emb").toPandas()
+    q_ids = qpdf["vec_id"].to_numpy(dtype="int64")
+    q = np.stack([np.asarray(v, dtype="float64") for v in qpdf["emb"]])
+    qsq = (q * q).sum(axis=1)
+
+    def exact_score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype="int64")
+            x = np.stack([np.asarray(v, dtype="float64") for v in pdf["emb"]])
+            d2 = qsq[:, None] + (x * x).sum(axis=1)[None, :] - 2.0 * (q @ x.T)
+            rows = []
+            for qi in range(len(q_ids)):
+                mask = ids != q_ids[qi]
+                cand_ids, cand_d = ids[mask], d2[qi][mask]
+                top = np.argsort(cand_d, kind="stable")[:_PQ_TOPK]
+                for t in top:
+                    rows.append(
+                        (int(q_ids[qi]), int(cand_ids[t]),
+                         int(np.floor(cand_d[t] * 1e6 + 0.5)))
+                    )
+            yield pd.DataFrame(rows, columns=["q_id", "vec_id", "d2_1e6"])
+
+    scored = spread(e).mapInPandas(exact_score, "q_id bigint, vec_id bigint, d2_1e6 bigint")
+    w = Window.partitionBy("q_id").orderBy("d2_1e6", "vec_id")
+    truth = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select("q_id", "vec_id")
+    )
+    pred = sim_pq_adc_topk(spark, sf_dir).select("q_id", "vec_id")
+    return _confusion_row(truth, pred, ["q_id", "vec_id"])

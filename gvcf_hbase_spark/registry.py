@@ -78,70 +78,16 @@ def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-facing enumeration order. The correctness harness verifies only a
 # 50-key PREFIX of the inventory per round. Cumulative driver verdicts after
-# r05: 241 of 352 keys (CORRECTNESS_r05: 50/50 green on the round-5 window).
-# Round-6 rotation (r05 verdict action 1): the 3-key round-5 overflow
-# (sink_merge_upsert / sink_partition_stats / sink_secondary_index) plus the
-# first 47 of the staged never-driver-verified block are promoted to slots
-# 1–50, so CORRECTNESS_r06 lifts cumulative coverage 241 → 291. The round-7
-# queue (slots 51+) is staged EXPLICITLY below (r05 verdict action 8): the
-# remaining 53 staged keys in module order, then the eight round-5 additions
-# — 61 keys, of which r07 verifies 50; the 11-key tail plus any round-6
-# additions (which enumerate after _PRIORITY via load_all()'s
-# registration-order append) complete coverage at r08.
+# r06: 291 of 358 keys (CORRECTNESS_r06: 49 hash-green + 1 rows-only-by-design
+# on the round-6 window). Round-7 rotation (r06 verdict action 1): the staged
+# 61-key never-driver-verified queue's first 50 are promoted to slots 1-50,
+# so CORRECTNESS_r07 lifts cumulative coverage 291 -> 341. The round-8
+# window is staged EXPLICITLY at slots 51+ (r06 verdict action 6): the
+# 11-key queue overflow, then the six round-6 additions, then the two
+# round-7 additions (sim_ann_ivf_recall / sim_pq_recall) -- 19 keys, which
+# r08 promotes to complete full driver coverage (341 + 19 = 360/360).
 _PRIORITY = [
-    # ============== round-6 window (slots 1–50) ==============
-    "sink_merge_upsert",
-    "sink_partition_stats",
-    "sink_secondary_index",
-    "agg_listagg_distinct",
-    "scan_file_metadata",
-    "win_mtd_ytd",
-    "sql_pipe_syntax",
-    "sql_scripting_vars",
-    "sql_parameterized",
-    "fn_datetime_extra",
-    "fn_codec_roundtrip",
-    "fn_cidr_match",
-    "fn_aes_roundtrip",
-    "dedup_simhash_recall",
-    "dedup_semantic_centroid",
-    "sim_mips_topk",
-    "sim_rp_projection",
-    "sim_kmeans_step",
-    "sim_pq_adc_topk",
-    "text_toxicity_wordlist",
-    "text_readability",
-    "text_bpe_regex_tokens",
-    "text_collocations_pmi",
-    "multimodal_scene_cuts",
-    "multimodal_chunk_dedup",
-    "multimodal_shard_manifest",
-    "curate_quality_score_lr",
-    "curate_interleave_roundrobin",
-    "profile_freshness_lag",
-    "curate_weighted_sample",
-    "profile_pk_fk_inference",
-    "curate_dataset_card",
-    "curate_segment_dedup",
-    "curate_epoch_shuffle",
-    "curate_url_dedup",
-    "analytics_pattern_kleene",
-    "analytics_attribution_last_touch",
-    "agg_share_of_total",
-    "win_period_growth",
-    "analytics_association_lift",
-    "agg_ks_test",
-    "funnel_time_window",
-    "analytics_cohort_ltv",
-    "analytics_rfm_segment",
-    "analytics_ols_multi",
-    "analytics_cuped",
-    "analytics_path_topk",
-    "analytics_funnel_summary",
-    "analytics_shapley_attribution",
-    "analytics_decay_score",
-    # ======= round-7 window queue (61 never-driver-verified, staged) =======
-    # 53 remaining staged keys in module order + the 8 round-5 additions.
+    # ============== round-7 window (slots 1-50) ==============
     "analytics_dau_wau",
     "agg_median_twophase",
     "analytics_chi_square",
@@ -192,6 +138,8 @@ _PRIORITY = [
     "gvcf_callable_regions",
     "gvcf_singleton_share",
     "gvcf_relatedness_ibs",
+    # ===== round-8 window queue (19 never-driver-verified, staged) =====
+    # 11-key round-7 queue overflow:
     "source_gvcf_datasource",
     "sink_zorder_layout",
     "sink_write_audit_publish",
@@ -203,14 +151,21 @@ _PRIORITY = [
     "ts_holt_winters",
     "multimodal_cdc_chunk_dedup",
     "ts_downsample_lttb_exact",
+    # six round-6 additions:
+    "win_percentile_running_full",
+    "agg_quantiles_multi",
+    "text_zipf_slope",
+    "curate_gopher_report",
+    "ts_kalman_1d",
+    "curate_ccnet_buckets",
+    # two round-7 additions (ANN calibration gauges):
+    "sim_ann_ivf_recall",
+    "sim_pq_recall",
 ]
-# Keys NOT listed above (all with a driver verdict from r01–r05) are
+# Keys NOT listed above (all with a driver verdict from r01-r06) are
 # appended by load_all() in module registration order after the queues.
-# The six round-6 additions (win_percentile_running_full,
-# agg_quantiles_multi, text_zipf_slope, curate_gopher_report,
-# ts_kalman_1d, curate_ccnet_buckets) land in that tail — together with
-# the 11-key _PRIORITY overflow (slots 101–111) they form the round-8
-# window (17 keys) that completes full driver coverage.
+# Every never-driver-verified key is IN the explicit staged lists above;
+# the round-8 rotation only needs to promote slots 51-69 to the front.
 
 _loaded = False
 

@@ -243,3 +243,25 @@ def test_pq_adc_recall_vs_exact(spark):
         approx = {v for _, v in got}
         recalls.append(len(exact & approx) / 5)
     assert sum(recalls) / len(recalls) >= 0.55, recalls
+
+
+def test_ann_recall_calibration_ops_two_sfs(spark):
+    """The registered calibration gauges (r06 verdict action 5): one
+    confusion row each, internally consistent (hit <= min(truth, pred),
+    quantized ratios recomputable), with recall bounded at BOTH fixture
+    scales — IVF >= 0.70 and PQ >= 0.55 (iid synthetic vectors are the
+    worst case for both index families; real clustered corpora do
+    better at the same settings)."""
+    bounds = {"sim_ann_ivf_recall": 700_000, "sim_pq_recall": 550_000}
+    for sf in ("/root/testdata/sf0.001", SF_DIR):
+        for key, bound in bounds.items():
+            r = SPECS[key].fn(spark, sf).collect()
+            assert len(r) == 1, (key, sf)
+            row = r[0]
+            assert 0 < row.n_hit <= min(row.n_truth, row.n_pred), (key, sf, row)
+            assert row.recall_1e6 == row.n_hit * 1_000_000 // row.n_truth, (key, sf, row)
+            assert row.precision_1e6 == row.n_hit * 1_000_000 // row.n_pred, (key, sf, row)
+            assert row.recall_1e6 >= bound, (key, sf, row)
+    # PQ truth == pred cardinality by construction => recall == precision
+    r = SPECS["sim_pq_recall"].fn(spark, SF_DIR).collect()[0]
+    assert r.n_truth == r.n_pred == 50

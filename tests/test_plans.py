@@ -113,6 +113,9 @@ def test_no_cartesian_products_anywhere(spark):
                         # three 1-row scalar aggregates cross-joined into the
                         # confusion row
                         "dedup_simhash_recall",
+                        # same confusion-row shape (ANN calibration gauges)
+                        "sim_ann_ivf_recall",
+                        "sim_pq_recall",
                         # broadcast 8-row hub table scored against every point
                         "geo_haversine_nearest",
                         # 1-row global-max freshness reference
@@ -829,16 +832,21 @@ def test_partitionless_windows_ride_aggregates_only(spark):
         "agg_share_of_total",
         "win_mtd_ytd",
     ]
-    passthrough = {"Project", "Filter", "Sort", "RepartitionByExpression", "Repartition"}
+    # Window counts as passthrough too (r06 advice): a partition-less
+    # Window riding a KEYED Window over a corpus-sized scan must still
+    # fail — the chain has to bottom out in an Aggregate before any
+    # relation leaf, whatever window nodes sit in between.
+    passthrough = {"Project", "Filter", "Sort", "RepartitionByExpression",
+                   "Repartition", "Window"}
 
-    def check(node, key, inside_global_window=False):
+    def check(node, key):
         name = node.getClass().getSimpleName()
         if name == "Window" and node.partitionSpec().isEmpty():
             child = node.child()
             while child.getClass().getSimpleName() in passthrough:
                 child = child.children().apply(0)
             cname = child.getClass().getSimpleName()
-            assert cname in ("Aggregate", "Window"), (
+            assert cname == "Aggregate", (
                 f"{key}: partition-less Window rides {cname}, not an aggregate"
             )
         for i in range(node.children().size()):
@@ -847,3 +855,41 @@ def test_partitionless_windows_ride_aggregates_only(spark):
     for key in keys:
         df = SPECS[key].fn(spark, SF_DIR)
         check(df._jdf.queryExecution().optimizedPlan(), key)
+
+
+def test_no_holistic_aggregate_rides_a_growing_frame(spark):
+    """r07 (closes the r06 weak mark on win_percentile_running): a
+    HOLISTIC window aggregate (percentile / collect_list / collect_set /
+    median / mode) over an UNBOUNDED PRECEDING rows frame re-buffers and
+    re-evaluates the whole growing frame per row — O(frame)/row, the
+    quadratic-on-a-hot-key shape that does not survive 100 TB. Running
+    sums/counts/avg over the same frame are fine (Spark accumulates
+    incrementally). Pin 1: win_percentile_running's frame is the bounded
+    trailing-25 ROWS frame (re-scoped in r6; full-history callers use
+    the two-heap win_percentile_running_full). Pin 2: NO registered
+    plan anywhere carries a holistic aggregate on an unbounded-start
+    rows frame."""
+    import re
+
+    plan = (
+        SPECS["win_percentile_running"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "specifiedwindowframe(RowFrame, -24, currentrow" in plan
+    assert "unboundedpreceding" not in plan.lower()
+
+    pat = re.compile(
+        r"(percentile|collect_list|collect_set|median|mode|array_agg)\("
+        r"[^\n]*specifiedwindowframe\(RowFrame, unboundedpreceding",
+        re.I,
+    )
+    for key, spec in SPECS.items():
+        if "streaming" in spec.tags:
+            continue
+        txt = spec.fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+        for line in txt.splitlines():
+            m = pat.search(line)
+            assert not m, f"{key}: holistic aggregate on a growing frame: {line.strip()[:160]}"

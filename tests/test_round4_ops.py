@@ -417,18 +417,17 @@ def test_driver_window_prefix_is_the_planned_rotation():
     keys = list(SPECS)
     from gvcf_hbase_spark.registry import _PRIORITY
 
-    assert keys[:50] == _PRIORITY[:50]
-    # r06 rotation: the 3-key sink overflow heads the window, followed by
-    # the first 47 staged never-driver-verified keys; slot 51 starts the
-    # staged round-7 queue (53 remaining + the 8 round-5 additions)
-    assert keys[0] == "sink_merge_upsert"
-    assert keys[3] == "agg_listagg_distinct"
-    assert keys[49] == "analytics_decay_score"
-    assert keys[50] == "analytics_dau_wau"
-    assert keys[110] == "ts_downsample_lttb_exact"
+    assert keys[: len(_PRIORITY)] == _PRIORITY
+    # r07 rotation: the staged never-driver-verified queue's first 50
+    # head the window; slots 51-69 are the staged round-8 queue (11-key
+    # overflow + six round-6 additions + two round-7 additions)
+    assert keys[0] == "analytics_dau_wau"
+    assert keys[49] == "gvcf_relatedness_ibs"
+    assert keys[50] == "source_gvcf_datasource"
+    assert keys[68] == "sim_pq_recall"
     # new ops register AFTER the priority window, so later additions can
     # only grow the tail — the prefix pins above are the actual guard
-    assert len(SPECS) >= 352
+    assert len(SPECS) >= 360
 
 
 def test_snapshot_diff_classification(spark, tmp_path):

@@ -15,6 +15,8 @@ import pytest
 from tests.conftest import SF_DIR
 from gvcf_hbase_spark.operators.multimodal import (
     _CDC_MASK_BITS,
+    _CDC_MAX,
+    _CDC_MIN,
     _gear_table,
     cdc_chunk_hashes,
 )
@@ -72,6 +74,27 @@ def test_cdc_chunk_length_statistics(gear):
     mean = len(p) / len(hashes)
     assert 16 <= mean <= 256, mean
     assert (1 << _CDC_MASK_BITS) == 64
+
+
+def test_cdc_min_max_bounds_cap_degenerate_runs(gear):
+    """FastCDC min/max enforcement (r06 verdict action 4): a run of ONE
+    byte value drives the gear hash to a constant, so the pure content
+    rule would cut everywhere (1-byte chunks) or nowhere (one giant
+    chunk). The bounds must cap BOTH modes: chunk count within
+    [ceil(len/max), ceil(len/min)] for every run length and byte value,
+    and for arbitrary content too."""
+    import math
+
+    for val in (0, 7, 255):
+        for n in (1, _CDC_MIN, _CDC_MAX, 4096, 10_000):
+            chunks = cdc_chunk_hashes(bytes([val]) * n, gear)
+            lo, hi = math.ceil(n / _CDC_MAX), math.ceil(n / _CDC_MIN)
+            assert lo <= len(chunks) <= hi, (val, n, len(chunks), lo, hi)
+    for seed in range(4):
+        p = _payload(seed, 1 << 14)
+        chunks = cdc_chunk_hashes(p, gear)
+        lo, hi = math.ceil(len(p) / _CDC_MAX), math.ceil(len(p) / _CDC_MIN)
+        assert lo <= len(chunks) <= hi, (seed, len(chunks), lo, hi)
 
 
 def test_cdc_boundary_uses_full_window_not_trailing_bytes(gear):

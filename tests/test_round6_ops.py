@@ -60,14 +60,20 @@ def test_two_heap_median_matches_brute_force(spark, tmp_path):
 
 
 def test_quantiles_multi_rank_semantics(spark):
-    """pct=50's rank must be ceil(n/2) and every reported value must be
+    """Every pct's rank must be exactly ceil(pct·n/100) against an
+    independently counted n, and every reported value must be
     non-decreasing in pct (quantile monotonicity)."""
+    import math
+
+    from gvcf_hbase_spark.sources.tables import load_table
+
     rows = {r.pct: r for r in SPECS["agg_quantiles_multi"].fn(spark, SF_DIR).collect()}
     assert set(rows) == {25, 50, 75, 90, 99}
     vals = [rows[p].value_cents for p in (25, 50, 75, 90, 99)]
     assert vals == sorted(vals)
-    n_implied_lo = rows[99].rank_at / 0.99
-    assert rows[50].rank_at == -(-int(n_implied_lo) // 2) or rows[50].rank_at >= 1
+    n = load_table(spark, SF_DIR, "lineitem").count()
+    for p in (25, 50, 75, 90, 99):
+        assert rows[p].rank_at == math.ceil(p * n / 100), (p, rows[p].rank_at, n)
 
 
 def test_zipf_slope_is_negative_and_bounded(spark):
