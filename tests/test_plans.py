@@ -81,6 +81,9 @@ def test_relational_paths_are_jvm_only(spark):
         "ts_downsample_lttb_exact",
         # r05: Holt level+trend recurrence, same per-series walk contract
         "ts_holt_winters",
+        # r07: ANN calibration gauges — both sides are the declared
+        # Python scorers above (exact brute-force + IVF/PQ stages)
+        "sim_ann_ivf_recall", "sim_pq_recall",
     }
     for key, spec in SPECS.items():
         if key in python_ok or "streaming" in spec.tags:
