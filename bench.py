@@ -79,6 +79,11 @@ HEADLINE = [
     "sql_recursive_cte",
     "multimodal_cdc_chunk_dedup",
     "ts_downsample_lttb_exact",
+    # round-7 widening: the two heaviest new shapes — the LSH-layer
+    # confusion gauge (signature family + raw-band self-join + SSJoin
+    # exact truth in one plan) and the vocabulary-collapse BPE merge round
+    "dedup_minhash_recall",
+    "text_bpe_merge_step",
 ]
 
 # The r01/r02-era comparable subset: round-over-round perf comparisons read

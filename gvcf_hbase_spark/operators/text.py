@@ -972,3 +972,69 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.cast("bigint").alias("n_terms"),
         F.floor(slope * 1e6 + F.lit(0.5)).cast("bigint").alias("slope_1e6"),
     )
+
+
+_BPE_TOPK = 20
+
+_BPE_ORACLE = f"""
+    WITH wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(lower(trim(regexp_replace(text, ' +', ' ', 'g'))), ' ')) AS w
+            FROM documents)
+      WHERE len(w) >= 2
+      GROUP BY w
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair, n
+      FROM wc
+    )
+    SELECT pair, CAST(sum(n) AS BIGINT) AS freq
+    FROM pairs
+    GROUP BY pair
+    ORDER BY freq DESC, pair
+    LIMIT {_BPE_TOPK}
+"""
+
+
+@register("text_bpe_merge_step", oracle=_BPE_ORACLE, tags=("text", "llm"))
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed BPE-training merge step: corpus-weighted adjacent
+    symbol-pair frequencies, top-20 merge candidates. This is the inner
+    loop of tokenizer training (the highest-frequency pair becomes the
+    next merge rule); at the character stage symbols are single chars, so
+    a pair is a 2-char substring.
+
+    Physical plan — the shape that makes BPE trainable on a 100 TB
+    corpus: the word-count aggregate FIRST collapses the Zipf-heavy
+    corpus to its vocabulary (shuffle #1 carries distinct words), then
+    pair extraction explodes the VOCABULARY (len(w)−1 pairs per distinct
+    word, weighted by the word's corpus count) — per-merge-round cost is
+    O(|vocab|), independent of corpus size, which is exactly how
+    production distributed tokenizer trainers iterate. Shuffle #2 is the
+    pair aggregate (≤ alphabet² keys) and the global top-k is a
+    TakeOrdered, never a full sort. End-of-word markers are elided (a
+    production trainer appends one sentinel symbol; it changes the
+    alphabet, not the plan). Deterministic: counts are integers and the
+    (freq DESC, pair) tie-break pins the LIMIT frontier on both engines.
+    """
+    from gvcf_hbase_spark.functions.textfns import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("freq"))
+        .orderBy(F.col("freq").desc(), "pair")
+        .limit(_BPE_TOPK)
+    )

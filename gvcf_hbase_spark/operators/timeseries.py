@@ -1726,3 +1726,64 @@ def ts_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("x", 4).alias("level_kf"),
         F.round("p", 6).alias("p_var"),
     )
+
+
+_OHLC_ORACLE = """
+    WITH pts AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS BIGINT) AS h,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+             lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+      FROM events
+    )
+    SELECT event_type, h,
+           arg_min(v_cents, ord_key) AS open_cents,
+           max(v_cents) AS high_cents,
+           min(v_cents) AS low_cents,
+           arg_max(v_cents, ord_key) AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           CAST(sum(v_cents) AS BIGINT) AS vol_cents
+    FROM pts
+    GROUP BY event_type, h
+"""
+
+
+@register("ts_ohlc_bars", oracle=_OHLC_ORACLE, tags=("timeseries",))
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle bars: per (event_type, hour) the opening value (first
+    by event time), high, low, closing value (last by event time), tick
+    count, and summed volume — the canonical downsample every monitoring
+    / market-data store (and the reference's coverage-summary rollup
+    shape) serves reads from.
+
+    Physical plan: ONE hash aggregate — open/close are ``min_by``/
+    ``max_by`` over a sortable order key, so no window, no per-key sort,
+    and the partial aggregates combine map-side; at 100 TB the shuffle
+    carries #series × #hours rows, not the raw ticks. The order key is a
+    zero-padded string (epoch-µs ‖ event_id) because a packed bigint
+    overflows int64 at epoch-µs magnitudes and DuckDB's arg_min cannot
+    order by a struct — lexicographic order on the padded string equals
+    (ts, event_id) order exactly, so both engines pick identical
+    open/close rows even under duplicate timestamps. Values quantize to
+    integer cents BEFORE aggregation: picks are drift-free, and the
+    volume sum stays exact integer (§5.4 — no float reaches the hash)."""
+    ev = load_table(spark, sf_dir, "events")
+    ord_key = F.concat(
+        F.lpad(F.col("ts_us_long").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    pts = ev.select(
+        "event_type",
+        F.expr(f"ts_us_long div {_US_PER_HOUR}").alias("h"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_cents"),
+        ord_key.alias("ord_key"),
+    )
+    return pts.groupBy("event_type", "h").agg(
+        F.min_by("v_cents", "ord_key").alias("open_cents"),
+        F.max("v_cents").alias("high_cents"),
+        F.min("v_cents").alias("low_cents"),
+        F.max_by("v_cents", "ord_key").alias("close_cents"),
+        F.count("*").cast("bigint").alias("n_ticks"),
+        F.sum("v_cents").alias("vol_cents"),
+    )

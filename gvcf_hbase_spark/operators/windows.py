@@ -711,3 +711,63 @@ def win_mtd_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_cents").over(yw).cast("bigint").alias("ytd_cents"),
         F.row_number().over(rw).cast("bigint").alias("day_of_month_rank"),
     )
+
+
+@register(
+    "win_drawdown_max",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      FROM events
+    ),
+    p AS (
+      SELECT event_id, user_id, cum_cents,
+             max(cum_cents)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS peak_cents
+      FROM c
+    )
+    SELECT event_id, user_id, cum_cents, peak_cents,
+           peak_cents - cum_cents AS dd_cents
+    FROM p
+    """,
+    tags=("window", "timeseries"),
+)
+def win_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running drawdown per user: cumulative value balance, its running
+    peak, and the gap back to that peak — the risk/health monitor shape
+    (portfolio drawdown, error-budget burn, battery drain) that needs
+    TWO stacked running aggregates over the same per-key order.
+
+    Physical plan: both windows share one partitioning (user_id) and one
+    sort, so Spark plans a single shuffle + single sort with two
+    running-aggregate passes — O(1) per row, no frame re-scan; at 100 TB
+    the cost is one keyed shuffle of (key, cents), the minimum for any
+    order-dependent statistic. Values quantize to integer cents BEFORE
+    the cumsum so the running sums are exact int64 on both engines
+    (float cumsum order-drift is the classic cross-engine hash breaker)."""
+    ev = _events_us(spark, sf_dir)
+    wseq = Window.partitionBy("user_id").orderBy("ts_us_long", "event_id")
+    frame = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .over(frame)
+        .alias("cum_cents")
+    )
+    c = ev.select("event_id", "user_id", "ts_us_long", cum)
+    p = c.select(
+        "event_id",
+        "user_id",
+        "cum_cents",
+        F.max("cum_cents").over(frame).alias("peak_cents"),
+    )
+    return p.select(
+        "event_id",
+        "user_id",
+        "cum_cents",
+        "peak_cents",
+        (F.col("peak_cents") - F.col("cum_cents")).alias("dd_cents"),
+    )

@@ -59,6 +59,7 @@ SF01_ORACLE_DEMOTE = {
     "linkage_best_match",
     "linkage_golden_record",
     "graph_kcore_bounded",  # r06 verdict action 2 (oracle disk blowup)
+    "dedup_minhash_recall",  # oracle truth CTE is the brute-force n² Jaccard
 }
 
 

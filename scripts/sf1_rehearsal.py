@@ -75,6 +75,13 @@ HEAVY_KEYS = [
     "curate_ccnet_buckets",
     "win_percentile_running_full",
     "sim_knn_topk",
+    # r07 additions: the LSH confusion gauge (its SSJoin truth side is the
+    # worst-case grower under the 10x exact-clone replication — every doc
+    # gains 9 clones, so shared-gram rows scale ~100x vs sf0.1), and the
+    # BPE merge round (expected ~FLAT vs sf0.1: pair extraction rides the
+    # vocabulary, which clone-replication leaves unchanged)
+    "dedup_minhash_recall",
+    "text_bpe_merge_step",
 ]
 
 

@@ -116,6 +116,8 @@ def test_no_cartesian_products_anywhere(spark):
                         # three 1-row scalar aggregates cross-joined into the
                         # confusion row
                         "dedup_simhash_recall",
+                        # same confusion-row shape (LSH candidate gauge)
+                        "dedup_minhash_recall",
                         # same confusion-row shape (ANN calibration gauges)
                         "sim_ann_ivf_recall",
                         "sim_pq_recall",

@@ -1,0 +1,159 @@
+"""Round-7 additions: OHLC bars, running drawdown, the distributed BPE
+merge step, and the MinHash-LSH candidate-recall gauge.
+
+All four keys are oracle-checked (the primary gate); these tests pin the
+algorithmic properties the hash compare can't see — OHLC pick invariants,
+drawdown monotonicity, the vocabulary-collapse plan shape of the BPE step,
+and the gauge's recall floor at two scale factors.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from gvcf_hbase_spark.registry import load_all
+from tests.conftest import SF_DIR
+
+SPECS = load_all()
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_ohlc_pick_invariants(spark):
+    """low ≤ open/close ≤ high per bar; tick counts add back up to the
+    raw event count (no bar drops or double-counts a tick)."""
+    df = SPECS["ts_ohlc_bars"].fn(spark, SF_DIR)
+    bad = df.filter(
+        (F.col("low_cents") > F.col("open_cents"))
+        | (F.col("low_cents") > F.col("close_cents"))
+        | (F.col("high_cents") < F.col("open_cents"))
+        | (F.col("high_cents") < F.col("close_cents"))
+    ).count()
+    assert bad == 0
+    n_ticks = df.agg(F.sum("n_ticks")).collect()[0][0]
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert n_ticks == n_events
+
+
+def test_ohlc_open_close_are_time_ordered_picks(spark):
+    """On a single-series crafted frame, open/close must be the first/last
+    values in (ts, event_id) order — including under a duplicate
+    timestamp, where event_id breaks the tie."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime([10, 10, 20, 30], unit="s"),
+            "user_id": [1, 1, 1, 1],
+            "event_type": ["x", "x", "x", "x"],
+            "value": [5.0, 7.0, 1.0, 3.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    tmp = "/tmp/r7_ohlc_fixture"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    row = SPECS["ts_ohlc_bars"].fn(spark, tmp).collect()[0]
+    # all four points land in one hour bucket: open = value at the
+    # duplicate-ts row with the SMALLER event_id (500 cents), close = 300
+    assert row.open_cents == 500 and row.close_cents == 300
+    assert row.high_cents == 700 and row.low_cents == 100 and row.n_ticks == 4
+
+
+def test_drawdown_invariants(spark):
+    """peak is a running max of cum (peak ≥ cum, nondecreasing per user in
+    event order) and dd = peak − cum ≥ 0."""
+    df = SPECS["win_drawdown_max"].fn(spark, SF_DIR)
+    assert df.filter(F.col("dd_cents") < 0).count() == 0
+    assert df.filter(F.col("peak_cents") < F.col("cum_cents")).count() == 0
+    # sum of per-user final cum equals total corpus cents (cumsum sanity)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    total = ev.agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+    ).collect()[0][0]
+    w_last = df.groupBy("user_id").agg(F.max_by("cum_cents", "event_id").alias("last"))
+    assert w_last.agg(F.sum("last")).collect()[0][0] == total
+
+
+def test_drawdown_single_shuffle_shared_sort(spark):
+    """Both running aggregates ride ONE user_id partitioning: the plan
+    must contain exactly one exchange on user_id (stacked windows share
+    the sort) — the property that keeps this O(one shuffle) at 100 TB."""
+    plan = (
+        SPECS["win_drawdown_max"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_bpe_merge_step_matches_python_reference(spark):
+    """The distributed pair count must equal a driver-side recount of the
+    same corpus (vocabulary-weighted adjacent char pairs)."""
+    from collections import Counter
+
+    rows = SPECS["text_bpe_merge_step"].fn(spark, SF_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select("text").collect()
+    ref: Counter = Counter()
+    for (text,) in docs:
+        for w in " ".join(text.lower().strip().split()).split(" "):
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    ref[w[i : i + 2]] += 1
+    top = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
+    assert [(r.pair, r.freq) for r in rows] == top
+
+
+def test_bpe_pair_explode_rides_vocabulary_not_corpus(spark):
+    """The pair explode's child must be the word-count AGGREGATE (vocab-
+    sized), never the raw token explode (corpus-sized) — the property
+    that makes per-merge-round cost O(|vocab|) at 100 TB."""
+    plan = (
+        SPECS["text_bpe_merge_step"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # optimized plan reads bottom-up: the generate over `pair` must sit
+    # ABOVE the word-count Aggregate in the tree (appear before it in the
+    # top-down string dump)
+    gen = plan.index("substring(w#")
+    agg = plan.index("count(1)")
+    assert gen < agg, plan
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_DIR])
+def test_minhash_lsh_recall_complete_on_corpus(spark, sf_dir):
+    """16×2 banding must nominate every exact-Jaccard ≥ 0.8 pair on this
+    corpus (recall_1e6 == 1e6 — the banding-completeness claim
+    `dedup_near_minhash` relies on, now pinned by the gauge at two SFs),
+    with nontrivial precision (the gauge would be vacuous if banding
+    nominated everything)."""
+    row = SPECS["dedup_minhash_recall"].fn(spark, sf_dir).collect()[0]
+    assert row.n_truth > 0
+    assert row.recall_1e6 == 1_000_000
+    assert 0 < row.precision_1e6 <= 1_000_000
+    assert row.n_pred >= row.n_hit
+
+
+def test_portable_minhash_family_spreads(spark):
+    """The portable md5-prefix + premix family must produce decorrelated
+    minima (the premix exists exactly to break the monotone-family
+    collapse): across docs, the 32 signature columns must not all be
+    identical rankings — check two arbitrary columns differ somewhere."""
+    from gvcf_hbase_spark.operators.dedup import (
+        _shingle_sets,
+        minhash_signatures_portable,
+    )
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    sigs = minhash_signatures_portable(_shingle_sets(d)).limit(50).collect()
+    m0 = [r.m0 for r in sigs]
+    m1 = [r.m1 for r in sigs]
+    rank0 = sorted(range(len(m0)), key=m0.__getitem__)
+    rank1 = sorted(range(len(m1)), key=m1.__getitem__)
+    assert rank0 != rank1
