@@ -821,6 +821,46 @@ _MENDEL_ORACLE = _DOSAGE_CTE + r""",
     FROM flagged GROUP BY contig
 """
 
+_PHASE_ORACLE = _DOSAGE_CTE + r""",
+    f AS (SELECT contig, pos, alt_n FROM expanded WHERE sample_id = 's0'),
+    m AS (SELECT contig, pos, alt_n FROM expanded WHERE sample_id = 's1'),
+    c AS (SELECT contig, pos, alt_n FROM expanded WHERE sample_id = 's2'),
+    trio AS (
+      SELECT f.contig, f.pos, f.alt_n AS fd, m.alt_n AS md
+      FROM f
+      JOIN m ON f.contig = m.contig AND f.pos = m.pos
+      JOIN c ON f.contig = c.contig AND f.pos = c.pos
+      WHERE c.alt_n = 1
+    )
+    SELECT contig, pos, fd, md,
+           CASE WHEN 1 < (CASE WHEN fd = 2 THEN 1 ELSE 0 END
+                          + CASE WHEN md = 2 THEN 1 ELSE 0 END)
+                  OR 1 > (CASE WHEN fd >= 1 THEN 1 ELSE 0 END
+                          + CASE WHEN md >= 1 THEN 1 ELSE 0 END)
+                THEN 'violation'
+                WHEN fd = 1 AND md = 1 THEN 'ambiguous'
+                WHEN fd = 2 OR md = 0 THEN 'F1M0'
+                ELSE 'F0M1' END AS phase
+    FROM trio
+"""
+
+
+def transmission_phase(fd: "F.Column", md: "F.Column") -> "F.Column":
+    """Phase verdict for a HET child given father/mother dosages: which
+    parent transmitted the alt allele. Pure integer CASE logic (branch
+    order matters: infeasibility first, double-het next, then the two
+    forced-phase cases — the same order as the oracle SQL); exhaustively
+    pinned over all 9 (fd, md) combinations in tests, because the
+    deterministic cohort grid only reaches 2 of the 4 verdicts."""
+    cmin = F.when(fd == 2, 1).otherwise(0) + F.when(md == 2, 1).otherwise(0)
+    cmax = F.when(fd >= 1, 1).otherwise(0) + F.when(md >= 1, 1).otherwise(0)
+    return (
+        F.when((F.lit(1) < cmin) | (F.lit(1) > cmax), F.lit("violation"))
+        .when((fd == 1) & (md == 1), F.lit("ambiguous"))
+        .when((fd == 2) | (md == 0), F.lit("F1M0"))
+        .otherwise(F.lit("F0M1"))
+    )
+
 
 def _register_popgen_queries() -> None:
     from gvcf_hbase_spark.registry import register
@@ -996,6 +1036,36 @@ def _register_popgen_queries() -> None:
             .cast("bigint")
             .alias("violation_rate_1e6"),
         )
+
+    @register("gvcf_phase_by_transmission", oracle=_PHASE_ORACLE, tags=("gvcf", "popgen"))
+    def gvcf_phase_by_transmission(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Phase-by-transmission for the (s0, s1, s2) trio: at every
+        site where the CHILD is heterozygous, pedigree logic pins which
+        parent transmitted the alt allele whenever at least one parent
+        is homozygous — father hom-alt or mother hom-ref forces the alt
+        through the paternal haplotype (``F1M0``), the mirror cases
+        force maternal (``F0M1``); double-het trios stay ``ambiguous``
+        (population phasing's job) and Mendelian-infeasible combinations
+        are tagged ``violation``. This is the deterministic first pass
+        of every trio phasing pipeline (the read-backed/statistical
+        phasers only touch what transmission logic leaves ambiguous),
+        and the haplotype input to phased-panel construction.
+
+        Same physical shape as `gvcf_mendelian_violations`: two
+        co-partitioned (contig, pos) equi-joins off one exchange of the
+        role-filtered dosage matrix, then branch-free integer CASE logic
+        per site — per-site rows out, no aggregate (downstream consumers
+        are position-keyed writers). Scales as the dosage matrix scan;
+        the trio fan-out is 1:1, never pairwise."""
+        d = _dosage_positions(spark, sf_dir)
+        fa = d.filter(F.col("sample_id") == "s0").select("contig", "pos", F.col("alt_n").alias("fd"))
+        mo = d.filter(F.col("sample_id") == "s1").select("contig", "pos", F.col("alt_n").alias("md"))
+        ch = d.filter(F.col("sample_id") == "s2").select("contig", "pos", F.col("alt_n").alias("cd"))
+        trio = fa.join(mo, ["contig", "pos"]).join(ch, ["contig", "pos"]).filter(
+            F.col("cd") == 1
+        )
+        phase = transmission_phase(F.col("fd"), F.col("md"))
+        return trio.select("contig", "pos", "fd", "md", phase.alias("phase"))
 
 
 _register_popgen_queries()
