@@ -1038,3 +1038,82 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "pair")
         .limit(_BPE_TOPK)
     )
+
+
+_LANGID_CONFUSION_ORACLE = f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+{_LANG_SCORE_SQL}
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS true_lang,
+             CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+                  WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+                  WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM scored
+    ),
+    cells AS (
+      SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_true FROM cells GROUP BY 1
+    )
+    SELECT c.true_lang, c.pred_lang, c.n,
+           CAST(c.n * 1000000 // t.n_true AS BIGINT) AS share_of_true_1e6
+    FROM cells c JOIN tot t ON c.true_lang = t.true_lang
+"""
+
+
+@register("text_langid_confusion", oracle=_LANGID_CONFUSION_ORACLE, tags=("text", "eval"))
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID calibration as a first-class op: the confusion matrix
+    of the stopword-lexicon classifier (`text_lang_id`) against the
+    corpus' labeled ``lang`` column, each cell with its share of the true
+    language's documents (the per-class recall diagonal). The gauge the
+    other gauges set the pattern for (`dedup_simhash_recall`,
+    `dedup_minhash_recall`, the ANN tiers): a production pipeline runs
+    this per ingest batch, because lexicon language-ID silently decays on
+    distribution shift — and unsupported languages (this corpus' ``zh``)
+    surface as an off-diagonal 'unknown'/mislabel row rather than
+    vanishing.
+
+    Physical plan: label and prediction come from the SAME scan row (no
+    self-join — the classifier is pure per-row expressions), then one
+    #langs²-key aggregate; the per-language totals re-aggregate the
+    CELLS (≤ #langs² rows), never the corpus, and join back broadcast.
+    Integer-quantized shares (§5.4)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+
+    def _in_list(ws):
+        return lambda t: t.isin(ws)
+
+    scores = {lang: F.size(F.filter(toks, _in_list(ws))) for lang, ws in STOPWORDS.items()}
+    s = d.select(
+        F.col("lang").alias("true_lang"),
+        *[scores[lang].alias(f"s_{lang}") for lang in STOPWORDS],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in STOPWORDS])
+    pred = (
+        F.when(best == 0, "unknown")
+        .when(F.col("s_en") >= F.greatest("s_de", "s_es", "s_fr"), "en")
+        .when(F.col("s_de") >= F.greatest("s_es", "s_fr"), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    cells = (
+        s.select("true_lang", pred.alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = cells.groupBy("true_lang").agg(F.sum("n").cast("bigint").alias("n_true"))
+    return cells.join(F.broadcast(tot), "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.floor(F.col("n") * 1_000_000 / F.col("n_true")).cast("bigint").alias("share_of_true_1e6"),
+    )

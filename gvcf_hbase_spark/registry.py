@@ -83,11 +83,11 @@ def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # 61-key never-driver-verified queue's first 50 are promoted to slots 1-50,
 # so CORRECTNESS_r07 lifts cumulative coverage 291 -> 341. The round-8
 # window is staged EXPLICITLY at slots 51+ (r06 verdict action 6): the
-# 11-key queue overflow, then the six round-6 additions, then the seven
+# 11-key queue overflow, then the six round-6 additions, then the eight
 # round-7 additions (two ANN calibration gauges + ts_ohlc_bars /
 # win_drawdown_max / text_bpe_merge_step / dedup_minhash_recall /
-# gvcf_phase_by_transmission) -- 24 keys, which r08 promotes to complete
-# full driver coverage (341 + 24 = 365/365).
+# gvcf_phase_by_transmission / text_langid_confusion) -- 25 keys, which
+# r08 promotes to complete full driver coverage (341 + 25 = 366/366).
 _PRIORITY = [
     # ============== round-7 window (slots 1-50) ==============
     "analytics_dau_wau",
@@ -163,12 +163,13 @@ _PRIORITY = [
     # two round-7 additions (ANN calibration gauges):
     "sim_ann_ivf_recall",
     "sim_pq_recall",
-    # five further round-7 additions:
+    # six further round-7 additions:
     "ts_ohlc_bars",
     "win_drawdown_max",
     "text_bpe_merge_step",
     "dedup_minhash_recall",
     "gvcf_phase_by_transmission",
+    "text_langid_confusion",
 ]
 # Keys NOT listed above (all with a driver verdict from r01-r06) are
 # appended by load_all() in module registration order after the queues.

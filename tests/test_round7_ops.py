@@ -200,3 +200,28 @@ def test_phase_by_transmission_site_count(spark):
         .count()
     )
     assert len(rows) == n_het
+
+
+def test_langid_confusion_is_a_partition_of_the_corpus(spark):
+    """Every document lands in exactly one confusion cell; per-true-lang
+    shares are consistent with the cell counts (floor quantization)."""
+    df = SPECS["text_langid_confusion"].fn(spark, SF_DIR)
+    rows = df.collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n for r in rows) == n_docs
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r.true_lang, []).append(r)
+    for lang, cells in by_true.items():
+        tot = sum(c.n for c in cells)
+        for c in cells:
+            assert c.share_of_true_1e6 == c.n * 1_000_000 // tot, (lang, c)
+
+
+def test_langid_confusion_exposes_unsupported_language(spark):
+    """zh has no stopword lexicon, so NO zh cell may claim a zh
+    prediction — the gauge must surface unsupported languages as
+    off-diagonal mass, never silently score them."""
+    rows = SPECS["text_langid_confusion"].fn(spark, SF_DIR).collect()
+    zh = [r for r in rows if r.true_lang == "zh"]
+    assert zh and all(r.pred_lang != "zh" for r in zh)
