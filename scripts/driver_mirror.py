@@ -11,9 +11,10 @@ matches. Usage:  python scripts/driver_mirror.py [sf_dir] [skip_oracle_keys]
 
 ``skip_oracle_keys`` (comma-separated) demotes those queries to the
 rows-only check for THIS run — the Spark side still executes at full
-scale. At sf0.1 the baked-in ``SF01_ORACLE_DEMOTE`` set (the brute-force
-n-squared pair oracles plus graph_kcore_bounded's disk-blowing recursive
-peel) is applied automatically; all of those stay fully oracle-checked at
+scale. At sf0.1 the baked-in ``SF01_ORACLE_DEMOTE`` set (18 keys: the
+brute-force n-squared pair oracles — including dedup_minhash_recall's
+truth CTE — plus graph_kcore_bounded's disk-blowing recursive peel) is
+applied automatically; all of those stay fully oracle-checked at
 sf0.001/sf0.01 (default runs and tests/test_llm_ops.py cross-SF
 assertions).
 
