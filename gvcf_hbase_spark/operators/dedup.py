@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from gvcf_hbase_spark.functions.textfns import normalize_text, shingles, stable_hash32, tokens
 from gvcf_hbase_spark.registry import register
@@ -400,38 +400,157 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥0.8 for ~60% of all ordered pairs (measured 144k/249k at sf0.01) —
     word order is what makes containment discriminative.
 
-    Same inverted-index SSJoin shape as `dedup_ngram_jaccard` — postings
-    ship (token, id, size) ints, shared-token counts come from one
-    partial-aggregated groupBy — but WITHOUT the symmetric size-ratio
-    prune: containment has no lower bound on the container's size, so a
-    tiny doc must be allowed to pair with an arbitrarily large one. Each
-    unordered pair is counted once (id_a < id_b) and then tested in BOTH
-    directions, emitting (contained, container) rows. Skew hazard and
-    mitigations are identical to the Jaccard op (hot stopword postings →
-    AQE skew split; max-df cutoff at web scale). Exact — the oracle is
-    the brute-force n² SQL."""
-    t = 0.8
+    COST-DISPATCHED SSJoin, r07 (same hash-identical multi-path
+    discipline as `sim_cosine_pairs`' broadcast/blocked split), with
+    both path costs MEASURED from the data before any pair
+    materializes — because which path wins is a property of the
+    vocabulary, not the corpus size:
+
+    - DIRECT path: inverted-index postings self-join + shared-token
+      groupBy; cost = exactly Σ_tok df² pair rows (from the df
+      aggregate, a 1-row scalar probe). One posting shuffle, minimal
+      constant factor, map-side partial aggregation.
+    - PREFIX-FILTERED path: under a global token order (df ascending,
+      ties by token — rarest first), if |A∩B| ≥ ⌈t·|A|⌉ then B shares
+      at least one of A's first |A|−⌈t·|A|⌉+1 tokens (pigeonhole), so
+      only PREFIX postings probe the index; candidates are then
+      verified EXACTLY against the full bigram sets (array_intersect,
+      JVM-side) — lossless. Cost = Σ over prefix postings of df
+      (again exactly computable), PLUS a ~12× constant factor measured
+      on this host (candidate distinct + two verify joins shipping the
+      bigram arrays + the rank window).
+
+    Dispatch: direct when Σdf² is small (≤ `_CONTAINMENT_DIRECT_CEILING`
+    — no probe beyond the df scalar needed); otherwise compute the
+    exact prefix bound (linear pass) and take prefix only when it
+    prunes ≥ `_CONTAINMENT_PREFIX_FACTOR`×. Measured calibration on the
+    replicated sf1 fixture (931-bigram BOUNDED vocabulary — every token
+    hot, the prefix filter's worst case): Σdf² = 7.3e9, prefix bound =
+    1.42e9 (only 5.1× pruning) → direct, which completes in 290 s where
+    the forced prefix path exceeds 590 s. On a vocabulary-RICH corpus
+    (real web text — vocabulary grows with n, most tokens rare) the
+    bound collapses to ≪ Σdf²/12 and the prefix path engages; that is
+    the regime it exists for, and the regime where the direct join is
+    the one that dies. Both paths are exact — the oracle stays the
+    brute-force n² SQL, and tests pin path-equivalence by forcing each
+    on the same fixture. Containment has no symmetric size-ratio prune
+    (a tiny doc may be contained in an arbitrarily large one) — the
+    prefix bound is the one admissible prune, which is why this op
+    carries it while `dedup_ngram_jaccard` carries the size-ratio one."""
+    return _containment_pairs(spark, sf_dir, t=0.8)
+
+
+# Direct-path fast-accept ceiling: the postings self-join materializes
+# Σdf² pair rows (~16 B each) into a groupBy; 2e8 rows ≈ 3 GB of shuffle —
+# comfortable on one stage with map-side combine, so below it the prefix
+# bound isn't even worth probing (sf0.1 measures 16 s direct vs 46 s
+# prefix at Σdf² = 7.3e7).
+_CONTAINMENT_DIRECT_CEILING = 200_000_000
+
+# Prefix path engages only when its candidate bound prunes at least this
+# factor off Σdf²: the measured constant-factor gap between a candidate
+# row (distinct + two array-shipping verify joins + rank window) and a
+# direct pair row (one shuffled 16-byte tuple into a partial aggregate).
+_CONTAINMENT_PREFIX_FACTOR = 12
+
+
+def _containment_pairs(
+    spark: SparkSession, sf_dir: str, t: float, force_path: str | None = None
+) -> DataFrame:
+    """Shared body of `dedup_containment`; ``force_path`` ('direct' /
+    'prefix') exists for the path-equivalence tests only."""
     d = load_table(spark, sf_dir, "documents")
-    ex = (
+    # One shingle materialization feeds postings AND the verify joins
+    # (same truncation discipline as curate_ccnet_buckets' tok relation).
+    docs = (
         spread(d)
         .select("doc_id", tokens(normalize_text(F.col("text"))).alias("words"))
         .select("doc_id", F.array_distinct(shingles(F.col("words"), k=2)).alias("toks"))
-        .select("doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("tok"))
+        .filter(F.size("toks") > 0)
+        .localCheckpoint(eager=False)
     )
-    a = ex.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "tok")
-    b = ex.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "tok")
-    counts = (
-        a.join(b, "tok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count("*").alias("c"))
+    post = docs.select(
+        "doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("tok")
     )
-    fwd = counts.filter(F.col("c") / F.col("sz_a") >= t).select(
+    df_t = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    # prefix length = sz - ceil(t*sz) + 1; t=0.8 exact in int math:
+    # ceil(4*sz/5) = (4*sz + 4) DIV 5. Window is per-doc (bounded).
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pref_len = (
+        F.col("sz") - ((F.lit(4) * F.col("sz") + F.lit(4)) / 5).cast("bigint") + 1
+    )
+    ranked = post.join(df_t, "tok").select(
+        "doc_id",
+        "tok",
+        "df",
+        (F.row_number().over(w) <= pref_len).alias("in_prefix"),
+    )
+
+    if force_path is None:
+        assert t == 0.8, "integer prefix math above is specialized to t=0.8"
+        fanout = df_t.agg(F.sum(F.col("df") * F.col("df"))).collect()[0][0] or 0
+        if fanout <= _CONTAINMENT_DIRECT_CEILING:
+            path = "direct"
+        else:
+            # escalate: exact prefix candidate bound, one linear pass
+            bound = (
+                ranked.filter("in_prefix").agg(F.sum("df")).collect()[0][0] or 0
+            )
+            path = (
+                "prefix"
+                if bound * _CONTAINMENT_PREFIX_FACTOR < fanout
+                else "direct"
+            )
+    else:
+        path = force_path
+
+    if path == "direct":
+        a = post.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "tok")
+        b = post.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "tok")
+        verified = (
+            a.join(b, "tok")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "sz_a", "sz_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    else:
+        a = ranked.select(
+            F.col("doc_id").alias("id_a"), "tok", F.col("in_prefix").alias("pre_a")
+        )
+        b = ranked.select(
+            F.col("doc_id").alias("id_b"), "tok", F.col("in_prefix").alias("pre_b")
+        )
+        cand = (
+            a.join(b, "tok")
+            .filter((F.col("id_a") < F.col("id_b")) & (F.col("pre_a") | F.col("pre_b")))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        verified = (
+            cand.join(
+                docs.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a")),
+                "id_a",
+            )
+            .join(
+                docs.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("toks_a", "toks_b")).alias("c"),
+                F.size("toks_a").alias("sz_a"),
+                F.size("toks_b").alias("sz_b"),
+            )
+        )
+
+    fwd = verified.filter(F.col("c") / F.col("sz_a") >= t).select(
         F.col("id_a").alias("contained_id"),
         F.col("id_b").alias("container_id"),
         F.round(F.col("c") / F.col("sz_a"), 6).alias("containment"),
     )
-    rev = counts.filter(F.col("c") / F.col("sz_b") >= t).select(
+    rev = verified.filter(F.col("c") / F.col("sz_b") >= t).select(
         F.col("id_b").alias("contained_id"),
         F.col("id_a").alias("container_id"),
         F.round(F.col("c") / F.col("sz_b"), 6).alias("containment"),

@@ -929,7 +929,7 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ROUNDS = 3
 
 
-def _lpa_oracle() -> str:
+def _lpa_oracle_parts() -> tuple[str, str, str]:
     rounds = []
     prev = "l0"
     for r in range(1, _LPA_ROUNDS + 1):
@@ -944,7 +944,7 @@ def _lpa_oracle() -> str:
       WHERE rn = 1
     )""")
         prev = f"l{r}"
-    return f"""
+    body = f"""
     WITH nodes AS (
       SELECT c_custkey AS node, c_custkey // 6 AS g, c_custkey % 6 AS pos
       FROM customer
@@ -961,12 +961,54 @@ def _lpa_oracle() -> str:
     e AS (SELECT u, v FROM intra UNION ALL SELECT u, v FROM bridge),
     adj AS (SELECT u AS src, v AS dst FROM e
             UNION ALL SELECT v AS src, u AS dst FROM e),
-    l0 AS (SELECT node, node AS label FROM nodes),{",".join(rounds)}
+    l0 AS (SELECT node, node AS label FROM nodes),{",".join(rounds)}"""
+    default_select = f"""
     SELECT node, label AS community,
            CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
              AS community_size
     FROM {prev}
 """
+    return body, prev, default_select
+
+
+def _lpa_oracle() -> str:
+    body, _, final = _lpa_oracle_parts()
+    return body + final
+
+
+def _modularity_oracle() -> str:
+    """Same fixture graph + same 3 LPA rounds, final select = per-community
+    modularity pieces in EXACT integer arithmetic: q_num = 4·m·e_c − d_c²
+    over the implied denominator 4m² (Q = Σ_c q_num_c / 4m²)."""
+    body, labels, _ = _lpa_oracle_parts()
+    return (
+        body
+        + f""",
+    lab AS (SELECT node, label FROM {labels}),
+    m AS (SELECT count(*) AS m FROM e),
+    deg AS (SELECT src AS node, count(*) AS d FROM adj GROUP BY 1),
+    intra_c AS (
+      SELECT lu.label, count(*) AS e_c
+      FROM e JOIN lab lu ON lu.node = e.u JOIN lab lv ON lv.node = e.v
+      WHERE lu.label = lv.label GROUP BY 1
+    ),
+    dsum AS (
+      SELECT lab.label, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(deg.d) AS BIGINT) AS degree_sum
+      FROM lab JOIN deg ON deg.node = lab.node GROUP BY 1
+    )
+    SELECT d.label AS community, d.n_nodes,
+           CAST(coalesce(i.e_c, 0) AS BIGINT) AS intra_edges,
+           d.degree_sum,
+           CAST(4 * (SELECT m FROM m) * coalesce(i.e_c, 0)
+                - d.degree_sum * d.degree_sum AS BIGINT) AS q_num_4m2,
+           CAST(floor((4.0 * (SELECT m FROM m) * coalesce(i.e_c, 0)
+                       - CAST(d.degree_sum AS DOUBLE) * d.degree_sum) * 1000000000
+                      / (4.0 * (SELECT m FROM m) * (SELECT m FROM m)) + 0.5)
+                AS BIGINT) AS q_1e9
+    FROM dsum d LEFT JOIN intra_c i ON i.label = d.label
+"""
+    )
 
 
 @register("graph_lpa_communities", oracle=_lpa_oracle(), tags=("graph", "iterative"))
@@ -985,6 +1027,20 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale per round: one edge-key shuffle (labels joined to the static
     adjacency, checkpointed once) + one (node,label) mode aggregate with
     map-side combine; O(rounds) passes like PageRank/k-core."""
+    labels, _, _ = _lpa_fixture_labels(spark, sf_dir)
+    cw = Window.partitionBy("label")
+    return labels.select(
+        "node",
+        F.col("label").alias("community"),
+        F.count("*").over(cw).cast("bigint").alias("community_size"),
+    )
+
+
+def _lpa_fixture_labels(spark: SparkSession, sf_dir: str):
+    """Shared by `graph_lpa_communities` and `graph_modularity`: the
+    bridged-clique fixture graph and its synchronous 3-round LPA labels.
+    Returns (labels, e, adj) — e is each undirected edge once, adj both
+    directions (checkpointed: static side consumed every round)."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("node"))
     nodes = c.select(
         "node",
@@ -1019,9 +1075,74 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select(F.col("src").alias("node"), "label")
         )
-    cw = Window.partitionBy("label")
-    return labels.select(
-        "node",
+    return labels, e, adj
+
+
+@register("graph_modularity", oracle=_modularity_oracle(), tags=("graph", "calibration"))
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition, per community — the
+    quality gauge for `graph_lpa_communities` (the calibration-as-a-
+    query pattern: a user deciding whether 3 LPA rounds suffice at
+    100 TB reads this, not a notebook). Q = Σ_c [e_c/m − (d_c/2m)²];
+    each row carries the EXACT integer pieces (n_nodes, intra-edge
+    count e_c, degree sum d_c, and the numerator q_num = 4·m·e_c − d_c²
+    over the implied denominator 4m²) plus a quantized q_1e9 for
+    reading; Σ q_num / 4m² is the partition's Q. On the bridged-clique
+    fixture every 6-clique community scores the same strongly-positive
+    contribution — a near-zero or negative row is how a user spots a
+    community LPA glued together wrongly.
+
+    Scale: rides the same O(rounds) label dataflow, then THREE
+    input-bounded aggregates — degrees (adj groupBy), intra-edge counts
+    (edge relation joined to the label map on both endpoints — label map
+    is #nodes-sized, the joins are hash joins on node id), and the
+    per-community rollup (#communities rows). m is a 1-row count
+    broadcast, the accepted audit-scalar shape."""
+    labels, e, adj = _lpa_fixture_labels(spark, sf_dir)
+    lab = labels.localCheckpoint(eager=False)  # consumed by 3 joins below
+    m_df = e.agg(F.count(F.lit(1)).alias("m"))
+    deg = adj.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    lu = lab.select(F.col("node").alias("u"), F.col("label").alias("label_u"))
+    lv = lab.select(F.col("node").alias("v"), F.col("label").alias("label_v"))
+    intra_c = (
+        e.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("label_u") == F.col("label_v"))
+        .groupBy(F.col("label_u").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    dsum = (
+        lab.join(deg, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("degree_sum"),
+        )
+    )
+    joined = (
+        dsum.join(intra_c, "label", "left")
+        .withColumn("e_c", F.coalesce(F.col("e_c"), F.lit(0)))
+        .crossJoin(F.broadcast(m_df))
+    )
+    q_num = (
+        F.lit(4) * F.col("m") * F.col("e_c")
+        - F.col("degree_sum") * F.col("degree_sum")
+    )
+    return joined.select(
         F.col("label").alias("community"),
-        F.count("*").over(cw).cast("bigint").alias("community_size"),
+        "n_nodes",
+        F.col("e_c").cast("bigint").alias("intra_edges"),
+        "degree_sum",
+        q_num.cast("bigint").alias("q_num_4m2"),
+        F.floor(
+            (
+                F.lit(4.0) * F.col("m") * F.col("e_c")
+                - F.col("degree_sum").cast("double") * F.col("degree_sum")
+            )
+            * 1_000_000_000
+            / (F.lit(4.0) * F.col("m") * F.col("m"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("q_1e9"),
     )

@@ -884,6 +884,124 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_EPS_1E2 = (45, 60, 75, 90)
+
+_SEMDEDUP_SWEEP_ORACLE = f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id < {_SEMDEDUP_K}
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6) AS cs
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT b.vec_id AS ib,
+             round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                          CAST(eb.embedding AS DOUBLE[])), 6) AS cs
+      FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    )
+    SELECT e.e2 AS eps_1e2,
+           CAST(count(*) FILTER (WHERE p.cs >= e.e2 / 100.0) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN p.cs >= e.e2 / 100.0 THEN p.ib END)
+                AS BIGINT) AS n_pruned,
+           CAST((SELECT count(*) FROM assigned)
+                - count(DISTINCT CASE WHEN p.cs >= e.e2 / 100.0 THEN p.ib END)
+                AS BIGINT) AS n_kept
+    FROM (VALUES {", ".join(f"({e})" for e in _SEMDEDUP_EPS_1E2)}) e(e2)
+    LEFT JOIN pairs p ON TRUE
+    GROUP BY e.e2
+"""
+
+
+@register(
+    "sim_semdedup_eps_sweep",
+    oracle=_SEMDEDUP_SWEEP_ORACLE,
+    tags=("dedup", "embedding", "calibration"),
+)
+def sim_semdedup_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration sweep for `dedup_semantic_centroid`: for a
+    grid of cosine thresholds ε, how many cell-local pairs qualify, how
+    many docs would be pruned, how many survive — the retention curve a
+    user reads BEFORE committing a τ to a 100 TB SemDeDup run (the same
+    calibration-as-a-query pattern as `dedup_simhash_recall` and the
+    ANN recall gauges: tuning knobs deserve first-class queries, not
+    notebook one-offs).
+
+    ONE pass serves every threshold: the same centroid assignment and
+    the same Σ|cell|² cell-local matmul as the dedup op, but each cell
+    emits one (ε, n_pairs, n_pruned, n_docs) row per grid point from a
+    single scored upper-triangular matrix — sweeping ε is a mask over
+    an already-computed score matrix, not a re-run. The final rollup is
+    a #cells × #ε aggregate, input-size independent. Scores 6dp-rounded
+    before every compare (the family convention), so both engines make
+    identical boundary choices; all outputs exact integers."""
+    e = _emb(spark, sf_dir)
+    cent = sorted(
+        e.filter(F.col("vec_id") < _SEMDEDUP_K).select("vec_id", "emb").collect(),
+        key=lambda r: r.vec_id,
+    )
+    cids = np.array([r.vec_id for r in cent], dtype="int64")
+    cm = np.stack([np.asarray(r.emb, dtype="float64") for r in cent])
+    cmn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.stack([np.asarray(v, dtype="float64") for v in pdf["emb"]])
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            cs = np.round(qn @ cmn.T, 6)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
+                    "cluster": cids[cs.argmax(axis=1)],
+                    "emb": pdf["emb"],
+                }
+            )
+
+    assigned = spread(e).mapInPandas(
+        assign, "vec_id bigint, cluster bigint, emb array<double>"
+    )
+
+    def sweep_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        m = np.stack([np.asarray(v, dtype="float64") for v in pdf["emb"]])
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        s = np.round(mn @ mn.T, 6)
+        n = len(pdf)
+        rows = []
+        for e2 in _SEMDEDUP_EPS_1E2:
+            hit = np.triu(s >= e2 / 100.0, 1)
+            rows.append(
+                {
+                    "eps_1e2": e2,
+                    "n_pairs": int(hit.sum()),
+                    "n_pruned": int(hit.any(axis=0).sum()),
+                    "n_docs": n,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    per_cell = assigned.groupBy("cluster").applyInPandas(
+        sweep_cell, "eps_1e2 int, n_pairs bigint, n_pruned bigint, n_docs bigint"
+    )
+    return per_cell.groupBy("eps_1e2").agg(
+        F.sum("n_pairs").alias("n_pairs"),
+        F.sum("n_pruned").alias("n_pruned"),
+        (F.sum("n_docs") - F.sum("n_pruned")).alias("n_kept"),
+    )
+
+
 _MIPS_K = 5
 
 _MIPS_ORACLE = f"""

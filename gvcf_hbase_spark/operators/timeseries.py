@@ -594,6 +594,161 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SAX_ORACLE = """
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT event_type, CAST(hr // 24 AS BIGINT) AS seg,
+             CAST(sum(cnt) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM h GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type,
+             avg(CAST(s AS DOUBLE) / n) AS m,
+             stddev_pop(CAST(s AS DOUBLE) / n) AS sd
+      FROM seg GROUP BY 1
+    )
+    SELECT seg.event_type, seg.seg,
+           CAST(floor((CAST(s AS DOUBLE) / n - m) / sd * 1e6 + 0.5) AS BIGINT)
+             AS z_1e6,
+           CASE WHEN floor((CAST(s AS DOUBLE) / n - m) / sd * 1e6 + 0.5) < -674500
+                  THEN 'a'
+                WHEN floor((CAST(s AS DOUBLE) / n - m) / sd * 1e6 + 0.5) < 0
+                  THEN 'b'
+                WHEN floor((CAST(s AS DOUBLE) / n - m) / sd * 1e6 + 0.5) < 674500
+                  THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM seg JOIN st USING (event_type)
+    WHERE st.sd > 0
+"""
+
+
+@register("ts_sax_symbols", oracle=_SAX_ORACLE, tags=("timeseries",))
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin/Keogh) of the hourly event-rate series per
+    type: PAA-compress to daily segments (mean of each 24-hour frame),
+    z-normalize the segment means per series, then map to a 4-letter
+    alphabet at the N(0,1) quartile breakpoints (−0.6745, 0, 0.6745) —
+    the representation that turns a numeric series into a string so
+    motif mining, symbolic matching, and `text_*`-family tooling apply
+    to telemetry.
+
+    Scale: the raw log is touched once (the hourly count aggregate,
+    map-side combined); PAA is a second #types×#hours → #types×#days
+    aggregate; the per-series mean/σ is a #types-row dim broadcast back.
+    No windows, no per-row Python. Determinism: segment means are exact
+    int-ratio doubles (identical IEEE ops both engines), the z-score is
+    floor-quantized to 1e-6 under the shared §5.4 convention, and the
+    ALPHABET CUT compares the quantized integer — so a breakpoint
+    boundary can't flip between engines. Zero-variance series (σ=0) are
+    excluded on both sides (no z-score exists)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        (F.col("ts_us_long") / F.lit(3_600_000_000)).cast("bigint").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    seg = h.groupBy(
+        "event_type", F.expr("hr div 24").cast("bigint").alias("seg")
+    ).agg(F.sum("cnt").alias("s"), F.count(F.lit(1)).alias("n"))
+    paa = F.col("s").cast("double") / F.col("n")
+    st = seg.groupBy("event_type").agg(
+        F.avg(paa).alias("m"), F.stddev_pop(paa).alias("sd")
+    )
+    z6 = F.floor((paa - F.col("m")) / F.col("sd") * 1e6 + F.lit(0.5)).cast("bigint")
+    return (
+        seg.join(F.broadcast(st), "event_type")
+        .filter(F.col("sd") > 0)
+        .select(
+            "event_type",
+            "seg",
+            z6.alias("z_1e6"),
+            F.when(z6 < -674500, "a")
+            .when(z6 < 0, "b")
+            .when(z6 < 674500, "c")
+            .otherwise("d")
+            .alias("symbol"),
+        )
+    )
+
+
+_SEASONAL_RESID_ORACLE = f"""
+    WITH decomp AS ({_SEASONAL_ORACLE}),
+    r AS (
+      SELECT event_type, hr, resid_1e2 FROM decomp WHERE resid_1e2 IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY resid_1e2) AS med
+      FROM r GROUP BY 1
+    ),
+    dev AS (
+      SELECT r.event_type, r.hr, r.resid_1e2,
+             abs(CAST(r.resid_1e2 AS DOUBLE) - med.med) AS ad
+      FROM r JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, d.hr, d.resid_1e2,
+           CAST(floor(d.ad / (1.4826 * mad.mad) * 1e4 + 0.5) AS BIGINT)
+             AS robust_z_1e4
+    FROM dev d JOIN mad USING (event_type)
+    WHERE mad.mad > 0 AND d.ad > 3 * 1.4826 * mad.mad
+"""
+
+
+@register(
+    "anomaly_seasonal_residual",
+    oracle=_SEASONAL_RESID_ORACLE,
+    tags=("timeseries", "anomaly"),
+)
+def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly flagging — the composition every metric
+    monitor actually runs: decompose the hourly rate (trend + hour-of-
+    day seasonal, `ts_seasonal_decompose` verbatim), then MAD-flag the
+    REMAINDER per type (|r − med| > 3·1.4826·MAD, `anomaly_mad`'s robust
+    rule). Flagging the residual instead of the raw count is the whole
+    point: a 9am traffic spike is SEASON, not anomaly — `anomaly_zscore`
+    and `anomaly_mad` over raw values fire on it every day, this op
+    stays silent and fires only on deviations the trend and season
+    can't explain.
+
+    Scale posture is the two parents': one raw-log aggregate, then
+    everything rides #types×#hours rows with #types-row medians
+    broadcast back (the log crosses no exchange after the first
+    aggregate). Edge hours without a full trend window carry a NULL
+    remainder and are excluded on both sides. Integer-×100 residuals
+    make both engines' interpolated medians identical doubles — same
+    determinism argument as `anomaly_mad`."""
+    decomp = ts_seasonal_decompose(spark, sf_dir)
+    r = decomp.filter(F.col("resid_1e2").isNotNull()).select(
+        "event_type", "hr", "resid_1e2"
+    )
+    med = r.groupBy("event_type").agg(
+        F.percentile("resid_1e2", F.lit(0.5)).alias("med")
+    )
+    dev = r.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("resid_1e2").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
+    j = dev.join(F.broadcast(mad), "event_type")
+    scale = 1.4826 * F.col("mad")
+    return j.filter((F.col("mad") > 0) & (F.col("ad") > 3 * scale)).select(
+        "event_type",
+        "hr",
+        "resid_1e2",
+        F.floor(F.col("ad") / scale * 1e4 + F.lit(0.5))
+        .cast("bigint")
+        .alias("robust_z_1e4"),
+    )
+
+
 _STREAK_ORACLE = """
     WITH d AS (
       SELECT DISTINCT user_id,

@@ -83,11 +83,14 @@ def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # 61-key never-driver-verified queue's first 50 are promoted to slots 1-50,
 # so CORRECTNESS_r07 lifts cumulative coverage 291 -> 341. The round-8
 # window is staged EXPLICITLY at slots 51+ (r06 verdict action 6): the
-# 11-key queue overflow, then the six round-6 additions, then the eight
-# round-7 additions (two ANN calibration gauges + ts_ohlc_bars /
+# 11-key queue overflow, then the six round-6 additions, then the
+# thirteen round-7 additions (two ANN calibration gauges, ts_ohlc_bars /
 # win_drawdown_max / text_bpe_merge_step / dedup_minhash_recall /
-# gvcf_phase_by_transmission / text_langid_confusion) -- 25 keys, which
-# r08 promotes to complete full driver coverage (341 + 25 = 366/366).
+# gvcf_phase_by_transmission / text_langid_confusion, and the round-7
+# continuation's gvcf_af_spectrum / sim_semdedup_eps_sweep /
+# graph_modularity / ts_sax_symbols / anomaly_seasonal_residual) --
+# 30 keys: r08 promotes slots 51-100 to the front, completing full
+# driver coverage (341 + 30 = 371/371).
 _PRIORITY = [
     # ============== round-7 window (slots 1-50) ==============
     "analytics_dau_wau",
@@ -170,6 +173,13 @@ _PRIORITY = [
     "dedup_minhash_recall",
     "gvcf_phase_by_transmission",
     "text_langid_confusion",
+    # five round-7 continuation additions (all sf0.001+sf0.01
+    # oracle-verified at build time):
+    "gvcf_af_spectrum",
+    "sim_semdedup_eps_sweep",
+    "graph_modularity",
+    "ts_sax_symbols",
+    "anomaly_seasonal_residual",
 ]
 # Keys NOT listed above (all with a driver verdict from r01-r06) are
 # appended by load_all() in module registration order after the queues.

@@ -586,6 +586,83 @@ def _register_af_query() -> None:
 _register_af_query()
 
 
+_SFS_ORACLE = f"""
+    WITH af AS ({_GVCF_AF_ORACLE})
+    SELECT an, least(ac, an - ac) AS mac,
+           CAST(count(*) AS BIGINT) AS n_sites,
+           CAST(floor(count(*) * 1000000.0
+                      / (SELECT count(*) FROM af) + 0.5) AS BIGINT)
+             AS share_1e6
+    FROM af GROUP BY 1, 2
+"""
+
+
+def _register_sfs_query() -> None:
+    from gvcf_hbase_spark.registry import register
+
+    @register("gvcf_af_spectrum", oracle=_SFS_ORACLE, tags=("gvcf", "popgen"))
+    def gvcf_af_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Folded site-frequency spectrum over the cohort call set —
+        sites bucketed by MINOR allele count (mac = min(AC, AN−AC))
+        WITHIN each AN stratum — the first plot every population-genetics
+        QC pass draws: an excess of singletons signals sequencing
+        artifacts, a deficit signals over-aggressive filtering, and the
+        overall shape is the neutral-evolution fingerprint. Stratifying
+        by AN is the standard correction when call-rate varies across
+        sites (a mac=1 among 2 called alleles is NOT the same signal as
+        a mac=1 among 200) — pooling them hides exactly the artifact
+        excess the spectrum exists to expose (SURVEY §2A A9's combine
+        feeding §2B popgen consumers).
+
+        Rides `gvcf_allele_freq`'s single-shuffle (contig,pos) aggregate
+        unchanged, then collapses #sites rows to #distinct-mac rows —
+        the spectrum aggregate is input-size independent after the site
+        aggregate, and the share denominator is a 1-row scalar subquery
+        on the oracle side / a window-free count-aggregate broadcast
+        join here (both engine sides are exact integers; only the share
+        ratio floats, floor-quantized under the shared §5.4 convention).
+        """
+        from gvcf_hbase_spark.operators.gvcf import expand_blocks
+
+        recs = parse_gvcf_lines(_fixture_lines(spark, sf_dir, span=2))
+        gt_parts = F.split(F.col("gt"), "/")
+        pos = expand_blocks(
+            recs.withColumn("ploidy", F.size(gt_parts).cast("long")).withColumn(
+                "alt_alleles",
+                F.size(F.filter(gt_parts, lambda x: x == "1")).cast("long"),
+            )
+        )
+        sites = (
+            pos.groupBy("contig", "pos")
+            .agg(
+                F.sum("alt_alleles").alias("ac"),
+                F.sum("ploidy").alias("an"),
+                F.max(F.col("is_variant").cast("int")).alias("__v"),
+            )
+            .filter(F.col("__v") == 1)
+            .select(
+                "an",
+                F.least(F.col("ac"), F.col("an") - F.col("ac")).alias("mac"),
+            )
+        )
+        spectrum = sites.groupBy("an", "mac").agg(F.count(F.lit(1)).alias("n_sites"))
+        total = spectrum.agg(F.sum("n_sites").alias("__tot"))
+        return (
+            spectrum.crossJoin(F.broadcast(total))
+            .select(
+                "an",
+                "mac",
+                "n_sites",
+                F.floor(F.col("n_sites") * 1e6 / F.col("__tot") + F.lit(0.5))
+                .cast("bigint")
+                .alias("share_1e6"),
+            )
+        )
+
+
+_register_sfs_query()
+
+
 _TITV_ORACLE = r"""
     WITH v AS (
       SELECT concat('chr', 1 + o_orderkey % 2) AS contig,

@@ -84,6 +84,9 @@ def test_relational_paths_are_jvm_only(spark):
         # r07: ANN calibration gauges — both sides are the declared
         # Python scorers above (exact brute-force + IVF/PQ stages)
         "sim_ann_ivf_recall", "sim_pq_recall",
+        # r07: SemDeDup threshold sweep — same declared assign/cell
+        # matmul stages as dedup_semantic_centroid
+        "sim_semdedup_eps_sweep",
     }
     for key, spec in SPECS.items():
         if key in python_ok or "streaming" in spec.tags:
@@ -175,7 +178,12 @@ def test_no_cartesian_products_anywhere(spark):
                         # 1-row class-total broadcast into the category table
                         "feat_woe_encode",
                         # 1-row midpoint broadcast into the 2x2 collapse
-                        "analytics_diff_in_diff"}
+                        "analytics_diff_in_diff",
+                        # 1-row site-total broadcast for the spectrum share
+                        "gvcf_af_spectrum",
+                        # 1-row edge-count (m) broadcast into the per-
+                        # community modularity row
+                        "graph_modularity"}
     for key, spec in SPECS.items():
         if key == "join_cross" or "streaming" in spec.tags:
             continue

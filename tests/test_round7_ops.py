@@ -225,3 +225,35 @@ def test_langid_confusion_exposes_unsupported_language(spark):
     rows = SPECS["text_langid_confusion"].fn(spark, SF_DIR).collect()
     zh = [r for r in rows if r.true_lang == "zh"]
     assert zh and all(r.pred_lang != "zh" for r in zh)
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_DIR])
+def test_containment_paths_are_hash_identical(spark, sf_dir):
+    """dedup_containment is size-dispatched (direct postings self-join vs
+    prefix-filtered SSJoin); the dispatch must be INVISIBLE in the result.
+    Force each path on the same fixture and require identical row sets —
+    the lossless-prefix pigeonhole argument, executed."""
+    from gvcf_hbase_spark.operators.dedup import _containment_pairs
+
+    direct = sorted(map(tuple, _containment_pairs(spark, sf_dir, 0.8, "direct").collect()))
+    prefix = sorted(map(tuple, _containment_pairs(spark, sf_dir, 0.8, "prefix").collect()))
+    assert direct == prefix
+    assert len(direct) > 0
+
+
+def test_containment_prefix_filter_is_tight():
+    """The engine computes the prefix length as
+    p = sz - (4*sz + 4) DIV 5 + 1, claiming (4*sz+4) DIV 5 == ceil(0.8*sz).
+    Verify in exact rational arithmetic for every sz in 1..10_000:
+    the identity holds, missing all p prefix tokens caps overlap at
+    sz - p = ceil(0.8*sz) - 1 < 0.8*sz (admissibility), and p-1 prefix
+    tokens would admit an overlap reaching the bound (tightness)."""
+    from fractions import Fraction
+
+    t = Fraction(4, 5)
+    for sz in range(1, 10_001):
+        need = -((-4 * sz) // 5)  # exact ceil(0.8*sz) in int math
+        assert (4 * sz + 4) // 5 == need  # the engine's formula
+        p = sz - need + 1
+        assert Fraction(sz - p) < t * sz  # admissible: can't miss a pair
+        assert Fraction(sz - (p - 1)) >= t * sz  # tight: p is minimal

@@ -1,0 +1,134 @@
+"""Round-7 continuation additions: the AN-stratified site-frequency
+spectrum, the SemDeDup threshold sweep, LPA modularity, SAX symbols, and
+the seasonal-residual anomaly flag.
+
+All five keys are oracle-checked (the primary gate); these tests pin the
+cross-operator consistency and algebraic invariants the hash compare
+can't see — the sweep's monotone retention curve and its agreement with
+the dedup op at the shared τ, modularity's partition algebra, the SAX
+alphabet's bin discipline, and the residual flag's robust-z floor.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from gvcf_hbase_spark.registry import load_all
+from tests.conftest import SF_DIR
+
+SPECS = load_all()
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_sfs_partitions_the_variant_sites(spark):
+    """The spectrum is a partition of gvcf_allele_freq's variant sites:
+    n_sites sums to the AF row count and the quantized shares sum to
+    ~1e6 (within one rounding ulp per bucket)."""
+    af_n = SPECS["gvcf_allele_freq"].fn(spark, SF_DIR).count()
+    rows = SPECS["gvcf_af_spectrum"].fn(spark, SF_DIR).collect()
+    assert sum(r.n_sites for r in rows) == af_n
+    assert abs(sum(r.share_1e6 for r in rows) - 1_000_000) <= len(rows)
+    # mac is folded: never exceeds an/2
+    for r in rows:
+        assert 0 <= r.mac <= r.an // 2
+
+
+def test_semdedup_sweep_is_monotone_and_agrees_with_the_dedup_op(spark):
+    """Raising ε can only shrink the qualifying pair set: n_pairs and
+    n_pruned non-increasing, n_kept non-decreasing. At the shared
+    τ=0.45 grid point the sweep's n_kept must equal the row count of
+    dedup_semantic_centroid itself — the gauge measures the op."""
+    rows = sorted(
+        SPECS["sim_semdedup_eps_sweep"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.eps_1e2,
+    )
+    assert [r.eps_1e2 for r in rows] == [45, 60, 75, 90]
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.n_pairs <= lo.n_pairs
+        assert hi.n_pruned <= lo.n_pruned
+        assert hi.n_kept >= lo.n_kept
+    kept_by_op = SPECS["dedup_semantic_centroid"].fn(spark, SF_DIR).count()
+    assert rows[0].n_kept == kept_by_op
+
+
+def test_modularity_partition_algebra(spark):
+    """Σ n_nodes = node count, Σ intra_edges ≤ m, Σ degree_sum = 2m, and
+    the fixture's clique communities each contribute positively — the
+    partition's total Q = Σ q_num / 4m² lands in (0, 1)."""
+    mod = SPECS["graph_modularity"].fn(spark, SF_DIR).collect()
+    lpa = SPECS["graph_lpa_communities"].fn(spark, SF_DIR)
+    n_nodes = lpa.count()
+    assert sum(r.n_nodes for r in mod) == n_nodes
+    two_m = sum(r.degree_sum for r in mod)
+    assert two_m % 2 == 0
+    m = two_m // 2
+    assert sum(r.intra_edges for r in mod) <= m
+    q = sum(r.q_num_4m2 for r in mod) / (4.0 * m * m)
+    assert 0.0 < q < 1.0
+    assert q > 0.5  # bridged 6-cliques are a strongly modular partition
+    assert all(r.q_num_4m2 > 0 for r in mod)
+
+
+def test_sax_symbols_respect_their_bins(spark):
+    """Each symbol's quantized z must sit inside its breakpoint bin, the
+    alphabet must actually get used (≥3 of 4 letters on this fixture),
+    and per type the segment ids are the distinct hr-div-24 days."""
+    rows = SPECS["ts_sax_symbols"].fn(spark, SF_DIR).collect()
+    bins = {"a": (None, -674500), "b": (-674500, 0), "c": (0, 674500), "d": (674500, None)}
+    for r in rows:
+        lo, hi = bins[r.symbol]
+        if lo is not None:
+            assert r.z_1e6 >= lo, r
+        if hi is not None:
+            assert r.z_1e6 < hi, r
+    assert len({r.symbol for r in rows}) >= 3
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_days = (
+        ev.select(
+            (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000))
+            .cast("bigint")
+            .alias("d")
+        )
+        .distinct()
+        .count()
+    )
+    per_type = {}
+    for r in rows:
+        per_type.setdefault(r.event_type, set()).add(r.seg)
+    for segs in per_type.values():
+        assert len(segs) <= n_days + 1
+
+
+def test_seasonal_residual_flags_pass_the_robust_floor(spark):
+    """Every flagged row crossed the 3-MAD robust gate: robust_z_1e4 >
+    30000 by construction, and the flagged set is a strict subset of
+    the decomposition's non-null-residual rows."""
+    flagged = SPECS["anomaly_seasonal_residual"].fn(spark, SF_DIR)
+    rows = flagged.collect()
+    assert len(rows) > 0
+    assert all(r.robust_z_1e4 > 30_000 for r in rows)
+    resid_rows = (
+        SPECS["ts_seasonal_decompose"]
+        .fn(spark, SF_DIR)
+        .filter(F.col("resid_1e2").isNotNull())
+        .count()
+    )
+    assert len(rows) < resid_rows
+
+
+def test_seasonal_residual_is_quieter_than_raw_mad(spark):
+    """The reason the op exists: flagging the REMAINDER fires less than
+    robust-flagging raw values on a seasonal series (season explained
+    away). Compare firing RATES on their own denominators."""
+    seas = SPECS["anomaly_seasonal_residual"].fn(spark, SF_DIR).count()
+    seas_base = (
+        SPECS["ts_seasonal_decompose"]
+        .fn(spark, SF_DIR)
+        .filter(F.col("resid_1e2").isNotNull())
+        .count()
+    )
+    raw = SPECS["anomaly_mad"].fn(spark, SF_DIR).count()
+    raw_base = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert seas / seas_base <= max(raw / raw_base, 0.05)
