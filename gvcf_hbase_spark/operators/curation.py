@@ -2027,3 +2027,139 @@ def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ccnet_bucket"),
         )
     )
+
+
+_PSI_ORACLE = """
+    WITH e AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS x,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ),
+    mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+    ref AS (SELECT event_type, x FROM e, mid WHERE day < mid),
+    cur AS (SELECT event_type, x FROM e, mid WHERE day >= mid),
+    bnd AS (
+      SELECT event_type,
+             quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+               AS bnds,
+             CAST(count(*) AS BIGINT) AS n_ref
+      FROM ref GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, n_ref, CAST(unnest(range(0, 10)) AS BIGINT) AS bucket
+      FROM bnd
+    ),
+    rb AS (
+      SELECT r.event_type,
+             CAST(len(list_filter(b.bnds, v -> r.x > v)) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM ref r JOIN bnd b USING (event_type) GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT r.event_type,
+             CAST(len(list_filter(b.bnds, v -> r.x > v)) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM cur r JOIN bnd b USING (event_type) GROUP BY 1, 2
+    ),
+    nc AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_cur FROM cb GROUP BY 1),
+    j AS (
+      SELECT g.event_type, g.bucket, g.n_ref,
+             coalesce(rb.c, 0) AS cr, coalesce(cb.c, 0) AS cc,
+             coalesce(nc.n_cur, 0) AS n_cur
+      FROM grid g
+      LEFT JOIN rb USING (event_type, bucket)
+      LEFT JOIN cb USING (event_type, bucket)
+      LEFT JOIN nc USING (event_type)
+    )
+    SELECT event_type,
+           CAST(sum(CAST(floor(((cc + 0.5) / (n_cur + 5.0)
+                                - (cr + 0.5) / (n_ref + 5.0))
+                               * ln(((cc + 0.5) / (n_cur + 5.0))
+                                    / ((cr + 0.5) / (n_ref + 5.0)))
+                               * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS psi_1e9,
+           n_ref, n_cur
+    FROM j GROUP BY event_type, n_ref, n_cur
+"""
+
+
+@register("profile_drift_psi", oracle=_PSI_ORACLE, tags=("profile", "analytics"))
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the log's first
+    and second half (reference vs current window) — THE serving-drift
+    monitor every ML feature store runs before a model retrain: bucket
+    the current window by the REFERENCE window's deciles and score
+    Σ (p−q)·ln(p/q). Rules of thumb it exists to trigger: PSI < 0.1
+    stable, 0.1–0.25 drifting, > 0.25 retrain.
+
+    Scale shape: the raw log is touched twice (one pass per slice),
+    each collapsing to a #types×10 bucket-count aggregate with map-side
+    partials; the decile boundary table is #types rows broadcast back,
+    and the midpoint cutoff is a 1-row audit scalar (the accepted
+    pattern). No windows, no per-row Python, no shuffle of raw values.
+    Determinism: decile boundaries interpolate int-cent operands (exact
+    same IEEE sequence both engines — the `anomaly_mad` argument);
+    bucket assignment compares those exact doubles; Laplace-smoothed
+    (+0.5/+5) shares make empty buckets well-defined; and each bucket's
+    PSI term is floor-quantized to 1e-9 BEFORE the 10-term sum, so
+    float reassociation across buckets can't flip the output."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+        (F.col("ts_us_long") / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+    )
+    mid = e.agg(
+        F.expr("(min(day) + max(day) + 1) div 2").cast("bigint").alias("mid")
+    )
+    sliced = e.crossJoin(F.broadcast(mid)).select(
+        "event_type", "x", (F.col("day") >= F.col("mid")).alias("is_cur")
+    )
+    ref = sliced.filter(~F.col("is_cur"))
+    pcts = F.array(*[F.lit(i / 10) for i in range(1, 10)])
+    bnd = ref.groupBy("event_type").agg(
+        F.percentile("x", pcts).alias("bnds"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ref"),
+    )
+    bucketed = (
+        sliced.join(F.broadcast(bnd.select("event_type", "bnds")), "event_type")
+        .select(
+            "event_type",
+            "is_cur",
+            F.size(
+                F.filter(F.col("bnds"), lambda v: F.col("x").cast("double") > v)
+            )
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.when(~F.col("is_cur"), 1).otherwise(0)).cast("bigint").alias("cr"),
+            F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).cast("bigint").alias("cc"),
+        )
+    )
+    grid = bnd.select(
+        "event_type",
+        "n_ref",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bucket"),
+    ).withColumn("bucket", F.col("bucket").cast("bigint"))
+    n_cur = bucketed.groupBy("event_type").agg(
+        F.sum("cc").cast("bigint").alias("n_cur")
+    )
+    j = (
+        grid.join(bucketed, ["event_type", "bucket"], "left")
+        .join(F.broadcast(n_cur), "event_type", "left")
+        .select(
+            "event_type",
+            "n_ref",
+            F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
+            F.coalesce(F.col("cc"), F.lit(0)).alias("cc"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        )
+    )
+    p = (F.col("cc") + 0.5) / (F.col("n_cur") + 5.0)
+    q = (F.col("cr") + 0.5) / (F.col("n_ref") + 5.0)
+    term = F.floor((p - q) * F.log(p / q) * 1e9 + F.lit(0.5)).cast("bigint")
+    return j.groupBy("event_type", "n_ref", "n_cur").agg(
+        F.sum(term).cast("bigint").alias("psi_1e9")
+    ).select("event_type", "psi_1e9", "n_ref", "n_cur")

@@ -123,10 +123,10 @@ def minhash_signatures(d: DataFrame, sets: DataFrame | None = None) -> DataFrame
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Band the signatures (16 bands × 2 rows) and emit distinct doc pairs
-    sharing any band bucket. The self-join is per (band, bucket) — an
-    equi-join, never a cross join."""
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    """Band a signature table (16 bands × 2 rows) into (doc_id, band,
+    bucket) rows — the LSH index relation. Shared by the self-join
+    candidate path and the incremental batch-vs-index path."""
     n_bands = _N_HASHES // _BAND_ROWS
     # bucket id = xxhash64 of the band's rows: a long, not a 32-char md5
     # string — cheaper to compute and 4x less shuffle bytes per band row
@@ -141,9 +141,16 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    banded = sigs.select("doc_id", F.explode(bands).alias("bb")).select(
+    return sigs.select("doc_id", F.explode(bands).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signatures (16 bands × 2 rows) and emit distinct doc pairs
+    sharing any band bucket. The self-join is per (band, bucket) — an
+    equi-join, never a cross join."""
+    banded = lsh_bands(sigs)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -595,6 +602,75 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_batch.join(hist, "fingerprint", "left_anti")
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_in_batch"))
+    )
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(l) - 2, 0) + 1),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, ' +', ' ', 'g'))), ' ') AS l
+            FROM documents)
+    ),
+    hist AS (SELECT * FROM d WHERE doc_id < 400),
+    batch AS (SELECT * FROM d WHERE doc_id >= 400)
+    SELECT n.doc_id AS new_id, h.doc_id AS hist_id,
+           round(CAST(len(list_intersect(n.sh, h.sh)) AS DOUBLE)
+                 / (len(n.sh) + len(h.sh) - len(list_intersect(n.sh, h.sh))), 6)
+             AS jaccard
+    FROM batch n JOIN hist h
+      ON CAST(len(list_intersect(n.sh, h.sh)) AS DOUBLE)
+         / (len(n.sh) + len(h.sh) - len(list_intersect(n.sh, h.sh)))
+         >= {_JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "lsh", "incremental"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup — the daily-ingest shape `dedup_incremental`
+    covers for exact fingerprints, upgraded to Jaccard ≥ 0.8: today's
+    batch (doc_id ≥ 400 stands in for the new crawl) is screened against
+    the HISTORICAL corpus's LSH band index (doc_id < 400), emitting each
+    (new doc, history near-dup, jaccard) hit. This is the op that makes
+    near-dedup O(batch) per day instead of re-running the O(corpus)
+    self-join: the history side's signatures/bands are a standing index
+    a production pipeline materializes once and appends to (here derived
+    in-plan from the same table — the dataflow from the bands join on is
+    identical), and ONLY matching (band, bucket) postings meet in the
+    candidate join, so a batch with no near-dups touches nothing but its
+    own bucket keys. Exact shingle-Jaccard verify on candidates, same
+    16×2 banding guarantee as `dedup_near_minhash` (miss P ≈ 1e-7 at
+    j=0.8; brute-force oracle, agreement asserted in tests at two SFs).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # one shingle materialization serves signatures AND the verify joins
+    sets_df = _shingle_sets(d).persist()
+    sigs = minhash_signatures(d, sets=sets_df)
+    bands = lsh_bands(sigs)
+    hist_bands = bands.filter(F.col("doc_id") < 400).select(
+        F.col("doc_id").alias("hist_id"), "band", "bucket"
+    )
+    batch_bands = bands.filter(F.col("doc_id") >= 400).select(
+        F.col("doc_id").alias("new_id"), "band", "bucket"
+    )
+    cands = (
+        batch_bands.join(hist_bands, ["band", "bucket"])
+        .select("new_id", "hist_id")
+        .distinct()
+    )
+    n = sets_df.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n"))
+    h = sets_df.select(F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_h"))
+    inter = F.size(F.array_intersect("sh_n", "sh_h")).cast("double")
+    union = F.size("sh_n") + F.size("sh_h") - F.size(F.array_intersect("sh_n", "sh_h"))
+    jac = inter / union
+    return (
+        cands.join(n, "new_id")
+        .join(h, "hist_id")
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("new_id", "hist_id", F.round(jac, 6).alias("jaccard"))
     )
 
 

@@ -1449,6 +1449,103 @@ def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _confusion_row(truth, pred, ["vec_id", "neighbor_id"])
 
 
+_NPROBE_GRID = (1, 2, 4, 8)
+
+
+@register("sim_ivf_nprobe_sweep", oracle=None, tags=("similarity", "ann", "eval"))
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-nprobe curve for the IVF tier in ONE scored pass — the
+    tuning table a user reads before fixing nprobe on a 100 TB corpus
+    (completes the calibration suite: `sim_ann_ivf_recall` is one grid
+    point, `sim_semdedup_eps_sweep` is the same idea for SemDeDup's τ).
+    One row per nprobe ∈ {1,2,4,8}: n_truth/n_pred/n_hit and quantized
+    recall/precision@k against the EXACT top-k.
+
+    The sweep costs ONE candidate scoring, not four: queries are
+    assigned once to their max(grid) nearest cells WITH the probe rank
+    attached, candidates score once per (query, neighbor) (min rank
+    kept when a pair is reachable via several cells), and each grid
+    point is then a rank-mask + per-query top-k + three scalar
+    aggregates over the SAME localCheckpointed candidate table —
+    sweeping nprobe is a filter over an already-scored relation, not a
+    re-run of the index. Rows-only by design (sample-trained centroids
+    are not SQL-expressible); tests pin recall monotonicity in nprobe
+    and agreement with `sim_ann_ivf_recall` at the shared grid point
+    (probe=4, corpus_probe=2, same k)."""
+    e = _emb(spark, sf_dir)
+    cent = _ivf_centroids(e)
+    maxp = max(_NPROBE_GRID)
+
+    def ranked_assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.stack([np.asarray(v, dtype="float64") for v in pdf["emb"]])
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            order = np.argsort(-(qn @ cent.T), axis=1)[:, :maxp]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(dtype="int64"), maxp),
+                    "cell": order.ravel().astype("int32"),
+                    "prank": np.tile(
+                        np.arange(1, maxp + 1, dtype="int32"), len(pdf)
+                    ),
+                    "emb": [v for v in pdf["emb"] for _ in range(maxp)],
+                }
+            )
+
+    queries = spread(e).mapInPandas(
+        ranked_assign, "vec_id bigint, cell int, prank int, emb array<double>"
+    ).alias("q")
+    corpus = spread(e).mapInPandas(
+        _cell_assigner(cent, 2), "vec_id bigint, cell int, emb array<double>"
+    ).alias("c")
+    cand = (
+        queries.join(
+            corpus,
+            (F.col("q.cell") == F.col("c.cell"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("vec_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.col("q.prank").alias("prank"),
+            _arr_cos(F.col("q.emb"), F.col("c.emb")).alias("cos_sim"),
+        )
+        # same pair reachable via several probed cells: keep the earliest
+        # probe rank; cos_sim is pair-determined (identical across cells)
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.min("prank").alias("prank"), F.max("cos_sim").alias("cos_sim"))
+        .localCheckpoint(eager=False)  # consumed once per grid point
+    )
+    truth = (
+        sim_knn_topk(spark, sf_dir)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    out = None
+    for p in _NPROBE_GRID:
+        pred = (
+            cand.filter(F.col("prank") <= p)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _KNN_K)
+            .select("vec_id", "neighbor_id")
+        )
+        row = _confusion_row(truth, pred, ["vec_id", "neighbor_id"]).select(
+            F.lit(p).cast("int").alias("nprobe"),
+            "n_truth",
+            "n_pred",
+            "n_hit",
+            "recall_1e6",
+            "precision_1e6",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 @register("sim_pq_recall", oracle=None, tags=("similarity", "ann", "eval"))
 def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC calibration: recall@k of ``sim_pq_adc_topk``'s compressed

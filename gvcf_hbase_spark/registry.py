@@ -84,13 +84,15 @@ def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # so CORRECTNESS_r07 lifts cumulative coverage 291 -> 341. The round-8
 # window is staged EXPLICITLY at slots 51+ (r06 verdict action 6): the
 # 11-key queue overflow, then the six round-6 additions, then the
-# thirteen round-7 additions (two ANN calibration gauges, ts_ohlc_bars /
+# fourteen round-7 additions (two ANN calibration gauges, ts_ohlc_bars /
 # win_drawdown_max / text_bpe_merge_step / dedup_minhash_recall /
 # gvcf_phase_by_transmission / text_langid_confusion, and the round-7
 # continuation's gvcf_af_spectrum / sim_semdedup_eps_sweep /
-# graph_modularity / ts_sax_symbols / anomaly_seasonal_residual) --
-# 30 keys: r08 promotes slots 51-100 to the front, completing full
-# driver coverage (341 + 30 = 371/371).
+# graph_modularity / ts_sax_symbols / anomaly_seasonal_residual /
+# dedup_minhash_incremental / profile_drift_psi /
+# sim_ivf_nprobe_sweep) -- 33 keys: r08
+# promotes slots 51-100 to the front; the few past slot 100 complete
+# at r09 (341 + 33 = 374).
 _PRIORITY = [
     # ============== round-7 window (slots 1-50) ==============
     "analytics_dau_wau",
@@ -180,6 +182,9 @@ _PRIORITY = [
     "graph_modularity",
     "ts_sax_symbols",
     "anomaly_seasonal_residual",
+    "dedup_minhash_incremental",
+    "profile_drift_psi",
+    "sim_ivf_nprobe_sweep",
 ]
 # Keys NOT listed above (all with a driver verdict from r01-r06) are
 # appended by load_all() in module registration order after the queues.

@@ -62,6 +62,7 @@ SF01_ORACLE_DEMOTE = {
     "graph_kcore_bounded",  # r06 verdict action 2 (oracle disk blowup)
     "dedup_minhash_recall",  # oracle truth CTE is the brute-force n² Jaccard
     "sim_semdedup_eps_sweep",  # oracle pairs CTE is cell-local quadratic
+    "dedup_minhash_incremental",  # oracle is the brute-force batch x hist join
 }
 
 

@@ -82,6 +82,12 @@ HEAVY_KEYS = [
     # vocabulary, which clone-replication leaves unchanged)
     "dedup_minhash_recall",
     "text_bpe_merge_step",
+    # r07 continuation: the SemDeDup threshold sweep (embeddings gain 10x
+    # exact clones -> each centroid cell grows 10x, the cell-local matmul
+    # 100x — the documented oversized-cell hazard, exercised) and the
+    # modularity gauge (rides the LPA label dataflow at 10x nodes)
+    "sim_semdedup_eps_sweep",
+    "graph_modularity",
 ]
 
 

@@ -87,6 +87,8 @@ def test_relational_paths_are_jvm_only(spark):
         # r07: SemDeDup threshold sweep — same declared assign/cell
         # matmul stages as dedup_semantic_centroid
         "sim_semdedup_eps_sweep",
+        # r07: nprobe sweep — the declared IVF assigner/scorer stages
+        "sim_ivf_nprobe_sweep",
     }
     for key, spec in SPECS.items():
         if key in python_ok or "streaming" in spec.tags:
@@ -124,6 +126,7 @@ def test_no_cartesian_products_anywhere(spark):
                         # same confusion-row shape (ANN calibration gauges)
                         "sim_ann_ivf_recall",
                         "sim_pq_recall",
+                        "sim_ivf_nprobe_sweep",
                         # broadcast 8-row hub table scored against every point
                         "geo_haversine_nearest",
                         # 1-row global-max freshness reference
@@ -181,6 +184,9 @@ def test_no_cartesian_products_anywhere(spark):
                         "analytics_diff_in_diff",
                         # 1-row site-total broadcast for the spectrum share
                         "gvcf_af_spectrum",
+                        # 1-row midpoint-cutoff broadcast (same shape as
+                        # cdc_snapshot_diff) for the ref/cur slice split
+                        "profile_drift_psi",
                         # 1-row edge-count (m) broadcast into the per-
                         # community modularity row
                         "graph_modularity"}

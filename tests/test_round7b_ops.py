@@ -132,3 +132,89 @@ def test_seasonal_residual_is_quieter_than_raw_mad(spark):
     raw = SPECS["anomaly_mad"].fn(spark, SF_DIR).count()
     raw_base = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert seas / seas_base <= max(raw / raw_base, 0.05)
+
+
+def test_minhash_incremental_is_the_cross_slice_of_the_full_op(spark):
+    """The incremental screen must equal dedup_near_minhash's verified
+    pairs restricted to (history, batch) crossings — no extra hits, no
+    misses at the 400 split."""
+    full = SPECS["dedup_near_minhash"].fn(spark, SF_DIR).collect()
+    cross = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b), r.jaccard)
+        for r in full
+        if (r.id_a < 400) != (r.id_b < 400)
+    }
+    inc = {
+        (r.new_id, r.hist_id, r.jaccard)
+        for r in SPECS["dedup_minhash_incremental"].fn(spark, SF_DIR).collect()
+    }
+    assert inc == cross
+    assert all(new >= 400 > hist for new, hist, _ in inc)
+
+
+def test_psi_is_zero_when_slices_are_identical(spark):
+    """PSI ground truth on a crafted frame: identical ref/cur value
+    distributions must score ~0 (only Laplace-smoothing noise), and a
+    hard distribution shift must clear the 0.25 retrain bar."""
+    import pandas as pd
+
+    from gvcf_hbase_spark.operators.curation import profile_drift_psi
+
+    rows = {r.event_type: r for r in profile_drift_psi(spark, SF_DIR).collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r.n_ref > 0 and r.n_cur > 0
+        # the fixture's value distribution is time-stationary by
+        # construction: every type must read as stable
+        assert abs(r.psi_1e9) < 100_000_000, r  # PSI < 0.1
+
+
+def test_psi_flags_a_crafted_shift(spark, tmp_path):
+    """Write a two-day events table whose second day's values are shifted
+    by 10x; the op must report PSI > 0.25 for the shifted type."""
+    import numpy as np
+    import pandas as pd
+
+    n = 2000
+    ts0 = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(2 * n, dtype="int64"),
+            "ts": [ts0 + pd.Timedelta(hours=i % 24) for i in range(n)]
+            + [ts0 + pd.Timedelta(days=1, hours=i % 24) for i in range(n)],
+            "user_id": np.zeros(2 * n, dtype="int64"),
+            "event_type": ["click"] * (2 * n),
+            "value": np.concatenate(
+                [np.arange(n) % 100 / 10.0, (np.arange(n) % 100) * 1.0 + 500]
+            ),
+            "props": ["{}"] * (2 * n),
+        }
+    )
+    p = str(tmp_path / "drift")
+    import os
+
+    os.makedirs(p, exist_ok=True)
+    pdf.to_parquet(f"{p}/events.parquet")
+    from gvcf_hbase_spark.operators.curation import profile_drift_psi
+
+    out = {r.event_type: r for r in profile_drift_psi(spark, p).collect()}
+    assert out["click"].psi_1e9 > 250_000_000  # PSI > 0.25: retrain
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_DIR])
+def test_nprobe_sweep_monotone_and_anchored(spark, sf_dir):
+    """More probes can only add candidates: recall_1e6 non-decreasing in
+    nprobe. The probe=4 grid point must agree exactly with the
+    single-point gauge sim_ann_ivf_recall (identical index params), and
+    the widest probe must clear the family's recall floor."""
+    rows = {
+        r.nprobe: r
+        for r in SPECS["sim_ivf_nprobe_sweep"].fn(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 8]
+    rec = [rows[p].recall_1e6 for p in (1, 2, 4, 8)]
+    assert rec == sorted(rec)
+    anchor = SPECS["sim_ann_ivf_recall"].fn(spark, sf_dir).collect()[0]
+    assert rows[4].recall_1e6 == anchor.recall_1e6
+    assert rows[4].n_hit == anchor.n_hit
+    assert rows[8].recall_1e6 >= 700_000
