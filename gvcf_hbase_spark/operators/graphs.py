@@ -1036,11 +1036,11 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_fixture_labels(spark: SparkSession, sf_dir: str):
-    """Shared by `graph_lpa_communities` and `graph_modularity`: the
-    bridged-clique fixture graph and its synchronous 3-round LPA labels.
-    Returns (labels, e, adj) — e is each undirected edge once, adj both
-    directions (checkpointed: static side consumed every round)."""
+def _bridged_clique_graph(spark: SparkSession, sf_dir: str):
+    """The shared fixture graph (6-cliques chained by single bridges over
+    customer keys): returns (e, adj) — e each undirected edge once, adj
+    both directions (checkpointed). Consumed by LPA/modularity/
+    assortativity."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("node"))
     nodes = c.select(
         "node",
@@ -1063,6 +1063,15 @@ def _lpa_fixture_labels(spark: SparkSession, sf_dir: str):
         .union(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
         .localCheckpoint(eager=False)  # static side, consumed every round
     )
+    return e, adj
+
+
+def _lpa_fixture_labels(spark: SparkSession, sf_dir: str):
+    """Shared by `graph_lpa_communities` and `graph_modularity`: the
+    bridged-clique fixture graph and its synchronous 3-round LPA labels.
+    Returns (labels, e, adj)."""
+    e, adj = _bridged_clique_graph(spark, sf_dir)
+    nodes = adj.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(_LPA_ROUNDS):
         nbr = adj.join(labels, adj["dst"] == labels["node"]).select(
@@ -1145,4 +1154,85 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("q_1e9"),
+    )
+
+
+_ASSORT_ORACLE = """
+    WITH nodes AS (
+      SELECT c_custkey AS node, c_custkey // 6 AS g, c_custkey % 6 AS pos
+      FROM customer
+    ),
+    intra AS (
+      SELECT a.node AS u, b.node AS v
+      FROM nodes a JOIN nodes b ON a.g = b.g AND a.pos < b.pos
+    ),
+    bridge AS (
+      SELECT a.node AS u, b.node AS v
+      FROM nodes a JOIN nodes b ON b.node = a.node + 1
+      WHERE a.node % 6 = 5
+    ),
+    e AS (SELECT u, v FROM intra UNION ALL SELECT u, v FROM bridge),
+    adj AS (SELECT u AS src, v AS dst FROM e
+            UNION ALL SELECT v AS src, u AS dst FROM e),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+    pairs AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM adj JOIN deg du ON du.node = adj.src JOIN deg dv ON dv.node = adj.dst
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS mm,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pairs
+    )
+    SELECT mm AS n_directed_edges, sx AS deg_sum, sxy AS xy_sum, sxx AS xx_sum,
+           CAST(floor((CAST(mm AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+                      / (CAST(mm AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * 1000000 + 0.5) AS BIGINT) AS assortativity_1e6
+    FROM sums
+"""
+
+
+@register("graph_assortativity", oracle=_ASSORT_ORACLE, tags=("graph", "analytics"))
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman r): the Pearson correlation of
+    (deg(u), deg(v)) over the DIRECTED edge list — do high-degree nodes
+    link to high-degree nodes? Positive on social graphs, negative on
+    web/biology hub-and-spoke topologies; it is the one-number answer to
+    "will hub-targeted sampling/caching work on this graph", which is
+    why graph platforms ship it beside the degree histogram
+    (`graph_degree_histogram`'s second moment, `graph_modularity`'s
+    sibling gauge).
+
+    Because both endpoint marginals are the same degree distribution on
+    a symmetrized edge list (Σx = Σy, Σx² = Σy²), r reduces to
+    (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — FOUR integer sufficient
+    statistics from one pass over edges-joined-to-degrees. Plan: the
+    degree aggregate, two hash joins of the edge list against that
+    #nodes-sized table, one 1-row reduce; all exact int64 until the
+    final quantized ratio (operands here are ~1e3-degree-bounded; an
+    extreme-scale deployment promotes the sums to decimal(38,0), the
+    `analytics_ols_multi` posture)."""
+    _, adj = _bridged_clique_graph(spark, sf_dir)
+    deg = adj.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    du = deg.select(F.col("node").alias("src"), F.col("d").alias("x"))
+    dv = deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))
+    pairs = adj.join(du, "src").join(dv, "dst")
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("mm"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("mm").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sx")
+    den = F.col("mm").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    return sums.select(
+        F.col("mm").alias("n_directed_edges"),
+        F.col("sx").alias("deg_sum"),
+        F.col("sxy").alias("xy_sum"),
+        F.col("sxx").alias("xx_sum"),
+        F.floor(num / den * 1_000_000 + F.lit(0.5)).cast("bigint").alias("assortativity_1e6"),
     )

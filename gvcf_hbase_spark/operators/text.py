@@ -1117,3 +1117,95 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.floor(F.col("n") * 1_000_000 / F.col("n_true")).cast("bigint").alias("share_of_true_1e6"),
     )
+
+
+_FERTILITY_ORACLE = f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+{_LANG_SCORE_SQL}
+      FROM documents
+    ),
+    langed AS (
+      SELECT CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+                  WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+                  WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS lang_pred,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re,
+             CAST(length(text) AS BIGINT) AS ch
+      FROM scored
+    )
+    SELECT lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS n_words,
+           CAST(sum(re) AS BIGINT) AS n_tokens,
+           CAST(sum(ch) AS BIGINT) AS n_chars,
+           CAST(floor(sum(re) * 1000000.0 / sum(ws) + 0.5) AS BIGINT)
+             AS fertility_1e6,
+           CAST(floor(sum(ch) * 1000000.0 / sum(re) + 0.5) AS BIGINT)
+             AS chars_per_token_1e6
+    FROM langed GROUP BY 1
+"""
+
+
+@register(
+    "curate_tokenizer_fertility",
+    oracle=_FERTILITY_ORACLE,
+    tags=("curation", "text"),
+)
+def curate_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per (predicted) language: tokens-per-word and
+    chars-per-token, aggregated over each language bucket — the metric a
+    multilingual data pipeline reads before fixing per-language token
+    budgets, because a tokenizer trained English-heavy segments other
+    languages into MORE tokens per word (higher fertility), silently
+    shrinking their effective mixing weight in `curate_mix_weights` /
+    `curate_budget_select` token accounting. Token proxy = the regex
+    word tokens of `text_token_count` (the repo's SQL-replayable
+    tokenizer stand-in); language = `text_lang_id`'s lexicon argmax,
+    recomputed in the SAME single scan (no join back to the corpus).
+
+    One pass over text, collapsing straight to #languages rows with
+    map-side partials; sums are exact int64 and only the two reported
+    ratios quantize (shared §5.4 floor convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks_lower = tokens(F.lower(F.col("text")))
+
+    def _in_list(ws):
+        return lambda t: t.isin(ws)
+
+    scores = {
+        lang: F.size(F.filter(toks_lower, _in_list(ws)))
+        for lang, ws in STOPWORDS.items()
+    }
+    s = d.select(
+        F.size(tokens(F.col("text"))).cast("bigint").alias("ws"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+")).cast("bigint").alias("re"),
+        F.length("text").cast("bigint").alias("ch"),
+        *[scores[lang].alias(f"s_{lang}") for lang in STOPWORDS],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in STOPWORDS])
+    pred = (
+        F.when(best == 0, "unknown")
+        .when(F.col("s_en") >= F.greatest("s_de", "s_es", "s_fr"), "en")
+        .when(F.col("s_de") >= F.greatest("s_es", "s_fr"), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    return (
+        s.select(pred.alias("lang_pred"), "ws", "re", "ch")
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ws").cast("bigint").alias("n_words"),
+            F.sum("re").cast("bigint").alias("n_tokens"),
+            F.sum("ch").cast("bigint").alias("n_chars"),
+            F.floor(F.sum("re") * 1e6 / F.sum("ws") + F.lit(0.5))
+            .cast("bigint")
+            .alias("fertility_1e6"),
+            F.floor(F.sum("ch") * 1e6 / F.sum("re") + F.lit(0.5))
+            .cast("bigint")
+            .alias("chars_per_token_1e6"),
+        )
+    )

@@ -749,6 +749,115 @@ def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOMINANT_PERIOD_ORACLE = """
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cnt) AS BIGINT) AS s
+      FROM h GROUP BY 1
+    ),
+    den AS (
+      SELECT h.event_type,
+             CAST(sum((st.n * h.cnt - st.s) * (st.n * h.cnt - st.s)) AS BIGINT)
+               AS den
+      FROM h JOIN st USING (event_type) GROUP BY 1
+    ),
+    num AS (
+      SELECT a.event_type, l.lag,
+             CAST(sum((st.n * a.cnt - st.s) * (st.n * b.cnt - st.s)) AS BIGINT)
+               AS num,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM h a
+      JOIN (SELECT CAST(unnest(range(2, 37)) AS BIGINT) AS lag) l ON TRUE
+      JOIN h b ON b.event_type = a.event_type AND b.hr = a.hr - l.lag
+      JOIN st ON st.event_type = a.event_type
+      GROUP BY 1, 2
+    )
+    SELECT event_type, lag AS best_lag, n_pairs,
+           CAST(floor(CAST(num AS DOUBLE) * 1000000 / den + 0.5) AS BIGINT)
+             AS acf_1e6
+    FROM (
+      SELECT num.*, den.den,
+             row_number() OVER (PARTITION BY num.event_type
+                                ORDER BY num.num DESC, num.lag) AS rn
+      FROM num JOIN den USING (event_type)
+      WHERE den.den > 0
+    ) WHERE rn = 1
+"""
+
+
+@register("ts_dominant_period", oracle=_DOMINANT_PERIOD_ORACLE, tags=("timeseries",))
+def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant cycle length per event type: the lag ∈ [2, 36] hours that
+    maximizes the autocorrelation of the hourly rate series — the query
+    that DISCOVERS the period `ts_seasonal_decompose` and
+    `ts_forecast_seasonal_naive` hard-code (both assume 24h; this op is
+    how a pipeline checks that assumption per stream instead of baking
+    it in). On the fixture's daily-cycled log it returns 24.
+
+    Everything after the one raw-log aggregate rides #types×#hours rows:
+    the 35-point lag grid is an in-row explode (no join), shifted pairs
+    come from ONE self-equi-join on (type, hr−lag), and the argmax is
+    integer-exact — centered products use the n·c−S trick (shared with
+    `ts_autocorr`), den is lag-independent per type, so argmax(acf) =
+    argmax(num) compares pure int64s; no float enters until the reported
+    acf is quantized. Ties break to the shortest lag on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        (F.col("ts_us_long") / F.lit(3_600_000_000)).cast("bigint").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    st = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("s"),
+    )
+    hs = h.join(F.broadcast(st), "event_type")
+    centered = (F.col("n") * F.col("cnt") - F.col("s"))
+    den = hs.groupBy("event_type").agg(
+        F.sum(centered * centered).cast("bigint").alias("den")
+    )
+    a = hs.withColumn(
+        "lag", F.explode(F.sequence(F.lit(2), F.lit(36)))
+    ).withColumn("lag", F.col("lag").cast("bigint")).select(
+        "event_type",
+        "lag",
+        (F.col("hr") - F.col("lag")).alias("hr_b"),
+        centered.alias("ca"),
+        F.col("n").alias("n"),
+        F.col("s").alias("s"),
+    )
+    b = h.select("event_type", F.col("hr").alias("hr_b"), F.col("cnt").alias("cnt_b"))
+    num = (
+        a.join(b, ["event_type", "hr_b"])
+        .groupBy("event_type", "lag")
+        .agg(
+            F.sum(F.col("ca") * (F.col("n") * F.col("cnt_b") - F.col("s")))
+            .cast("bigint")
+            .alias("num"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("num").desc(), "lag")
+    return (
+        num.join(F.broadcast(den.filter(F.col("den") > 0)), "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("lag").alias("best_lag"),
+            "n_pairs",
+            F.floor(F.col("num").cast("double") * 1_000_000 / F.col("den") + F.lit(0.5))
+            .cast("bigint")
+            .alias("acf_1e6"),
+        )
+    )
+
+
 _STREAK_ORACLE = """
     WITH d AS (
       SELECT DISTINCT user_id,

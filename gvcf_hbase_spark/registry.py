@@ -90,9 +90,11 @@ def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # continuation's gvcf_af_spectrum / sim_semdedup_eps_sweep /
 # graph_modularity / ts_sax_symbols / anomaly_seasonal_residual /
 # dedup_minhash_incremental / profile_drift_psi /
-# sim_ivf_nprobe_sweep) -- 33 keys: r08
+# sim_ivf_nprobe_sweep / graph_assortativity /
+# gvcf_sample_missingness / ts_dominant_period /
+# curate_tokenizer_fertility) -- 37 keys: r08
 # promotes slots 51-100 to the front; the few past slot 100 complete
-# at r09 (341 + 33 = 374).
+# at r09 (341 + 37 = 378).
 _PRIORITY = [
     # ============== round-7 window (slots 1-50) ==============
     "analytics_dau_wau",
@@ -185,6 +187,10 @@ _PRIORITY = [
     "dedup_minhash_incremental",
     "profile_drift_psi",
     "sim_ivf_nprobe_sweep",
+    "graph_assortativity",
+    "gvcf_sample_missingness",
+    "ts_dominant_period",
+    "curate_tokenizer_fertility",
 ]
 # Keys NOT listed above (all with a driver verdict from r01-r06) are
 # appended by load_all() in module registration order after the queues.

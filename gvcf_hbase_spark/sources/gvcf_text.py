@@ -663,6 +663,75 @@ def _register_sfs_query() -> None:
 _register_sfs_query()
 
 
+_MISSINGNESS_ORACLE = r"""
+    WITH lines AS (
+      SELECT concat('s', o_orderkey % 4) AS sample_id,
+             concat('chr', 1 + o_orderkey % 2) AS contig,
+             o_orderkey AS start,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey + 2
+                  ELSE o_orderkey END AS fin
+      FROM orders
+    ),
+    expanded AS (
+      SELECT DISTINCT sample_id, contig, CAST(p AS BIGINT) AS pos
+      FROM lines, unnest(range(start, fin + 1)) AS t(p)
+    ),
+    universe AS (SELECT count(*) AS n_sites
+                 FROM (SELECT DISTINCT contig, pos FROM expanded))
+    SELECT sample_id,
+           CAST(count(*) AS BIGINT) AS n_covered,
+           CAST((SELECT n_sites FROM universe) AS BIGINT) AS n_sites,
+           CAST(floor(count(*) * 1000000.0
+                      / (SELECT n_sites FROM universe) + 0.5) AS BIGINT)
+             AS callrate_1e6
+    FROM expanded GROUP BY sample_id
+"""
+
+
+def _register_missingness_query() -> None:
+    from gvcf_hbase_spark.registry import register
+
+    @register("gvcf_sample_missingness", oracle=_MISSINGNESS_ORACLE, tags=("gvcf", "qc"))
+    def gvcf_sample_missingness(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-sample call rate against the cohort's site universe — the
+        FIRST cut every joint-genotyping QC makes (a sample whose
+        covered-position share is an outlier is a failed library or a
+        sample swap, and it poisons every downstream cohort statistic:
+        `gvcf_allele_freq`'s AN, `gvcf_relatedness_ibs`'s denominators,
+        `gvcf_hwe_chi2`'s counts). gVCF reference blocks are what make
+        this computable at all — coverage is explicit, absence means
+        missing, the same distinction A9's combine exists to preserve.
+
+        One block expansion (shared shape with the combine/AF family),
+        then a per-sample distinct-position count and a 1-row site-
+        universe scalar broadcast back for the quantized rate. The
+        expansion is the only input-sized stage; both aggregates
+        collapse to #samples and 1 row."""
+        from gvcf_hbase_spark.operators.gvcf import expand_blocks
+
+        recs = parse_gvcf_lines(_fixture_lines(spark, sf_dir, span=2))
+        pos = expand_blocks(recs).select("sample_id", "contig", "pos").distinct()
+        per_sample = pos.groupBy("sample_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_covered")
+        )
+        universe = (
+            pos.select("contig", "pos")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sites"))
+        )
+        return per_sample.crossJoin(F.broadcast(universe)).select(
+            "sample_id",
+            "n_covered",
+            "n_sites",
+            F.floor(F.col("n_covered") * 1e6 / F.col("n_sites") + F.lit(0.5))
+            .cast("bigint")
+            .alias("callrate_1e6"),
+        )
+
+
+_register_missingness_query()
+
+
 _TITV_ORACLE = r"""
     WITH v AS (
       SELECT concat('chr', 1 + o_orderkey % 2) AS contig,

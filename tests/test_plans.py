@@ -184,6 +184,8 @@ def test_no_cartesian_products_anywhere(spark):
                         "analytics_diff_in_diff",
                         # 1-row site-total broadcast for the spectrum share
                         "gvcf_af_spectrum",
+                        # 1-row site-universe broadcast for the call rate
+                        "gvcf_sample_missingness",
                         # 1-row midpoint-cutoff broadcast (same shape as
                         # cdc_snapshot_diff) for the ref/cur slice split
                         "profile_drift_psi",

@@ -218,3 +218,77 @@ def test_nprobe_sweep_monotone_and_anchored(spark, sf_dir):
     assert rows[4].recall_1e6 == anchor.recall_1e6
     assert rows[4].n_hit == anchor.n_hit
     assert rows[8].recall_1e6 >= 700_000
+
+
+def test_dominant_period_invariants_on_the_fixture(spark):
+    """One row per type, lag inside the scanned [2, 36] grid, |acf| ≤ 1
+    (the fixture's hourly series is weakly cyclic — lag VALUE is pinned
+    on the crafted frame below, not here)."""
+    rows = SPECS["ts_dominant_period"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 2 <= r.best_lag <= 36, r
+        assert -1_000_000 <= r.acf_1e6 <= 1_000_000, r
+        assert r.n_pairs > 0
+
+
+def test_dominant_period_finds_a_crafted_12h_cycle(spark, tmp_path):
+    """Ground truth: an event log whose hourly rate is a clean 12-hour
+    square wave must report best_lag = 12 with near-perfect ACF."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    t0 = pd.Timestamp("2024-01-01")
+    for hr in range(240):
+        n = 9 if (hr // 6) % 2 == 0 else 1  # period-12 square wave
+        for _ in range(n):
+            rows.append((eid, t0 + pd.Timedelta(hours=hr), 0, "click", 1.0, "{}"))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    p = str(tmp_path / "cycle")
+    os.makedirs(p, exist_ok=True)
+    pdf.to_parquet(f"{p}/events.parquet")
+    out = SPECS["ts_dominant_period"].fn(spark, p).collect()
+    assert len(out) == 1
+    assert out[0].best_lag == 12
+    assert out[0].acf_1e6 > 900_000
+
+
+def test_assortativity_is_internally_consistent(spark):
+    """The quantized r must equal a recompute from the row's own exact
+    integer sufficient statistics, and sit in Pearson's [-1, 1]."""
+    import math
+
+    r = SPECS["graph_assortativity"].fn(spark, SF_DIR).collect()[0]
+    num = r.n_directed_edges * r.xy_sum - r.deg_sum * r.deg_sum
+    den = r.n_directed_edges * r.xx_sum - r.deg_sum * r.deg_sum
+    assert den > 0
+    assert r.assortativity_1e6 == math.floor(num / den * 1_000_000 + 0.5)
+    assert -1_000_000 <= r.assortativity_1e6 <= 1_000_000
+
+
+def test_fertility_rows_partition_the_corpus(spark):
+    """Language buckets partition documents; fertility ≥ ~1 token/word on
+    alphabetic text and chars/token is positive and finite."""
+    rows = SPECS["curate_tokenizer_fertility"].fn(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.fertility_1e6 > 500_000, r
+        assert r.chars_per_token_1e6 > 1_000_000, r
+
+
+def test_missingness_bounds(spark):
+    """Per-sample coverage never exceeds the site universe; the fixture's
+    4 samples each cover a strict, non-empty subset."""
+    rows = SPECS["gvcf_sample_missingness"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert 0 < r.n_covered <= r.n_sites
+        assert 0 < r.callrate_1e6 <= 1_000_000
