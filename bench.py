@@ -84,6 +84,11 @@ HEADLINE = [
     # exact truth in one plan) and the vocabulary-collapse BPE merge round
     "dedup_minhash_recall",
     "text_bpe_merge_step",
+    # round-7 continuation widening: the incremental banded-index screen
+    # (batch-vs-history LSH join + exact verify) and the two-slice PSI
+    # drift monitor (decile bucketing + smoothed log-ratio reduce)
+    "dedup_minhash_incremental",
+    "profile_drift_psi",
 ]
 
 # The r01/r02-era comparable subset: round-over-round perf comparisons read

@@ -315,6 +315,102 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VAD_ORACLE = f"""
+    WITH framed AS (
+      SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+             CAST(list_aggregate(list_transform(
+               range(f * {_FRAME_BYTES} + 1,
+                     least((f + 1) * {_FRAME_BYTES}, length(text)) + 1),
+               i -> ascii(substr(text, CAST(i AS INT), 1))), 'sum') AS BIGINT)
+               AS byte_sum,
+             CAST(least((f + 1) * {_FRAME_BYTES}, length(text))
+                  - f * {_FRAME_BYTES} AS BIGINT) AS n_bytes
+      FROM documents,
+           unnest(range(0, CAST(ceil(length(text) / {_FRAME_BYTES}.0) AS BIGINT))) AS t(f)
+    ),
+    tot AS (
+      SELECT doc_id, CAST(sum(byte_sum) AS BIGINT) AS t_sum,
+             CAST(sum(n_bytes) AS BIGINT) AS t_n
+      FROM framed GROUP BY 1
+    ),
+    active AS (
+      SELECT f.doc_id, f.frame_idx, f.byte_sum,
+             f.frame_idx - row_number() OVER (PARTITION BY f.doc_id
+                                              ORDER BY f.frame_idx) AS island
+      FROM framed f JOIN tot USING (doc_id)
+      WHERE f.byte_sum * tot.t_n > tot.t_sum * f.n_bytes
+    ),
+    seg AS (
+      SELECT doc_id, min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+             CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(byte_sum) AS BIGINT) AS seg_byte_sum
+      FROM active GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+                AS BIGINT) AS seg_idx,
+           start_frame, end_frame, n_frames, seg_byte_sum
+    FROM seg
+"""
+
+
+@register("multimodal_audio_vad_segments", oracle=_VAD_ORACLE, tags=("multimodal",))
+def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segments over the audio-style payload: frames whose
+    energy exceeds the payload's own mean amplitude, merged into maximal
+    contiguous runs (gaps-and-islands) — the silence-trim / utterance-
+    extraction stage every speech pipeline runs between `multimodal_
+    audio_energy`'s framing and the (stubbed) codec decode; the output
+    (start_frame, end_frame) spans are what a downstream ASR batch
+    actually transcribes.
+
+    Composition, not new machinery: rides the SAME one-pass Arrow frame
+    energy as `multimodal_audio_energy` (only frame scalars leave the
+    Python stage — payload bytes never shuffle), adds a per-doc total
+    (window over the doc's bounded frame rows), and the adaptive
+    activity test is the CROSS-MULTIPLIED integer inequality
+    byte_sum·Σn > Σsum·n_bytes — no division, no float, so ragged last
+    frames and engine rounding can't flip a boundary frame. Island
+    grouping and segment numbering are per-doc windows over frame
+    counts (bounded by payload size), never corpus-wide."""
+    frames = multimodal_audio_energy(spark, sf_dir).select(
+        "doc_id", "frame_idx", "n_bytes", "byte_sum"
+    )
+    wd = Window.partitionBy("doc_id")
+    with_tot = frames.select(
+        "doc_id",
+        "frame_idx",
+        "byte_sum",
+        "n_bytes",
+        F.sum("byte_sum").over(wd).alias("t_sum"),
+        F.sum("n_bytes").over(wd).alias("t_n"),
+    )
+    wo = Window.partitionBy("doc_id").orderBy("frame_idx")
+    active = with_tot.filter(
+        F.col("byte_sum") * F.col("t_n") > F.col("t_sum") * F.col("n_bytes")
+    ).select(
+        "doc_id",
+        "frame_idx",
+        "byte_sum",
+        (F.col("frame_idx") - F.row_number().over(wo)).alias("island"),
+    )
+    seg = active.groupBy("doc_id", "island").agg(
+        F.min("frame_idx").cast("bigint").alias("start_frame"),
+        F.max("frame_idx").cast("bigint").alias("end_frame"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("byte_sum").cast("bigint").alias("seg_byte_sum"),
+    )
+    ws = Window.partitionBy("doc_id").orderBy("start_frame")
+    return seg.select(
+        "doc_id",
+        F.row_number().over(ws).cast("bigint").alias("seg_idx"),
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        "seg_byte_sum",
+    )
+
+
 _PHASH_ORACLE = """
     WITH codes AS (
       SELECT doc_id, length(text) AS n,

@@ -92,9 +92,10 @@ def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # dedup_minhash_incremental / profile_drift_psi /
 # sim_ivf_nprobe_sweep / graph_assortativity /
 # gvcf_sample_missingness / ts_dominant_period /
-# curate_tokenizer_fertility) -- 37 keys: r08
+# curate_tokenizer_fertility / multimodal_audio_vad_segments /
+# gvcf_pop_fst) -- 39 keys: r08
 # promotes slots 51-100 to the front; the few past slot 100 complete
-# at r09 (341 + 37 = 378).
+# at r09 (341 + 39 = 380).
 _PRIORITY = [
     # ============== round-7 window (slots 1-50) ==============
     "analytics_dau_wau",
@@ -191,6 +192,8 @@ _PRIORITY = [
     "gvcf_sample_missingness",
     "ts_dominant_period",
     "curate_tokenizer_fertility",
+    "multimodal_audio_vad_segments",
+    "gvcf_pop_fst",
 ]
 # Keys NOT listed above (all with a driver verdict from r01-r06) are
 # appended by load_all() in module registration order after the queues.

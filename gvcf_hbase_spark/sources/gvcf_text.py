@@ -732,6 +732,141 @@ def _register_missingness_query() -> None:
 _register_missingness_query()
 
 
+_FST_ORACLE = r"""
+    WITH lines AS (
+      SELECT concat('s', o_orderkey % 4) AS sample_id,
+             concat('chr', 1 + o_orderkey % 2) AS contig,
+             o_orderkey AS start,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey + 2
+                  ELSE o_orderkey END AS fin,
+             CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE 1 END AS is_var,
+             CASE WHEN o_orderkey % 3 = 0 THEN '0/0' ELSE '0/1' END AS gt
+      FROM orders
+    ),
+    expanded AS (
+      SELECT sample_id, contig, CAST(p AS BIGINT) AS pos, is_var,
+             len(string_split(gt, '/')) AS ploidy,
+             len(list_filter(string_split(gt, '/'), x -> x = '1')) AS alt_alleles
+      FROM lines, unnest(range(start, fin + 1)) AS t(p)
+    ),
+    site AS (
+      SELECT contig, pos,
+             CAST(sum(CASE WHEN sample_id IN ('s0', 's1') THEN alt_alleles END) AS BIGINT) AS ac1,
+             CAST(sum(CASE WHEN sample_id IN ('s0', 's1') THEN ploidy END) AS BIGINT) AS an1,
+             CAST(sum(CASE WHEN sample_id NOT IN ('s0', 's1') THEN alt_alleles END) AS BIGINT) AS ac2,
+             CAST(sum(CASE WHEN sample_id NOT IN ('s0', 's1') THEN ploidy END) AS BIGINT) AS an2
+      FROM expanded GROUP BY 1, 2
+      HAVING max(is_var) = 1
+         AND coalesce(sum(CASE WHEN sample_id IN ('s0', 's1') THEN ploidy END), 0) >= 2
+         AND coalesce(sum(CASE WHEN sample_id NOT IN ('s0', 's1') THEN ploidy END), 0) >= 2
+    ),
+    terms AS (
+      SELECT contig,
+             CAST(floor(((CAST(ac1 AS DOUBLE) / an1 - CAST(ac2 AS DOUBLE) / an2)
+                         * (CAST(ac1 AS DOUBLE) / an1 - CAST(ac2 AS DOUBLE) / an2)
+                         - (CAST(ac1 AS DOUBLE) / an1) * (1 - CAST(ac1 AS DOUBLE) / an1) / (an1 - 1)
+                         - (CAST(ac2 AS DOUBLE) / an2) * (1 - CAST(ac2 AS DOUBLE) / an2) / (an2 - 1))
+                        * 1e9 + 0.5) AS BIGINT) AS num_1e9,
+             CAST(floor(((CAST(ac1 AS DOUBLE) / an1) * (1 - CAST(ac2 AS DOUBLE) / an2)
+                         + (CAST(ac2 AS DOUBLE) / an2) * (1 - CAST(ac1 AS DOUBLE) / an1))
+                        * 1e9 + 0.5) AS BIGINT) AS den_1e9
+      FROM site
+    )
+    SELECT contig, CAST(count(*) AS BIGINT) AS n_sites,
+           CAST(sum(num_1e9) AS BIGINT) AS num_sum_1e9,
+           CAST(sum(den_1e9) AS BIGINT) AS den_sum_1e9,
+           CAST(floor(CAST(sum(num_1e9) AS DOUBLE) * 1000000 / sum(den_1e9) + 0.5)
+                AS BIGINT) AS fst_1e6
+    FROM terms GROUP BY contig HAVING sum(den_1e9) > 0
+"""
+
+
+def _register_fst_query() -> None:
+    from gvcf_hbase_spark.registry import register
+
+    @register("gvcf_pop_fst", oracle=_FST_ORACLE, tags=("gvcf", "popgen"))
+    def gvcf_pop_fst(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hudson Fst between two sample groups ({s0,s1} vs {s2,s3}),
+        per contig, via the RATIO-OF-SUMS estimator — the population-
+        differentiation statistic that decides whether cohorts can be
+        jointly analyzed or need stratification (the question
+        `gvcf_relatedness_ibs` answers pairwise, asked at the population
+        level). Ratio-of-sums, not mean-of-ratios: averaging per-site
+        Fst is the textbook mistake (low-information sites dominate);
+        summing numerator and denominator separately is the recommended
+        (Bhatia/Patterson) form.
+
+        Same single-shuffle site aggregate as `gvcf_allele_freq`, with
+        group-conditional integer partials; sites need AN ≥ 2 per group
+        (the n−1 sample-size correction divides by it). Per-site num/den
+        are quantized to 1e-9 ints BEFORE the per-contig sum, so float
+        summation order can't flip the hash; the final Fst quantizes the
+        int-sum ratio."""
+        from gvcf_hbase_spark.operators.gvcf import expand_blocks
+
+        recs = parse_gvcf_lines(_fixture_lines(spark, sf_dir, span=2))
+        gt_parts = F.split(F.col("gt"), "/")
+        pos = expand_blocks(
+            recs.withColumn("ploidy", F.size(gt_parts).cast("long")).withColumn(
+                "alt_alleles",
+                F.size(F.filter(gt_parts, lambda x: x == "1")).cast("long"),
+            )
+        )
+        g1 = F.col("sample_id").isin("s0", "s1")
+        site = (
+            pos.groupBy("contig", "pos")
+            .agg(
+                F.sum(F.when(g1, F.col("alt_alleles"))).alias("ac1"),
+                F.sum(F.when(g1, F.col("ploidy"))).alias("an1"),
+                F.sum(F.when(~g1, F.col("alt_alleles"))).alias("ac2"),
+                F.sum(F.when(~g1, F.col("ploidy"))).alias("an2"),
+                F.max(F.col("is_variant").cast("int")).alias("__v"),
+            )
+            .filter(
+                (F.col("__v") == 1)
+                & (F.coalesce(F.col("an1"), F.lit(0)) >= 2)
+                & (F.coalesce(F.col("an2"), F.lit(0)) >= 2)
+            )
+        )
+        p1 = F.col("ac1").cast("double") / F.col("an1")
+        p2 = F.col("ac2").cast("double") / F.col("an2")
+        num = (
+            (p1 - p2) * (p1 - p2)
+            - p1 * (1 - p1) / (F.col("an1") - 1)
+            - p2 * (1 - p2) / (F.col("an2") - 1)
+        )
+        den = p1 * (1 - p2) + p2 * (1 - p1)
+        terms = site.select(
+            "contig",
+            F.floor(num * 1e9 + F.lit(0.5)).cast("bigint").alias("num_1e9"),
+            F.floor(den * 1e9 + F.lit(0.5)).cast("bigint").alias("den_1e9"),
+        )
+        return (
+            terms.groupBy("contig")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_sites"),
+                F.sum("num_1e9").cast("bigint").alias("num_sum_1e9"),
+                F.sum("den_1e9").cast("bigint").alias("den_sum_1e9"),
+            )
+            .filter(F.col("den_sum_1e9") > 0)
+            .select(
+                "contig",
+                "n_sites",
+                "num_sum_1e9",
+                "den_sum_1e9",
+                F.floor(
+                    F.col("num_sum_1e9").cast("double") * 1e6 / F.col("den_sum_1e9")
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("fst_1e6"),
+            )
+        )
+
+
+_register_fst_query()
+
+
 _TITV_ORACLE = r"""
     WITH v AS (
       SELECT concat('chr', 1 + o_orderkey % 2) AS contig,

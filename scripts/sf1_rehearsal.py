@@ -88,6 +88,12 @@ HEAVY_KEYS = [
     # modularity gauge (rides the LPA label dataflow at 10x nodes)
     "sim_semdedup_eps_sweep",
     "graph_modularity",
+    # r07 continuation batch 2: incremental near-dup (banded index vs the
+    # clone-exploded batch — candidate rows scale ~100x like the other
+    # SSJoin-truth ops) and the payload-heavy VAD segmentation (one Arrow
+    # pass over 10x binary frames)
+    "dedup_minhash_incremental",
+    "multimodal_audio_vad_segments",
 ]
 
 

@@ -89,6 +89,9 @@ def test_relational_paths_are_jvm_only(spark):
         "sim_semdedup_eps_sweep",
         # r07: nprobe sweep — the declared IVF assigner/scorer stages
         "sim_ivf_nprobe_sweep",
+        # r07: VAD segmentation rides multimodal_audio_energy's declared
+        # Arrow frame-energy stage
+        "multimodal_audio_vad_segments",
     }
     for key, spec in SPECS.items():
         if key in python_ok or "streaming" in spec.tags:

@@ -292,3 +292,36 @@ def test_missingness_bounds(spark):
     for r in rows:
         assert 0 < r.n_covered <= r.n_sites
         assert 0 < r.callrate_1e6 <= 1_000_000
+
+
+def test_vad_segments_are_maximal_disjoint_runs(spark):
+    """Segments per doc must be disjoint, ordered, within the doc's frame
+    range, and MAXIMAL (two consecutive segments are separated by at
+    least one inactive frame: end+1 < next start)."""
+    segs = SPECS["multimodal_audio_vad_segments"].fn(spark, SF_DIR).collect()
+    assert segs
+    per_doc = {}
+    for s in segs:
+        assert s.start_frame <= s.end_frame
+        assert s.n_frames == s.end_frame - s.start_frame + 1
+        per_doc.setdefault(s.doc_id, []).append(s)
+    for rows in per_doc.values():
+        rows.sort(key=lambda r: r.seg_idx)
+        assert [r.seg_idx for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a.end_frame + 1 < b.start_frame  # a silent gap between
+
+
+def test_fst_identical_groups_score_zero(spark, tmp_path):
+    """Cross-check on the fixture: groups {s0,s1} vs {s2,s3} follow the
+    same generative rule, so per-contig Fst must sit near zero — and the
+    Hudson numerator must be <= denominator (Fst <= 1) with exact
+    integer-sum internals consistent with the reported quantized ratio."""
+    import math
+
+    rows = SPECS["gvcf_pop_fst"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.fst_1e6 == math.floor(r.num_sum_1e9 * 1e6 / r.den_sum_1e9 + 0.5)
+        assert abs(r.fst_1e6) < 100_000  # |Fst| < 0.1: same-rule groups
+        assert r.num_sum_1e9 <= r.den_sum_1e9
