@@ -430,15 +430,20 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dispatch: direct when Σdf² is small (≤ `_CONTAINMENT_DIRECT_CEILING`
     — no probe beyond the df scalar needed); otherwise compute the
     exact prefix bound (linear pass) and take prefix only when it
-    prunes ≥ `_CONTAINMENT_PREFIX_FACTOR`×. Measured calibration on the
-    replicated sf1 fixture (931-bigram BOUNDED vocabulary — every token
-    hot, the prefix filter's worst case): Σdf² = 7.3e9, prefix bound =
-    1.42e9 (only 5.1× pruning) → direct, which completes in 290 s where
-    the forced prefix path exceeds 590 s. On a vocabulary-RICH corpus
-    (real web text — vocabulary grows with n, most tokens rare) the
-    bound collapses to ≪ Σdf²/12 and the prefix path engages; that is
-    the regime it exists for, and the regime where the direct join is
-    the one that dies. Both paths are exact — the oracle stays the
+    prunes ≥ `_CONTAINMENT_PREFIX_FACTOR`×; the probe is memoized per
+    dataset content. Measured calibration, BOTH regimes:
+
+    - replicated sf1 fixture (931-bigram BOUNDED vocabulary — every
+      token hot, the prefix filter's worst case): Σdf² = 7.3e9, prefix
+      bound = 1.42e9 (5.1× pruning, under the bar) → direct, which
+      completes in 290–330 s where the forced prefix path exceeds
+      590 s;
+    - boilerplate-heavy Zipfian corpus (30k docs sharing one hot phrase
+      + unique rare tails — the real-web shape): Σdf² = 4.7e9, prefix
+      bound = 2.2e5 (21000× pruning) → prefix, 15–20 s where the forced
+      direct join takes 103 s.
+
+    Both paths are exact — the oracle stays the
     brute-force n² SQL, and tests pin path-equivalence by forcing each
     on the same fixture. Containment has no symmetric size-ratio prune
     (a tiny doc may be contained in an arbitrarily large one) — the
@@ -459,6 +464,34 @@ _CONTAINMENT_DIRECT_CEILING = 200_000_000
 # row (distinct + two array-shipping verify joins + rank window) and a
 # direct pair row (one shuffled 16-byte tuple into a partial aggregate).
 _CONTAINMENT_PREFIX_FACTOR = 12
+
+# (sf_dir, documents fingerprint) -> (Σdf², prefix bound). The probe is a
+# data-dependent dispatch input and must run a real job; memoizing per
+# dataset content (same discipline as graph_pagerank's dangling probe)
+# keeps whole-inventory plan sweeps — which call this op's builder dozens
+# of times per session against the same fixtures — from re-paying it.
+_CONTAINMENT_PROBE_MEMO: dict[tuple, tuple[int, int]] = {}
+
+
+def _containment_probe(spark, sf_dir, df_t, ranked) -> tuple[int, int]:
+    """Exact (Σdf² fanout, Σ prefix-posting df bound), memoized per
+    dataset content; a non-local path (no fingerprint) always re-probes —
+    correctness over warmth."""
+    from gvcf_hbase_spark.operators.graphs import _dataset_fingerprint
+
+    fp = _dataset_fingerprint(sf_dir, "documents")
+    key = (sf_dir, fp)
+    if fp is None or key not in _CONTAINMENT_PROBE_MEMO:
+        fanout = df_t.agg(F.sum(F.col("df") * F.col("df"))).collect()[0][0] or 0
+        bound = 0
+        if fanout > _CONTAINMENT_DIRECT_CEILING:
+            # the bound pass (df join + rank window) is only needed when
+            # the fast-accept ceiling is exceeded
+            bound = ranked.filter("in_prefix").agg(F.sum("df")).collect()[0][0] or 0
+        if fp is None:
+            return int(fanout), int(bound)
+        _CONTAINMENT_PROBE_MEMO[key] = (int(fanout), int(bound))
+    return _CONTAINMENT_PROBE_MEMO[key]
 
 
 def _containment_pairs(
@@ -494,16 +527,13 @@ def _containment_pairs(
         (F.row_number().over(w) <= pref_len).alias("in_prefix"),
     )
 
+    assert t == 0.8, "integer prefix math above is specialized to t=0.8"
     if force_path is None:
-        assert t == 0.8, "integer prefix math above is specialized to t=0.8"
-        fanout = df_t.agg(F.sum(F.col("df") * F.col("df"))).collect()[0][0] or 0
+        probe = _containment_probe(spark, sf_dir, df_t, ranked)
+        fanout, bound = probe
         if fanout <= _CONTAINMENT_DIRECT_CEILING:
             path = "direct"
         else:
-            # escalate: exact prefix candidate bound, one linear pass
-            bound = (
-                ranked.filter("in_prefix").agg(F.sum("df")).collect()[0][0] or 0
-            )
             path = (
                 "prefix"
                 if bound * _CONTAINMENT_PREFIX_FACTOR < fanout
@@ -522,16 +552,27 @@ def _containment_pairs(
             .agg(F.count(F.lit(1)).alias("c"))
         )
     else:
-        a = ranked.select(
-            F.col("doc_id").alias("id_a"), "tok", F.col("in_prefix").alias("pre_a")
-        )
-        b = ranked.select(
-            F.col("doc_id").alias("id_b"), "tok", F.col("in_prefix").alias("pre_b")
-        )
+        # PREFIX postings on one side, FULL postings on the other — the
+        # prune must live in the JOIN INPUT, not in a post-join filter:
+        # a disjunctive (pre_a OR pre_b) predicate after a plain tok
+        # equi-join cannot be pushed to either side, so the join would
+        # still enumerate every Σdf² pair match before discarding. Two
+        # asymmetric joins of Σ_prefix df rows each, unioned, IS the
+        # claimed candidate bound.
+        pref = ranked.filter("in_prefix")
+        pa = pref.select(F.col("doc_id").alias("id_a"), "tok")
+        pb = pref.select(F.col("doc_id").alias("id_b"), "tok")
+        fa = ranked.select(F.col("doc_id").alias("id_a"), "tok")
+        fb = ranked.select(F.col("doc_id").alias("id_b"), "tok")
         cand = (
-            a.join(b, "tok")
-            .filter((F.col("id_a") < F.col("id_b")) & (F.col("pre_a") | F.col("pre_b")))
+            pa.join(fb, "tok")
+            .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
+            .union(
+                fa.join(pb, "tok")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+            )
             .distinct()
         )
         verified = (
@@ -955,26 +996,11 @@ def _register_minhash_recall() -> None:
         )
         jac = F.col("c") / (F.col("sz_a") + F.col("sz_b") - F.col("c"))
         truth = counts.filter(jac >= t).select("id_a", "id_b")
-        nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
-        npred = pred.agg(F.count("*").cast("bigint").alias("n_pred"))
-        nh = truth.join(pred, ["id_a", "id_b"], "left_semi").agg(
-            F.count("*").cast("bigint").alias("n_hit")
-        )
-        return (
-            nh.crossJoin(F.broadcast(nt))
-            .crossJoin(F.broadcast(npred))
-            .select(
-                "n_truth",
-                "n_pred",
-                "n_hit",
-                F.floor(F.col("n_hit") * 1_000_000 / F.nullif(F.col("n_truth"), F.lit(0)))
-                .cast("bigint")
-                .alias("recall_1e6"),
-                F.floor(F.col("n_hit") * 1_000_000 / F.nullif(F.col("n_pred"), F.lit(0)))
-                .cast("bigint")
-                .alias("precision_1e6"),
-            )
-        )
+        # shared 1-row confusion reduce — one implementation for every
+        # calibration gauge (was a hand-kept copy of this block)
+        from gvcf_hbase_spark.operators.similarity import _confusion_row
+
+        return _confusion_row(truth, pred, ["id_a", "id_b"])
 
 
 _register_minhash_recall()

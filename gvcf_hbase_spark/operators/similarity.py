@@ -1579,12 +1579,14 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             for qi in range(len(q_ids)):
                 mask = ids != q_ids[qi]
                 cand_ids, cand_d = ids[mask], d2[qi][mask]
-                top = np.argsort(cand_d, kind="stable")[:_PQ_TOPK]
+                # batch-local selection must use the SAME (quantized d2,
+                # vec_id) order as the global window below, or a
+                # quantization-tie at the local top-k boundary makes the
+                # truth set depend on Arrow batch boundaries
+                q6 = np.floor(cand_d * 1e6 + 0.5).astype("int64")
+                top = np.lexsort((cand_ids, q6))[:_PQ_TOPK]
                 for t in top:
-                    rows.append(
-                        (int(q_ids[qi]), int(cand_ids[t]),
-                         int(np.floor(cand_d[t] * 1e6 + 0.5)))
-                    )
+                    rows.append((int(q_ids[qi]), int(cand_ids[t]), int(q6[t])))
             yield pd.DataFrame(rows, columns=["q_id", "vec_id", "d2_1e6"])
 
     scored = spread(e).mapInPandas(exact_score, "q_id bigint, vec_id bigint, d2_1e6 bigint")

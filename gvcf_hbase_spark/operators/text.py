@@ -1141,9 +1141,9 @@ _FERTILITY_ORACLE = f"""
            CAST(sum(ws) AS BIGINT) AS n_words,
            CAST(sum(re) AS BIGINT) AS n_tokens,
            CAST(sum(ch) AS BIGINT) AS n_chars,
-           CAST(floor(sum(re) * 1000000.0 / sum(ws) + 0.5) AS BIGINT)
+           CAST(floor(sum(re) * 1000000.0 / nullif(sum(ws), 0) + 0.5) AS BIGINT)
              AS fertility_1e6,
-           CAST(floor(sum(ch) * 1000000.0 / sum(re) + 0.5) AS BIGINT)
+           CAST(floor(sum(ch) * 1000000.0 / nullif(sum(re), 0) + 0.5) AS BIGINT)
              AS chars_per_token_1e6
     FROM langed GROUP BY 1
 """
@@ -1201,10 +1201,14 @@ def curate_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ws").cast("bigint").alias("n_words"),
             F.sum("re").cast("bigint").alias("n_tokens"),
             F.sum("ch").cast("bigint").alias("n_chars"),
-            F.floor(F.sum("re") * 1e6 / F.sum("ws") + F.lit(0.5))
+            # nullif guards: a bucket of pure non-Latin text has zero
+            # regex tokens (and an empty-text bucket zero words) — the
+            # ratio is NULL on both engines, never inf or an error (the
+            # op's docstring invites running it on arbitrary corpora)
+            F.floor(F.sum("re") * 1e6 / F.nullif(F.sum("ws"), F.lit(0)) + F.lit(0.5))
             .cast("bigint")
             .alias("fertility_1e6"),
-            F.floor(F.sum("ch") * 1e6 / F.sum("re") + F.lit(0.5))
+            F.floor(F.sum("ch") * 1e6 / F.nullif(F.sum("re"), F.lit(0)) + F.lit(0.5))
             .cast("bigint")
             .alias("chars_per_token_1e6"),
         )

@@ -148,7 +148,7 @@ _PRIORITY = [
     "gvcf_callable_regions",
     "gvcf_singleton_share",
     "gvcf_relatedness_ibs",
-    # ===== round-8 window queue (19 never-driver-verified, staged) =====
+    # ===== round-8 window queue (39 never-driver-verified, staged) =====
     # 11-key round-7 queue overflow:
     "source_gvcf_datasource",
     "sink_zorder_layout",
@@ -178,8 +178,8 @@ _PRIORITY = [
     "dedup_minhash_recall",
     "gvcf_phase_by_transmission",
     "text_langid_confusion",
-    # five round-7 continuation additions (all sf0.001+sf0.01
-    # oracle-verified at build time):
+    # fourteen round-7 continuation additions (oracle-checked ones
+    # verified at sf0.001+sf0.01 at build time):
     "gvcf_af_spectrum",
     "sim_semdedup_eps_sweep",
     "graph_modularity",
@@ -198,7 +198,8 @@ _PRIORITY = [
 # Keys NOT listed above (all with a driver verdict from r01-r06) are
 # appended by load_all() in module registration order after the queues.
 # Every never-driver-verified key is IN the explicit staged lists above;
-# the round-8 rotation only needs to promote slots 51-69 to the front.
+# the round-8 rotation promotes slots 51-100 to the front; the 9
+# staged keys past slot 100 complete driver coverage at r09.
 
 _loaded = False
 

@@ -19,7 +19,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     import duckdb
-    import pandas as pd
     from pyspark.sql import SparkSession
 
     key = sys.argv[1]
@@ -55,25 +54,27 @@ def main() -> int:
         odf = con.execute(spec.oracle).fetchdf()
         t_oracle = time.time() - t0
 
-        def canon(df: pd.DataFrame) -> pd.Series:
-            df = df[sorted(df.columns)]
-            return pd.util.hash_pandas_object(
-                df.astype(str).apply(lambda r: "|".join(r), axis=1).sort_values(ignore_index=True),
-                index=False,
-            )
+        # THE mirror comparator (tests/conftest.canon_rows) — not a
+        # hand-rolled lookalike, so a spot-check can never disagree with
+        # the driver mirror on the same key and fixture
+        from tests.conftest import canon_rows
 
-        ok_rows = len(sdf) == len(odf)
-        ok_cols = sorted(sdf.columns) == sorted(odf.columns)
-        ok_vals = ok_rows and ok_cols and canon(sdf).sum() == canon(odf).sum()
-        status = "MATCH" if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        s_cols, s_rows = canon_rows(sdf)
+        o_cols, o_rows = canon_rows(odf)
+        ok = s_cols == o_cols and s_rows == o_rows
+        status = "MATCH" if ok else "FAIL"
         print(
-            f"{key} @ {sf_dir}: {status} rows={len(sdf)}/{len(odf)} "
-            f"cols_ok={ok_cols} spark={t_spark:.2f}s oracle={t_oracle:.2f}s"
+            f"{key} @ {sf_dir}: {status} rows={len(s_rows)}/{len(o_rows)} "
+            f"cols_ok={s_cols == o_cols} spark={t_spark:.2f}s oracle={t_oracle:.2f}s"
         )
-        if status == "FAIL":
+        if not ok:
             rc = 1
-            print("  spark cols:", sorted(sdf.columns))
-            print("  oracle cols:", sorted(odf.columns))
+            print("  spark cols:", s_cols)
+            print("  oracle cols:", o_cols)
+            for i, (s, o) in enumerate(zip(s_rows, o_rows)):
+                if s != o:
+                    print(f"  first diff @sortedrow {i}: spark={s} oracle={o}")
+                    break
     spark.stop()
     return rc
 

@@ -45,7 +45,12 @@ _MARKS = {
 }
 # word-boundary markers (avoid SortMergeJoin counting as Sort etc.)
 _RE_MARKS = {
-    "sort": re.compile(r"^\s*[+:*-]*\s*\(?\d*\)?\s*Sort ", re.MULTILINE),
+    # tree prefixes interleave whitespace with ':', '+-', '|' and codegen
+    # '*(n)' markers ANY number of times (e.g. ':     +- *(3) Sort [...]'),
+    # so the prefix class must admit repeated runs — a single
+    # charclass-then-whitespace pattern missed Sorts nested under
+    # multi-branch joins (r07 review finding)
+    "sort": re.compile(r"^[\s+:|*-]*(?:\(\d+\)\s*)?Sort ", re.MULTILINE),
     "wscg": re.compile(r"WholeStageCodegen"),
     "py": re.compile(
         r"MapInPandas|FlatMapGroupsInPandas|ArrowEvalPython|BatchEvalPython"

@@ -325,3 +325,57 @@ def test_fst_identical_groups_score_zero(spark, tmp_path):
         assert r.fst_1e6 == math.floor(r.num_sum_1e9 * 1e6 / r.den_sum_1e9 + 0.5)
         assert abs(r.fst_1e6) < 100_000  # |Fst| < 0.1: same-rule groups
         assert r.num_sum_1e9 <= r.den_sum_1e9
+
+
+def test_containment_dispatch_picks_prefix_on_boilerplate(spark, tmp_path, monkeypatch):
+    """On a boilerplate-heavy corpus (one hot phrase shared by every doc,
+    unique rare tails) the prefix bound collapses relative to Σdf², the
+    dispatcher must pick the prefix path past the ceiling, and the auto
+    result must equal both forced paths. Also pins the r07 review fix:
+    prefix postings prune the JOIN INPUT (two asymmetric joins), not a
+    post-join filter — before the fix the forced-prefix path did the
+    full Σdf² enumeration and lost in every regime."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    import gvcf_hbase_spark.operators.dedup as dd
+
+    rng = np.random.default_rng(3)
+    n = 400
+    boiler = "click here to continue reading more"
+    texts = [
+        boiler + " " + " ".join(f"w{x}" for x in rng.integers(0, 10**6, size=12))
+        for _ in range(n)
+    ]
+    texts += texts[:8]  # exact dupes -> true containment pairs exist
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype="int64"),
+            "text": texts,
+            "source": ["synth"] * len(texts),
+            "lang": ["en"] * len(texts),
+            "quality": np.ones(len(texts)),
+        }
+    )
+    p = str(tmp_path / "boiler")
+    os.makedirs(p, exist_ok=True)
+    pdf.to_parquet(f"{p}/documents.parquet")
+
+    # shrink the fast-accept ceiling so this small fixture escalates
+    monkeypatch.setattr(dd, "_CONTAINMENT_DIRECT_CEILING", 10_000)
+    dd._CONTAINMENT_PROBE_MEMO.clear()
+    auto = sorted(map(tuple, dd._containment_pairs(spark, p, 0.8, None).collect()))
+    (probe,) = dd._CONTAINMENT_PROBE_MEMO.values()
+    fanout, bound = probe
+    assert fanout > 10_000  # escalated
+    assert bound * dd._CONTAINMENT_PREFIX_FACTOR < fanout  # prefix chosen
+    direct = sorted(
+        map(tuple, dd._containment_pairs(spark, p, 0.8, "direct").collect())
+    )
+    prefix = sorted(
+        map(tuple, dd._containment_pairs(spark, p, 0.8, "prefix").collect())
+    )
+    assert auto == direct == prefix
+    assert len(auto) > 0
