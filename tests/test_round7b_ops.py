@@ -1,12 +1,16 @@
 """Round-7 continuation additions: the AN-stratified site-frequency
-spectrum, the SemDeDup threshold sweep, LPA modularity, SAX symbols, and
-the seasonal-residual anomaly flag.
+spectrum, the SemDeDup threshold sweep, LPA modularity + assortativity,
+SAX symbols, dominant-period discovery, the seasonal-residual anomaly
+flag, incremental MinHash dedup, the PSI drift monitor, the IVF nprobe
+sweep, sample missingness, Hudson Fst, tokenizer fertility, VAD
+segmentation, and the containment cost-dispatch.
 
-All five keys are oracle-checked (the primary gate); these tests pin the
-cross-operator consistency and algebraic invariants the hash compare
-can't see — the sweep's monotone retention curve and its agreement with
-the dedup op at the shared τ, modularity's partition algebra, the SAX
-alphabet's bin discipline, and the residual flag's robust-z floor.
+The oracle hash-compare is the primary gate; these tests pin what it
+can't see — cross-operator consistency (sweep↔dedup at the shared τ,
+incremental = cross-slice-of-full, nprobe sweep ↔ single-point gauge),
+algebraic invariants (modularity partition algebra, Fst internals, SFS
+partition), crafted-frame ground truths (12 h cycle, PSI shift), and the
+dispatch's path-equivalence under a forced escalation.
 """
 
 from __future__ import annotations
