@@ -527,7 +527,12 @@ def _containment_pairs(
         (F.row_number().over(w) <= pref_len).alias("in_prefix"),
     )
 
-    assert t == 0.8, "integer prefix math above is specialized to t=0.8"
+    if t != 0.8:
+        # ValueError, not assert: an assert strips under `python -O`, and a
+        # wrong prefix length silently DROPS true containment pairs. The
+        # generic length is sz - ceil(t*sz) + 1; only t=0.8 has the exact
+        # integer form above.
+        raise ValueError(f"prefix math specialized to t=0.8, got {t}")
     if force_path is None:
         probe = _containment_probe(spark, sf_dir, df_t, ranked)
         fanout, bound = probe
@@ -685,6 +690,13 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     own bucket keys. Exact shingle-Jaccard verify on candidates, same
     16×2 banding guarantee as `dedup_near_minhash` (miss P ≈ 1e-7 at
     j=0.8; brute-force oracle, agreement asserted in tests at two SFs).
+
+    Probabilistic oracle gate (documented per r07 ADVICE): the oracle is
+    banding-blind brute force, so a borderline pair the bands miss —
+    P = (1-j²)^16, ~7.7e-8 at j=0.8 — would hash-mismatch at the low-SF
+    gates. Accepted risk, same posture as `dedup_near_minhash`; the 10×
+    gate demotes this oracle for cost reasons anyway (see
+    scripts/driver_mirror.py SF01_ORACLE_DEMOTE).
     """
     d = load_table(spark, sf_dir, "documents")
     # one shingle materialization serves signatures AND the verify joins
@@ -1004,3 +1016,172 @@ def _register_minhash_recall() -> None:
 
 
 _register_minhash_recall()
+
+
+# ---------------------------------------------------------------------------
+# MinHash banding-grid gauge (r08; r07 verdict action 5 — the (bands × rows)
+# sweep is the one knob a 100 TB dedup run actually tunes, and until now the
+# gauge family covered only the shipped 16×2 point)
+# ---------------------------------------------------------------------------
+
+# Every point uses ALL 32 hash rows (b·r = _N_HASHES), so the sweep is a
+# pure re-grouping of ONE signature matrix: band boundaries nest for
+# powers of two, hence pred(4×8) ⊆ pred(8×4) ⊆ pred(16×2) ⊆ pred(32×1) —
+# asserted in tests, and the reason one pass serves the whole grid.
+_BAND_SWEEP_GRID = ((32, 1), (16, 2), (8, 4), (4, 8))
+
+
+def _band_sweep_oracle() -> str:
+    """Generate the DuckDB twin: same portable signatures as
+    `dedup_minhash_recall`'s oracle, one bands/pred CTE pair per grid
+    point, one confusion row each, UNION ALL'd."""
+    sig_cols = ",\n".join(
+        f"             min(({a} * h + {b}) % {_P}) AS m{j}"
+        for j, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
+    )
+    parts = [
+        f"""
+    WITH d AS ({_MH_RECALL_SHINGLES}),
+    hashed AS (
+      SELECT doc_id,
+             {_PREMIX_SQL.format(h="CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)")} AS h
+      FROM (SELECT doc_id, unnest(sh) AS s FROM d)
+    ),
+    sigs AS (
+      SELECT doc_id,
+{sig_cols}
+      FROM hashed GROUP BY doc_id
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {_JACCARD_THRESHOLD}
+    )"""
+    ]
+    for nb, r in _BAND_SWEEP_GRID:
+        band_sel = " UNION ALL ".join(
+            "SELECT doc_id, concat_ws(',', '{bi}', {cols}) AS bk FROM sigs".format(
+                bi=bi, cols=", ".join(f"m{bi * r + j}" for j in range(r))
+            )
+            for bi in range(nb)
+        )
+        parts.append(
+            f""",
+    bands_{nb}_{r} AS ({band_sel}),
+    pred_{nb}_{r} AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands_{nb}_{r} a JOIN bands_{nb}_{r} b
+        ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    conf_{nb}_{r} AS (
+      SELECT CAST({nb} AS INTEGER) AS n_bands,
+             CAST({r} AS INTEGER) AS rows_per_band,
+             (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+             (SELECT CAST(count(*) AS BIGINT) FROM pred_{nb}_{r}) AS n_pred,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM truth t JOIN pred_{nb}_{r} p
+                ON p.id_a = t.id_a AND p.id_b = t.id_b) AS n_hit
+    )"""
+        )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT * FROM conf_{nb}_{r}" for nb, r in _BAND_SWEEP_GRID
+    )
+    parts.append(
+        f"""
+    SELECT n_bands, rows_per_band, n_truth, n_pred, n_hit,
+           CAST(n_hit * 1000000 // NULLIF(n_truth, 0) AS BIGINT) AS recall_1e6,
+           CAST(n_hit * 1000000 // NULLIF(n_pred, 0) AS BIGINT) AS precision_1e6
+    FROM ({union})"""
+    )
+    return "".join(parts)
+
+
+def _register_minhash_band_sweep() -> None:
+    @register(
+        "dedup_minhash_band_sweep",
+        oracle=_band_sweep_oracle(),
+        tags=("dedup", "eval", "calibration"),
+    )
+    def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MinHash banding-grid calibration: recall/precision of the LSH
+        CANDIDATE layer against exact 3-shingle-Jaccard ≥ 0.8 truth, at
+        every (bands × rows) configuration of the same 32-hash signature
+        budget — (32×1, 16×2, 8×4, 4×8). `dedup_minhash_recall` grades
+        the single shipped 16×2 point; this sweep is the query a tuner
+        actually runs, because bands × rows IS the knob that moves the
+        S-curve (P(candidate | j) = 1-(1-j^r)^b) and the right setting
+        is corpus-dependent. One scored pass serves the grid (the
+        `sim_semdedup_eps_sweep` pattern): signatures are computed ONCE
+        from one persisted shingle relation, and each grid point is a
+        re-grouping of the signature columns — band boundaries nest for
+        powers of two, so pred sets are provably monotone across the
+        grid (asserted in tests; the 16×2 row equals
+        `dedup_minhash_recall`'s confusion row by construction).
+
+        Scale: signatures are the portable md5-prefix family
+        (`minhash_signatures_portable`) so the WHOLE grid is
+        oracle-checked; banding joins meet on composite band-key strings
+        (injective ','-concat of the band's row values) — per-(band,key)
+        equi-joins, Σ per-bucket |b|² cost like every LSH tier, never
+        all-pairs. Truth is the `dedup_ngram_jaccard` SSJoin inverted
+        index with the size-ratio prune, computed once and persisted
+        (reused by all four confusion reduces). Counts collapse via the
+        1-row-broadcast-cross pattern; ratios integer-quantized (§5.4)."""
+        from gvcf_hbase_spark.operators.similarity import _confusion_row
+
+        t = _JACCARD_THRESHOLD
+        d = load_table(spark, sf_dir, "documents")
+        sets_df = _shingle_sets(d).persist()
+        sigs = minhash_signatures_portable(sets_df).persist()
+        ex = sets_df.select(
+            "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
+        )
+        a = ex.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "s")
+        b = ex.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "s")
+        shared = a.join(b, "s").filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_a") >= t * F.col("sz_b"))
+            & (F.col("sz_b") >= t * F.col("sz_a"))
+        )
+        counts = shared.groupBy("id_a", "id_b", "sz_a", "sz_b").agg(
+            F.count("*").alias("c")
+        )
+        jac = F.col("c") / (F.col("sz_a") + F.col("sz_b") - F.col("c"))
+        truth = counts.filter(jac >= t).select("id_a", "id_b").persist()
+
+        out = None
+        for nb, r in _BAND_SWEEP_GRID:
+            keys = F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        F.lit(str(bi)),
+                        *[F.col(f"m{bi * r + j}").cast("string") for j in range(r)],
+                    )
+                    for bi in range(nb)
+                ]
+            )
+            banded = sigs.select("doc_id", F.explode(keys).alias("bk"))
+            pa = banded.select(F.col("doc_id").alias("id_a"), "bk")
+            pb = banded.select(F.col("doc_id").alias("id_b"), "bk")
+            pred = (
+                pa.join(pb, "bk")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            row = _confusion_row(truth, pred, ["id_a", "id_b"]).select(
+                F.lit(nb).cast("int").alias("n_bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "n_truth",
+                "n_pred",
+                "n_hit",
+                "recall_1e6",
+                "precision_1e6",
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
+
+
+_register_minhash_band_sweep()

@@ -783,6 +783,15 @@ def sim_centroid_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_K = 8
 _SEMDEDUP_TAU = _NEARDUP_THRESHOLD  # same near-dup bar as dedup_embedding_cosine
 
+
+def _q6(a):
+    """Half-up 6dp quantization: floor(x*1e6 + 0.5) / 1e6 — the repo's
+    §5.4 convention for any float that faces a cross-engine compare. Used
+    instead of np.round (banker's half-to-even) for the SemDeDup scores so
+    the DuckDB oracle, which applies the IDENTICAL floor formula, can
+    never quantize a 5e-7 tie differently (r07 ADVICE)."""
+    return np.floor(a * 1e6 + 0.5) / 1e6
+
 _SEMDEDUP_ORACLE = f"""
     WITH cent AS (
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
@@ -790,7 +799,7 @@ _SEMDEDUP_ORACLE = f"""
     ),
     scored AS (
       SELECT e.vec_id, c.cid,
-             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6) AS cs
+             floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) * 1e6 + 0.5) / 1e6 AS cs
       FROM embeddings e CROSS JOIN cent c
     ),
     assigned AS (
@@ -804,8 +813,8 @@ _SEMDEDUP_ORACLE = f"""
       FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
       JOIN embeddings ea ON ea.vec_id = a.vec_id
       JOIN embeddings eb ON eb.vec_id = b.vec_id
-      WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                                         CAST(eb.embedding AS DOUBLE[])), 6)
+      WHERE floor(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])) * 1e6 + 0.5) / 1e6
             >= {_SEMDEDUP_TAU}
     )
     SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster
@@ -833,9 +842,11 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     any row with a lower-id neighbor — identical keep semantics to
     `dedup_embedding_cosine`, restricted to cells. Oversized cells are
     the documented hazard (bound k so max |cell| fits task memory;
-    SemDeDup uses k ≈ n/1000). Scores are 6dp-rounded before every
-    decision so the oracle — which replays assignment and cell-local
-    pairs in pure SQL — makes identical choices. Zero-norm vectors
+    SemDeDup uses k ≈ n/1000). Scores are quantized half-up to 6dp
+    (`_q6`, the §5.4 floor(x·1e6+0.5) convention — r07 ADVICE replaced
+    banker's np.round) before every decision so the oracle — which
+    replays assignment and cell-local pairs in pure SQL with the
+    IDENTICAL floor formula — makes identical choices even at ties. Zero-norm vectors
     (padding rows) would NaN the normalize on both engines — the family
     fixture contract excludes them (same posture as `cosine_pairs`);
     a padded corpus pre-filters `dot(v,v) > 0` before this op."""
@@ -854,7 +865,7 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             q = np.stack([np.asarray(v, dtype="float64") for v in pdf["emb"]])
             qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            cs = np.round(qn @ cmn.T, 6)
+            cs = _q6(qn @ cmn.T)
             # argmax returns the FIRST max; columns are cid-ascending, so
             # ties break to the lowest centroid id — same as the oracle's
             # ORDER BY cs DESC, cid.
@@ -875,7 +886,7 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("vec_id")
         m = np.stack([np.asarray(v, dtype="float64") for v in pdf["emb"]])
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        s = np.round(mn @ mn.T, 6)
+        s = _q6(mn @ mn.T)
         has_lower_neighbor = np.triu(s >= _SEMDEDUP_TAU, 1).any(axis=0)
         return pdf.loc[~has_lower_neighbor, ["vec_id", "cluster"]]
 
@@ -893,7 +904,7 @@ _SEMDEDUP_SWEEP_ORACLE = f"""
     ),
     scored AS (
       SELECT e.vec_id, c.cid,
-             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6) AS cs
+             floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) * 1e6 + 0.5) / 1e6 AS cs
       FROM embeddings e CROSS JOIN cent c
     ),
     assigned AS (
@@ -904,8 +915,8 @@ _SEMDEDUP_SWEEP_ORACLE = f"""
     ),
     pairs AS (
       SELECT b.vec_id AS ib,
-             round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                                          CAST(eb.embedding AS DOUBLE[])), 6) AS cs
+             floor(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                          CAST(eb.embedding AS DOUBLE[])) * 1e6 + 0.5) / 1e6 AS cs
       FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
       JOIN embeddings ea ON ea.vec_id = a.vec_id
       JOIN embeddings eb ON eb.vec_id = b.vec_id
@@ -942,7 +953,7 @@ def sim_semdedup_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits one (ε, n_pairs, n_pruned, n_docs) row per grid point from a
     single scored upper-triangular matrix — sweeping ε is a mask over
     an already-computed score matrix, not a re-run. The final rollup is
-    a #cells × #ε aggregate, input-size independent. Scores 6dp-rounded
+    a #cells × #ε aggregate, input-size independent. Scores half-up 6dp-quantized (`_q6`)
     before every compare (the family convention), so both engines make
     identical boundary choices; all outputs exact integers."""
     e = _emb(spark, sf_dir)
@@ -960,7 +971,7 @@ def sim_semdedup_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             q = np.stack([np.asarray(v, dtype="float64") for v in pdf["emb"]])
             qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            cs = np.round(qn @ cmn.T, 6)
+            cs = _q6(qn @ cmn.T)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
@@ -977,7 +988,7 @@ def sim_semdedup_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("vec_id")
         m = np.stack([np.asarray(v, dtype="float64") for v in pdf["emb"]])
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        s = np.round(mn @ mn.T, 6)
+        s = _q6(mn @ mn.T)
         n = len(pdf)
         rows = []
         for e2 in _SEMDEDUP_EPS_1E2:

@@ -806,7 +806,15 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact — centered products use the n·c−S trick (shared with
     `ts_autocorr`), den is lag-independent per type, so argmax(acf) =
     argmax(num) compares pure int64s; no float enters until the reported
-    acf is quantized. Ties break to the shortest lag on both engines."""
+    acf is quantized. Ties break to the shortest lag on both engines.
+
+    Overflow posture (same note as `graph_assortativity`): the centered
+    products (n·c−S)² and cross terms are int64; at n ≈ 1e5 hours with
+    per-hour counts ≈ 1e4 a single product reaches ~1e18 and the
+    lag-grouped sum could wrap under Spark's non-ANSI long arithmetic.
+    Fixture scales sit orders of magnitude below that; an extreme-scale
+    deployment promotes these sums to decimal(38,0) — the argmax and tie
+    rules are unchanged by the wider type."""
     ev = load_table(spark, sf_dir, "events")
     h = ev.groupBy(
         "event_type",

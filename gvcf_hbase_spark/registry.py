@@ -78,26 +78,60 @@ def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-facing enumeration order. The correctness harness verifies only a
 # 50-key PREFIX of the inventory per round. Cumulative driver verdicts after
-# r06: 291 of 358 keys (CORRECTNESS_r06: 49 hash-green + 1 rows-only-by-design
-# on the round-6 window). Round-7 rotation (r06 verdict action 1): the staged
-# 61-key never-driver-verified queue's first 50 are promoted to slots 1-50,
-# so CORRECTNESS_r07 lifts cumulative coverage 291 -> 341. The round-8
-# window is staged EXPLICITLY at slots 51+ (r06 verdict action 6): the
-# 11-key queue overflow, then the six round-6 additions, then the
-# fourteen round-7 additions (two ANN calibration gauges, ts_ohlc_bars /
-# win_drawdown_max / text_bpe_merge_step / dedup_minhash_recall /
-# gvcf_phase_by_transmission / text_langid_confusion, and the round-7
-# continuation's gvcf_af_spectrum / sim_semdedup_eps_sweep /
-# graph_modularity / ts_sax_symbols / anomaly_seasonal_residual /
-# dedup_minhash_incremental / profile_drift_psi /
-# sim_ivf_nprobe_sweep / graph_assortativity /
-# gvcf_sample_missingness / ts_dominant_period /
-# curate_tokenizer_fertility / multimodal_audio_vad_segments /
-# gvcf_pop_fst) -- 39 keys: r08
-# promotes slots 51-100 to the front; the few past slot 100 complete
-# at r09 (341 + 39 = 380).
+# r07: 341 of 380 keys (CORRECTNESS_r07: 49 hash-green + 1
+# rows-only-by-design on the round-7 window). Round-8 rotation (r07 verdict
+# action 1): the 39 never-driver-verified keys staged at r07 slots 51-89
+# are promoted to slots 1-39, completing 380/380 cumulative driver
+# coverage. Slot 40 holds the single round-8 addition
+# (dedup_minhash_band_sweep, r07 verdict action 5); slots 41-50 backfill
+# with already-verified keys so nothing new can displace completion
+# (r07 verdict: "keep any r08 additions BEHIND the staged 39").
 _PRIORITY = [
-    # ============== round-7 window (slots 1-50) ==============
+    # ===== round-8 window (slots 1-39: the staged never-driver-verified
+    # set, promoted from r07 slots 51-89; completes 380/380 coverage) =====
+    "source_gvcf_datasource",
+    "sink_zorder_layout",
+    "sink_write_audit_publish",
+    "sql_recursive_cte",
+    "sql_udf_scalar",
+    "feat_woe_encode",
+    "analytics_diff_in_diff",
+    "curate_dsir_weights",
+    "ts_holt_winters",
+    "multimodal_cdc_chunk_dedup",
+    "ts_downsample_lttb_exact",
+    "win_percentile_running_full",
+    "agg_quantiles_multi",
+    "text_zipf_slope",
+    "curate_gopher_report",
+    "ts_kalman_1d",
+    "curate_ccnet_buckets",
+    "sim_ann_ivf_recall",
+    "sim_pq_recall",
+    "ts_ohlc_bars",
+    "win_drawdown_max",
+    "text_bpe_merge_step",
+    "dedup_minhash_recall",
+    "gvcf_phase_by_transmission",
+    "text_langid_confusion",
+    "gvcf_af_spectrum",
+    "sim_semdedup_eps_sweep",
+    "graph_modularity",
+    "ts_sax_symbols",
+    "anomaly_seasonal_residual",
+    "dedup_minhash_incremental",
+    "profile_drift_psi",
+    "sim_ivf_nprobe_sweep",
+    "graph_assortativity",
+    "gvcf_sample_missingness",
+    "ts_dominant_period",
+    "curate_tokenizer_fertility",
+    "multimodal_audio_vad_segments",
+    "gvcf_pop_fst",
+    # slot 40: the one round-8 addition (behind the staged 39 in spirit --
+    # the window holds 50, so it still gets a driver verdict this round)
+    "dedup_minhash_band_sweep",
+    # ===== slots 41-50: backfill with already-verified keys =====
     "analytics_dau_wau",
     "agg_median_twophase",
     "analytics_chi_square",
@@ -108,6 +142,7 @@ _PRIORITY = [
     "stats_bootstrap_ci",
     "feat_rank_bucketize",
     "feat_standard_scale",
+    # ===== remainder of the r07 window (all driver-verified r07) =====
     "feat_frequency_encode",
     "feat_hashing_trick",
     "feat_target_encode_loo",
@@ -148,58 +183,11 @@ _PRIORITY = [
     "gvcf_callable_regions",
     "gvcf_singleton_share",
     "gvcf_relatedness_ibs",
-    # ===== round-8 window queue (39 never-driver-verified, staged) =====
-    # 11-key round-7 queue overflow:
-    "source_gvcf_datasource",
-    "sink_zorder_layout",
-    "sink_write_audit_publish",
-    "sql_recursive_cte",
-    "sql_udf_scalar",
-    "feat_woe_encode",
-    "analytics_diff_in_diff",
-    "curate_dsir_weights",
-    "ts_holt_winters",
-    "multimodal_cdc_chunk_dedup",
-    "ts_downsample_lttb_exact",
-    # six round-6 additions:
-    "win_percentile_running_full",
-    "agg_quantiles_multi",
-    "text_zipf_slope",
-    "curate_gopher_report",
-    "ts_kalman_1d",
-    "curate_ccnet_buckets",
-    # two round-7 additions (ANN calibration gauges):
-    "sim_ann_ivf_recall",
-    "sim_pq_recall",
-    # six further round-7 additions:
-    "ts_ohlc_bars",
-    "win_drawdown_max",
-    "text_bpe_merge_step",
-    "dedup_minhash_recall",
-    "gvcf_phase_by_transmission",
-    "text_langid_confusion",
-    # fourteen round-7 continuation additions (oracle-checked ones
-    # verified at sf0.001+sf0.01 at build time):
-    "gvcf_af_spectrum",
-    "sim_semdedup_eps_sweep",
-    "graph_modularity",
-    "ts_sax_symbols",
-    "anomaly_seasonal_residual",
-    "dedup_minhash_incremental",
-    "profile_drift_psi",
-    "sim_ivf_nprobe_sweep",
-    "graph_assortativity",
-    "gvcf_sample_missingness",
-    "ts_dominant_period",
-    "curate_tokenizer_fertility",
-    "multimodal_audio_vad_segments",
-    "gvcf_pop_fst",
 ]
-# Keys NOT listed above (all with a driver verdict from r01-r06) are
-# appended by load_all() in module registration order after the queues.
-# Every never-driver-verified key is IN the explicit staged lists above;
-# the round-8 rotation promotes slots 51-100 to the front; the 9
-# staged keys past slot 100 complete driver coverage at r09.
+# Keys NOT listed above (all with a driver verdict from r01-r07) are
+# appended by load_all() in module registration order after the window.
+# After the r08 rotation every key in the inventory has either a driver
+# verdict already or a slot inside the r08 50-key window.
 
 _loaded = False
 

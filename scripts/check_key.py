@@ -18,11 +18,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
+    if len(sys.argv) < 2:
+        print("usage: python scripts/check_key.py <key> [sf_dir ...]", file=sys.stderr)
+        return 2
+
     import duckdb
     from pyspark.sql import SparkSession
 
     key = sys.argv[1]
     sf_dirs = sys.argv[2:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+    # Validate the key BEFORE paying the SparkSession startup cost.
+    from gvcf_hbase_spark.registry import load_all as _load_all
+
+    if key not in _load_all():
+        print(f"unknown key: {key!r} (not in the registry)", file=sys.stderr)
+        return 2
 
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")

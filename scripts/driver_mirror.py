@@ -61,16 +61,51 @@ SF01_ORACLE_DEMOTE = {
     "linkage_golden_record",
     "graph_kcore_bounded",  # r06 verdict action 2 (oracle disk blowup)
     "dedup_minhash_recall",  # oracle truth CTE is the brute-force n² Jaccard
+    "dedup_minhash_band_sweep",  # same brute-force n² truth CTE (r08)
     "sim_semdedup_eps_sweep",  # oracle pairs CTE is cell-local quadratic
-    "dedup_minhash_incremental",  # oracle is the brute-force batch x hist join
+    # oracle is the brute-force batch x hist join. NOTE (probabilistic gate,
+    # r07 ADVICE): the implementation screens candidates through the 16x2
+    # LSH band index while this oracle does not, so a qualifying pair can be
+    # missed with P = (1-j^2)^16 (~7.7e-8 at j=0.8). The low-SF hash gates
+    # (sf0.001/sf0.01) still run this oracle; that residual flake risk is
+    # ACCEPTED by design — same posture as dedup_near_minhash, whose oracle
+    # is likewise banding-blind.
+    "dedup_minhash_incremental",
+}
+
+
+# Additional demotions for the 100x (sf1, /tmp/sf1 replicated fixtures)
+# oracle-checked mirror (r07 verdict action 3). Everything in
+# SF01_ORACLE_DEMOTE applies too. Each entry is a DuckDB-side resource
+# blowup at ~6M-row lineitem / ~500k-doc documents — the engine side still
+# runs at full scale; all stay fully oracle-checked at sf0.001/sf0.01.
+SF1_ORACLE_DEMOTE = SF01_ORACLE_DEMOTE | {
+    # recursive/iterative MATERIALIZED-CTE oracles whose working set grows
+    # superlinearly with rows (same class as graph_kcore_bounded at sf0.1)
+    "graph_lpa_communities",
+    "graph_sssp_bounded",
+    "graph_khop_reach",
+    "sql_recursive_cte",
+    "hierarchy_flatten_bounded",
+    # quadratic or near-quadratic pair CTEs not already in the sf0.1 list
+    "graph_jaccard_neighbors",
+    "graph_resource_allocation",
+    "graph_clustering_coefficient",
+    "graph_triangle_count",
+    "gvcf_genotype_concordance",
+    "gvcf_relatedness_ibs",
+    "curate_decontaminate",
 }
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     skip_oracle = {k for k in (sys.argv[2] if len(sys.argv) > 2 else "").split(",") if k}
-    if "sf0.1" in os.path.basename(os.path.normpath(sf_dir)):
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if "sf0.1" in base:
         skip_oracle |= SF01_ORACLE_DEMOTE
+    elif base == "sf1" or base.startswith("sf1"):
+        skip_oracle |= SF1_ORACLE_DEMOTE
 
     import duckdb
     from pyspark.sql import SparkSession

@@ -265,3 +265,36 @@ def test_ann_recall_calibration_ops_two_sfs(spark):
     # PQ truth == pred cardinality by construction => recall == precision
     r = SPECS["sim_pq_recall"].fn(spark, SF_DIR).collect()[0]
     assert r.n_truth == r.n_pred == 50
+
+
+def test_minhash_band_sweep_nesting_and_16x2_point(spark):
+    """dedup_minhash_band_sweep (r08): the grid re-groups ONE 32-row
+    signature matrix, and band boundaries nest for powers of two, so the
+    candidate sets must be monotone — n_pred, n_hit, and recall all
+    non-increasing as rows_per_band grows. The 16x2 grid point must
+    reproduce dedup_minhash_recall's confusion row exactly (same
+    portable signatures, same raw-band-value candidate set, same truth
+    relation). Truth column is constant across the grid."""
+    rows = {
+        r.rows_per_band: r
+        for r in SPECS["dedup_minhash_band_sweep"].fn(spark, SF_DIR).collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 8]
+    assert len({r.n_truth for r in rows.values()}) == 1
+    for lo, hi in ((1, 2), (2, 4), (4, 8)):
+        assert rows[lo].n_pred >= rows[hi].n_pred, (lo, hi)
+        assert rows[lo].n_hit >= rows[hi].n_hit, (lo, hi)
+        assert rows[lo].recall_1e6 >= rows[hi].recall_1e6, (lo, hi)
+    for r in rows.values():
+        assert 0 <= r.n_hit <= min(r.n_truth, r.n_pred)
+        assert r.recall_1e6 == r.n_hit * 1_000_000 // r.n_truth
+        if r.n_pred:
+            assert r.precision_1e6 == r.n_hit * 1_000_000 // r.n_pred
+        assert r.n_bands * r.rows_per_band == 32
+    single = SPECS["dedup_minhash_recall"].fn(spark, SF_DIR).collect()[0]
+    p = rows[2]
+    assert (p.n_truth, p.n_pred, p.n_hit) == (
+        single.n_truth,
+        single.n_pred,
+        single.n_hit,
+    )

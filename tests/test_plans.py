@@ -126,6 +126,8 @@ def test_no_cartesian_products_anywhere(spark):
                         "dedup_simhash_recall",
                         # same confusion-row shape (LSH candidate gauge)
                         "dedup_minhash_recall",
+                        # same confusion-row shape x 4 grid points (r08)
+                        "dedup_minhash_band_sweep",
                         # same confusion-row shape (ANN calibration gauges)
                         "sim_ann_ivf_recall",
                         "sim_pq_recall",

@@ -412,22 +412,24 @@ def test_freshness_lag_zero_for_newest(spark):
 
 def test_driver_window_prefix_is_the_planned_rotation():
     """The driver verifies only the FIRST 50 enumeration keys; pin the
-    CURRENT (r06) window so a stray registration-order change can't
+    CURRENT (r08) window so a stray registration-order change can't
     silently displace the planned never-verified cohort."""
     keys = list(SPECS)
     from gvcf_hbase_spark.registry import _PRIORITY
 
     assert keys[: len(_PRIORITY)] == _PRIORITY
-    # r07 rotation: the staged never-driver-verified queue's first 50
-    # head the window; slots 51-69 are the staged round-8 queue (11-key
-    # overflow + six round-6 additions + two round-7 additions)
-    assert keys[0] == "analytics_dau_wau"
-    assert keys[49] == "gvcf_relatedness_ibs"
-    assert keys[50] == "source_gvcf_datasource"
-    assert keys[68] == "sim_pq_recall"
+    # r08 rotation: the 39 never-driver-verified keys staged at r07
+    # slots 51-89 head the window (completes 380/380 cumulative driver
+    # coverage); slot 40 is the single r08 addition; slots 41-50
+    # backfill with already-verified keys
+    assert keys[0] == "source_gvcf_datasource"
+    assert keys[38] == "gvcf_pop_fst"
+    assert keys[39] == "dedup_minhash_band_sweep"
+    assert keys[40] == "analytics_dau_wau"
+    assert keys[49] == "feat_standard_scale"
     # new ops register AFTER the priority window, so later additions can
     # only grow the tail — the prefix pins above are the actual guard
-    assert len(SPECS) >= 360
+    assert len(SPECS) >= 381
 
 
 def test_snapshot_diff_classification(spark, tmp_path):
