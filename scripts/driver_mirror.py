@@ -95,6 +95,15 @@ SF1_ORACLE_DEMOTE = SF01_ORACLE_DEMOTE | {
     "gvcf_genotype_concordance",
     "gvcf_relatedness_ibs",
     "curate_decontaminate",
+    # brute-force pairwise-Jaccard truth over the 50k-doc clone-replicated
+    # corpus = ~1.25e9 list_intersect pairs in DuckDB — unbounded wall
+    # (measured: >15 min on the first key with no progress; fine at
+    # sf0.1's 5k docs). The ENGINE side of all three stays full-scale
+    # (SSJoin pairs + large/small-star CC), and all three stay fully
+    # oracle-checked at sf0.001/sf0.01/sf0.1.
+    "dedup_canonical_select",
+    "dedup_cluster_cc",
+    "dedup_cluster_cc_lss",
 }
 
 
@@ -166,8 +175,38 @@ def main() -> int:
             return f"FAIL values @sortedrow {bad}: spark={s_rows[bad]} oracle={o_rows[bad]}"
         return "match"
 
+    # Stream per-key results as JSONL so a truncated long run (sf1 can take
+    # hours) still leaves committed evidence for every key that finished.
+    tag0 = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    progress_path = f"/tmp/driver_mirror_{tag0}.progress.jsonl"
+
+    # Resume support: DRIVER_MIRROR_RESUME=<progress.jsonl> pre-fills
+    # results for keys that already completed GREEN in a prior run of the
+    # SAME code on the SAME fixtures (each is tagged "(resumed)" in the
+    # per-key ledger so the evidence stays honest). FAIL lines are never
+    # resumed — they re-run.
+    resumed: dict[str, str] = {}
+    resume_from = os.environ.get("DRIVER_MIRROR_RESUME")
+    if resume_from and os.path.exists(resume_from):
+        with open(resume_from) as f:
+            for line in f:
+                rec = json.loads(line)
+                k = next(iter(rec))
+                v = rec[k]
+                if isinstance(v, str) and (
+                    v.startswith("match") or v.startswith("rows-only")
+                ):
+                    resumed[k] = v + " (resumed)"
+
+    progress = open(progress_path, "w", buffering=1)
+
     t0 = time.perf_counter()
     for key in sorted(qs):
+        tk = time.perf_counter()
+        if key in resumed:
+            results[key] = resumed[key]
+            progress.write(json.dumps({key: results[key], "s": 0.0}) + "\n")
+            continue
         try:
             results[key] = check(key, spark)
         except Exception as e:
@@ -220,6 +259,14 @@ def main() -> int:
                     e = e2
             results[key] = f"FAIL exec: {type(e).__name__}: {str(e)[:200]}"
             traceback.print_exc(limit=2, file=sys.stderr)
+        finally:
+            progress.write(
+                json.dumps(
+                    {key: results.get(key, "?"), "s": round(time.perf_counter() - tk, 2)}
+                )
+                + "\n"
+            )
+    progress.close()
 
     fails = {k: v for k, v in results.items() if v.startswith("FAIL")}
     summary = json.dumps(
