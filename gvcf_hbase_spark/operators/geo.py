@@ -164,6 +164,13 @@ def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lon").alias("lon_a"),
         F.explode(ring).alias("cell"),
     ).select("id_a", "lat_a", "lon_a", F.col("cell.px").alias("cx"), F.col("cell.py").alias("cy"))
+    # shuffle_hash hint: the build side here is the FULL point set, so a
+    # broadcast plan only works at toy scale (Spark picks one because the
+    # ~MB-sized side sits under the auto-broadcast threshold, and at sf1
+    # density the build future hits the 300 s broadcast timeout under
+    # load — measured r08). The 100 TB-correct physical strategy for a
+    # spatial self-join is a hash-partitioned equi-join on cell id; the
+    # hint pins it at every scale.
     cand = probe.join(
         base.select(
             F.col("c_custkey").alias("id_b"),
@@ -171,7 +178,7 @@ def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lon").alias("lon_b"),
             "cx",
             "cy",
-        ),
+        ).hint("shuffle_hash"),
         ["cx", "cy"],
     ).filter(F.col("id_a") < F.col("id_b"))
     dist = F.round(

@@ -1523,8 +1523,32 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q.prank").alias("prank"),
             _arr_cos(F.col("q.emb"), F.col("c.emb")).alias("cos_sim"),
         )
+        # LOSSLESS per-(query, probed-cell) top-k prune (r08, added after
+        # the sf1 gate lost a task materializing the unpruned ~400M-pair
+        # candidate relation): for any nprobe mask p, a pair is a
+        # candidate only via cells with prank <= p, and if >= k cell-mates
+        # beat it inside one such cell, those mates are candidates at
+        # every mask that admits the pair — so it can never enter the
+        # global per-query top-k. Keeping only each cell's top-k therefore
+        # preserves every grid point bit-for-bit (pinned by the
+        # sweep-vs-sim_ann_ivf_recall agreement test) while bounding the
+        # checkpointed relation to nq x maxp x k rows. prank identifies
+        # the probed cell per query, so (vec_id, prank) == (query, cell);
+        # per-window groups are cell-sized (bounded). Embeddings are
+        # projected away BEFORE this shuffle — only scalars cross it.
+        .withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy("vec_id", "prank").orderBy(
+                    F.col("cos_sim").desc(), F.col("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("crn") <= _KNN_K)
+        .drop("crn")
         # same pair reachable via several probed cells: keep the earliest
-        # probe rank; cos_sim is pair-determined (identical across cells)
+        # SURVIVING probe rank (a copy pruned in its earliest cell was
+        # provably outside that mask's top-k); cos_sim is pair-determined
         .groupBy("vec_id", "neighbor_id")
         .agg(F.min("prank").alias("prank"), F.max("cos_sim").alias("cos_sim"))
         .localCheckpoint(eager=False)  # consumed once per grid point

