@@ -212,16 +212,42 @@ def curate_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_cluster_cc",
-    oracle="""
-    WITH RECURSIVE d AS (
+# Shared doc-level near-dup labeling CTEs for the three CC-family oracles
+# (r08 verdict action 3). The brute-force form paired ALL docs —
+# O(docs²) list_intersect, unrunnable over the 10×-clone-replicated sf1
+# corpus. This form collapses exact-normalized-text clone groups to their
+# min-doc_id representative FIRST, pairs only representatives
+# (O(distinct²)), then expands labels back through the groups. It is
+# exactly equivalent on ANY corpus, not just replicated fixtures: docs in
+# one group have identical gram sets, so (a) within a non-empty-gram group
+# j = 1 ≥ 0.6 — a clique — and (b) j(u, w) = j(rep(u), rep(w)) for every
+# cross pair, so the pair graph factors through representatives and the
+# component minimum equals the minimum representative (each rep IS its
+# group's min doc_id). One-word docs have EMPTY gram sets — j is NULL even
+# against an identical clone, never an edge — so they keep a per-doc group
+# key and stay singletons, exactly as the brute-force form treated them.
+_CC_LABELS_CTES = """
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS nt
+      FROM documents
+    ),
+    grp AS (
+      SELECT doc_id, nt,
+             min(doc_id) OVER (PARTITION BY gk) AS rep,
+             count(*) OVER (PARTITION BY gk) AS gsz
+      FROM (SELECT doc_id, nt,
+                   CASE WHEN len(string_split(nt, ' ')) < 2
+                        THEN 'E' || CAST(doc_id AS VARCHAR)
+                        ELSE nt END AS gk
+            FROM norm)
+    ),
+    d AS (
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, greatest(len(l) - 1, 0) + 1),
                i -> l[i] || ' ' || l[i+1])) AS grams
-      FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, ' +', ' ', 'g'))), ' ') AS l
-            FROM documents)
+      FROM (SELECT doc_id, string_split(nt, ' ') AS l FROM grp
+            WHERE doc_id = rep)
     ),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -238,10 +264,23 @@ def curate_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT u, v FROM edges
       UNION
       SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    rlabels AS (
+      SELECT u AS rep, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    ),
+    labels AS (
+      SELECT g.doc_id, coalesce(rl.cluster_id, g.rep) AS cluster_id
+      FROM grp g LEFT JOIN rlabels rl ON rl.rep = g.rep
+      WHERE g.gsz > 1 OR rl.rep IS NOT NULL
     )
-    SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-    FROM reach GROUP BY u
-    """,
+"""
+
+_CC_ORACLE = _CC_LABELS_CTES + "\n    SELECT doc_id, cluster_id FROM labels\n"
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle=_CC_ORACLE,
     tags=("curation", "dedup", "iterative"),
 )
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,34 +429,7 @@ def connected_components_lss(pairs: DataFrame, max_rounds: int = 30) -> DataFram
 
 @register(
     "dedup_cluster_cc_lss",
-    oracle="""
-    WITH RECURSIVE d AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(l) - 1, 0) + 1),
-               i -> l[i] || ' ' || l[i+1])) AS grams
-      FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, ' +', ' ', 'g'))), ' ') AS l
-            FROM documents)
-    ),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM d a JOIN d b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.6
-    ),
-    edges AS (
-      SELECT id_a AS u, id_b AS v FROM pairs
-      UNION
-      SELECT id_b AS u, id_a AS v FROM pairs
-    ),
-    reach(u, v) AS (
-      SELECT u, v FROM edges
-      UNION
-      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-    )
-    SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-    FROM reach GROUP BY u
-    """,
+    oracle=_CC_ORACLE,
     tags=("curation", "dedup", "iterative"),
 )
 def dedup_cluster_cc_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -891,34 +903,9 @@ def curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CANONICAL_ORACLE = """
-    WITH RECURSIVE d AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(l) - 1, 0) + 1),
-               i -> l[i] || ' ' || l[i+1])) AS grams
-      FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, ' +', ' ', 'g'))), ' ') AS l
-            FROM documents)
-    ),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM d a JOIN d b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.6
-    ),
-    edges AS (
-      SELECT id_a AS u, id_b AS v FROM pairs
-      UNION
-      SELECT id_b AS u, id_a AS v FROM pairs
-    ),
-    reach(u, v) AS (
-      SELECT u, v FROM edges
-      UNION
-      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-    ),
-    labels AS (
-      SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
-    ),
+# Rides the shared clone-representative labeling CTEs (see
+# _CC_LABELS_CTES above for the equivalence argument).
+_CANONICAL_ORACLE = _CC_LABELS_CTES + """,
     all_docs AS (
       SELECT doc.doc_id, coalesce(l.cluster_id, doc.doc_id) AS cluster_id,
              doc.n_chars

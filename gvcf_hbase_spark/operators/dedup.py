@@ -651,80 +651,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_incremental",
-    oracle=f"""
-    WITH d AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(l) - 2, 0) + 1),
-               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
-      FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, ' +', ' ', 'g'))), ' ') AS l
-            FROM documents)
-    ),
-    hist AS (SELECT * FROM d WHERE doc_id < 400),
-    batch AS (SELECT * FROM d WHERE doc_id >= 400)
-    SELECT n.doc_id AS new_id, h.doc_id AS hist_id,
-           round(CAST(len(list_intersect(n.sh, h.sh)) AS DOUBLE)
-                 / (len(n.sh) + len(h.sh) - len(list_intersect(n.sh, h.sh))), 6)
-             AS jaccard
-    FROM batch n JOIN hist h
-      ON CAST(len(list_intersect(n.sh, h.sh)) AS DOUBLE)
-         / (len(n.sh) + len(h.sh) - len(list_intersect(n.sh, h.sh)))
-         >= {_JACCARD_THRESHOLD}
-    """,
-    tags=("dedup", "lsh", "incremental"),
-)
-def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental NEAR-dup — the daily-ingest shape `dedup_incremental`
-    covers for exact fingerprints, upgraded to Jaccard ≥ 0.8: today's
-    batch (doc_id ≥ 400 stands in for the new crawl) is screened against
-    the HISTORICAL corpus's LSH band index (doc_id < 400), emitting each
-    (new doc, history near-dup, jaccard) hit. This is the op that makes
-    near-dedup O(batch) per day instead of re-running the O(corpus)
-    self-join: the history side's signatures/bands are a standing index
-    a production pipeline materializes once and appends to (here derived
-    in-plan from the same table — the dataflow from the bands join on is
-    identical), and ONLY matching (band, bucket) postings meet in the
-    candidate join, so a batch with no near-dups touches nothing but its
-    own bucket keys. Exact shingle-Jaccard verify on candidates, same
-    16×2 banding guarantee as `dedup_near_minhash` (miss P ≈ 1e-7 at
-    j=0.8; brute-force oracle, agreement asserted in tests at two SFs).
-
-    Probabilistic oracle gate (documented per r07 ADVICE): the oracle is
-    banding-blind brute force, so a borderline pair the bands miss —
-    P = (1-j²)^16, ~7.7e-8 at j=0.8 — would hash-mismatch at the low-SF
-    gates. Accepted risk, same posture as `dedup_near_minhash`; the 10×
-    gate demotes this oracle for cost reasons anyway (see
-    scripts/driver_mirror.py SF01_ORACLE_DEMOTE).
-    """
-    d = load_table(spark, sf_dir, "documents")
-    # one shingle materialization serves signatures AND the verify joins
-    sets_df = _shingle_sets(d).persist()
-    sigs = minhash_signatures(d, sets=sets_df)
-    bands = lsh_bands(sigs)
-    hist_bands = bands.filter(F.col("doc_id") < 400).select(
-        F.col("doc_id").alias("hist_id"), "band", "bucket"
-    )
-    batch_bands = bands.filter(F.col("doc_id") >= 400).select(
-        F.col("doc_id").alias("new_id"), "band", "bucket"
-    )
-    cands = (
-        batch_bands.join(hist_bands, ["band", "bucket"])
-        .select("new_id", "hist_id")
-        .distinct()
-    )
-    n = sets_df.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n"))
-    h = sets_df.select(F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_h"))
-    inter = F.size(F.array_intersect("sh_n", "sh_h")).cast("double")
-    union = F.size("sh_n") + F.size("sh_h") - F.size(F.array_intersect("sh_n", "sh_h"))
-    jac = inter / union
-    return (
-        cands.join(n, "new_id")
-        .join(h, "hist_id")
-        .filter(jac >= _JACCARD_THRESHOLD)
-        .select("new_id", "hist_id", F.round(jac, 6).alias("jaccard"))
-    )
+# dedup_minhash_incremental is registered below (after the portable-hash
+# SQL fragments it shares with dedup_minhash_recall are defined) -- see
+# _register_minhash_incremental().
 
 
 _RECALL_MAX_HAMMING = 3
@@ -1018,6 +947,118 @@ def _register_minhash_recall() -> None:
 _register_minhash_recall()
 
 
+def _minhash_incremental_oracle() -> str:
+    """DuckDB twin of the incremental screen that reproduces the 16×2
+    banding EXACTLY (r08 verdict action 4): portable md5-prefix signatures
+    (same CTEs as `_MINHASH_RECALL_ORACLE`), band join restricted to
+    batch×history, exact-Jaccard verify on the candidates. The old oracle
+    was banding-blind brute force, leaving a p≈(1-j²)^16 flake window on
+    borderline pairs; this one is a deterministic function of the corpus at
+    every SF."""
+    sig_cols = ",\n".join(
+        f"             min(({a} * h + {b}) % {_P}) AS m{j}"
+        for j, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
+    )
+    band_union = " UNION ALL ".join(
+        f"      SELECT doc_id, {b} AS band, m{b * _BAND_ROWS} AS r0,"
+        f" m{b * _BAND_ROWS + 1} AS r1 FROM sigs"
+        for b in range(_MH_N_BANDS)
+    )
+    jac = (
+        "CAST(len(list_intersect(n.sh, h.sh)) AS DOUBLE)"
+        " / (len(n.sh) + len(h.sh) - len(list_intersect(n.sh, h.sh)))"
+    )
+    return f"""
+    WITH d AS ({_MH_RECALL_SHINGLES}),
+    hashed AS (
+      SELECT doc_id,
+             {_PREMIX_SQL.format(h="CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)")} AS h
+      FROM (SELECT doc_id, unnest(sh) AS s FROM d)
+    ),
+    sigs AS (
+      SELECT doc_id,
+{sig_cols}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+{band_union}
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS hist_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1
+      WHERE a.doc_id < 400 AND b.doc_id >= 400
+    )
+    SELECT c.new_id, c.hist_id, round({jac}, 6) AS jaccard
+    FROM cand c
+    JOIN d n ON n.doc_id = c.new_id
+    JOIN d h ON h.doc_id = c.hist_id
+    WHERE {jac} >= {_JACCARD_THRESHOLD}
+    """
+
+
+def _register_minhash_incremental() -> None:
+    @register(
+        "dedup_minhash_incremental",
+        oracle=_minhash_incremental_oracle(),
+        tags=("dedup", "lsh", "incremental"),
+    )
+    def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incremental NEAR-dup — the daily-ingest shape `dedup_incremental`
+        covers for exact fingerprints, upgraded to Jaccard ≥ 0.8: today's
+        batch (doc_id ≥ 400 stands in for the new crawl) is screened
+        against the HISTORICAL corpus's LSH band index (doc_id < 400),
+        emitting each (new doc, history near-dup, jaccard) hit. This is the
+        op that makes near-dedup O(batch) per day instead of re-running the
+        O(corpus) self-join: the history side's signatures/bands are a
+        standing index a production pipeline materializes once and appends
+        to (here derived in-plan from the same table — the dataflow from
+        the bands join on is identical), and ONLY matching (band, row
+        values) postings meet in the candidate join, so a batch with no
+        near-dups touches nothing but its own band keys. Exact
+        shingle-Jaccard verify on candidates.
+
+        Deterministic oracle gate (r08 verdict action 4; supersedes the
+        r07 accepted-risk posture): signatures use the engine-portable
+        md5-prefix family (`minhash_signatures_portable`) and candidates
+        join on raw band-row values (`lsh_candidate_pairs_raw`), so the
+        DuckDB oracle reproduces the 16×2 banding bit-for-bit — a
+        borderline pair the bands miss is now missed by BOTH engines, and
+        the hash gate is exact at every SF instead of p≈1-(1-j²)^16
+        lossy. Production keeps the xxhash64 signature path for ingest
+        (2× cheaper); the screen's dataflow is identical either way."""
+        d = load_table(spark, sf_dir, "documents")
+        # one shingle materialization serves signatures AND the verify joins
+        sets_df = _shingle_sets(d).persist()
+        sigs = minhash_signatures_portable(sets_df)
+        # batch×history restriction: the helper's id_a < id_b self-join
+        # plus one pushable filter per side (hist ids < 400 < batch ids,
+        # so id_a is always the history doc).
+        cands = (
+            lsh_candidate_pairs_raw(sigs)
+            .filter((F.col("id_a") < 400) & (F.col("id_b") >= 400))
+            .select(
+                F.col("id_b").alias("new_id"), F.col("id_a").alias("hist_id")
+            )
+        )
+        n = sets_df.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n"))
+        h = sets_df.select(F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_h"))
+        inter = F.size(F.array_intersect("sh_n", "sh_h")).cast("double")
+        union = (
+            F.size("sh_n") + F.size("sh_h") - F.size(F.array_intersect("sh_n", "sh_h"))
+        )
+        jac = inter / union
+        return (
+            cands.join(n, "new_id")
+            .join(h, "hist_id")
+            .filter(jac >= _JACCARD_THRESHOLD)
+            .select("new_id", "hist_id", F.round(jac, 6).alias("jaccard"))
+        )
+
+
+_register_minhash_incremental()
+
+
 # ---------------------------------------------------------------------------
 # MinHash banding-grid gauge (r08; r07 verdict action 5 — the (bands × rows)
 # sweep is the one knob a 100 TB dedup run actually tunes, and until now the
@@ -1181,6 +1222,14 @@ def _register_minhash_band_sweep() -> None:
                 "precision_1e6",
             )
             out = row if out is None else out.unionByName(row)
+        # The grid is 4 rows; materialize it eagerly (lineage-truncating
+        # localCheckpoint) so the three persisted relations can be released
+        # HERE instead of pinning executor storage for the rest of a long
+        # multi-key mirror session (ADVICE r08).
+        out = out.localCheckpoint(eager=True)
+        truth.unpersist()
+        sigs.unpersist()
+        sets_df.unpersist()
         return out
 
 

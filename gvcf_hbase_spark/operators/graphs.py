@@ -133,12 +133,23 @@ _PR_EDGES = """
     deg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1)
 """
 
-_PR_STEP = """
-    r{next} AS (
-      SELECT nd.id, nd.n, 0.15 / nd.n + 0.85 * coalesce(sum(p.r / deg.od), 0) AS r
+# Fixed-point mass scale (r09). Ranks are BIGINT multiples of 1/R of total
+# mass and every step uses FLOOR division, so the recurrence is a
+# deterministic integer function both engines implement identically — the
+# sf1 float-ulp quantization-boundary demote (r08) is gone by construction.
+# Resolution: 1 unit = n/R of the n-scaled rank (≤ 1.5e-5 even at sf10's
+# 1.5M nodes); floor losses are < 3 units/node/step — invisible at the
+# 1e-6 reporting grid.
+_PR_SCALE = 10**12
+
+_PR_STEP = f"""
+    r{{next}} AS (
+      SELECT nd.id, nd.n,
+             CAST((15 * {_PR_SCALE}) // (100 * nd.n)
+                  + (85 * coalesce(sum(p.r // deg.od), 0)) // 100 AS BIGINT) AS r
       FROM nodes nd
       LEFT JOIN edges e ON e.dst = nd.id
-      LEFT JOIN r{prev} p ON p.id = e.src
+      LEFT JOIN r{{prev}} p ON p.id = e.src
       LEFT JOIN deg ON deg.src = e.src
       GROUP BY nd.id, nd.n
     )
@@ -147,12 +158,12 @@ _PR_STEP = """
 _PAGERANK_ORACLE = (
     "WITH "
     + _PR_EDGES
-    + ", r0 AS (SELECT id, n, 1.0 / n AS r FROM nodes)"
+    + f", r0 AS (SELECT id, n, CAST({_PR_SCALE} // n AS BIGINT) AS r FROM nodes)"
     + "".join(
         "," + _PR_STEP.format(next=k + 1, prev=k) for k in range(_PAGERANK_K)
     )
     + f"""
-    SELECT id, round(r * n, 6) AS rank_scaled FROM r{_PAGERANK_K}
+    SELECT id, CAST((r * n) // 1000000 AS BIGINT) AS rank_scaled_1e6 FROM r{_PAGERANK_K}
 """
 )
 
@@ -185,14 +196,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unrolled-CTE oracle is unchanged, but the dataflow is the one
     a real web graph needs.
 
-    Cross-engine float posture (measured r08): Spark's and DuckDB's
-    per-iteration rank sums use different summation trees, so scores can
-    differ in the last ulp; at sf1's 10× node count one score landed ON a
-    6dp quantization boundary (5.680313 vs 5.680312). The oracle is
-    therefore demoted to rows-only at the sf1 gate
-    (scripts/driver_mirror.py SF1_ORACLE_DEMOTE) and stays fully
-    hash-checked at sf0.001/sf0.01/sf0.1 — inherent to iterative float
-    accumulation across engines, not a semantics defect."""
+    Cross-engine numeric posture (r09, supersedes the r08 float note):
+    the recurrence is FIXED-POINT — ranks are BIGINT multiples of
+    1/10^12 of total mass and every step floor-divides — so both engines
+    compute the identical integer sequence and the oracle is exact at
+    every SF. The r08 sf1 demote (a float-ulp landing on a 6dp
+    quantization boundary, 5.680313 vs 5.680312 at 10× nodes) is gone by
+    construction, not by widened tolerance; agreement with true float
+    PageRank is pinned by the numpy power-iteration test (fixed-point
+    error < 1e-7 on the n-scaled rank)."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
     n = c.count()
     nodes = c
@@ -240,28 +252,48 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         if memo_key not in _PR_DANGLING_MEMO:
             _PR_DANGLING_MEMO[memo_key] = not dangling.isEmpty()
         has_dangling = _PR_DANGLING_MEMO[memo_key]
-    rank = nodes.select("id", F.lit(1.0 / n).alias("r"))
+    # Fixed-point recurrence (r09): ranks are BIGINT multiples of
+    # 1/_PR_SCALE of total mass, every step floor-divides (`div`), and the
+    # oracle unrolls the SAME integer recurrence — cross-engine equality is
+    # exact at every SF (the r08 sf1 demote was a float-ulp 6dp-boundary
+    # case; integers have no boundary). Floor losses are < 3 units/node/
+    # step at 1e-12 resolution — invisible at the 1e-6 reporting grid (the
+    # numpy power-iteration test pins agreement with float PageRank).
+    base = (15 * _PR_SCALE) // (100 * n)
+    rank = nodes.select("id", F.lit(_PR_SCALE // n).cast("long").alias("r"))
     for _ in range(_PAGERANK_K):
         contribs = (
             contrib_src.join(rank.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
-            .agg(F.sum(F.col("r") / F.col("od")).alias("inflow"))
+            .agg(F.sum(F.expr("r div od")).alias("inflow"))
         )
         upd = nodes.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
         if has_dangling:
             dang = rank.join(dangling, "id", "leftsemi").agg(
-                F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
+                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
             )
             upd = upd.crossJoin(F.broadcast(dang))
-            inflow = F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") / F.lit(
-                float(n)
+            inflow = F.coalesce(F.col("inflow"), F.lit(0).cast("long")) + F.expr(
+                f"dm div CAST({n} AS BIGINT)"
             )
         else:
-            inflow = F.coalesce(F.col("inflow"), F.lit(0.0))
-        rank = upd.select(
-            "id", (F.lit(0.15 / n) + 0.85 * inflow).alias("r")
-        ).localCheckpoint(eager=False)
-    return rank.select("id", F.round(F.col("r") * n, 6).alias("rank_scaled"))
+            inflow = F.coalesce(F.col("inflow"), F.lit(0).cast("long"))
+        rank = (
+            upd.withColumn("inflow_t", inflow)
+            .select(
+                "id",
+                (F.lit(base) + F.expr("(85 * inflow_t) div 100"))
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return rank.select(
+        "id",
+        F.expr(f"(r * CAST({n} AS BIGINT)) div 1000000")
+        .cast("long")
+        .alias("rank_scaled_1e6"),
+    )
 
 
 _DEGREE_HIST_ORACLE = """

@@ -1359,9 +1359,28 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gate (r08). Raise the guard to a bound sized for the fixture
     # decades (1e8); the LEVEL limit (default 100) stays — depth grows
     # as log2(keys), so levels are never the binding constraint here.
+    # The raised guard is scoped: execute the recursion eagerly under it
+    # (lineage-truncating localCheckpoint), then restore the prior value in
+    # a finally so later operators in a shared session do NOT inherit the
+    # 100x-relaxed runaway-recursion guard (ADVICE r08). The result set is
+    # small (one row per (node, ancestor-step)), so eager materialization
+    # costs what the driver's collect would have anyway.
+    try:
+        prev = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    except Exception:
+        prev = None
     spark.conf.set("spark.sql.cteRecursionRowLimit", 100_000_000)
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_rcte")
-    return spark.sql(_RECURSIVE_CTE_BODY.format(customer="v_customer_rcte"))
+    try:
+        load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+            "v_customer_rcte"
+        )
+        df = spark.sql(_RECURSIVE_CTE_BODY.format(customer="v_customer_rcte"))
+        return df.localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
 
 
 _SQL_UDF_ORACLE = """

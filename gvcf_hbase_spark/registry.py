@@ -77,112 +77,121 @@ def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # Driver-facing enumeration order. The correctness harness verifies only a
-# 50-key PREFIX of the inventory per round. Cumulative driver verdicts after
-# r07: 341 of 380 keys (CORRECTNESS_r07: 49 hash-green + 1
-# rows-only-by-design on the round-7 window). Round-8 rotation (r07 verdict
-# action 1): the 39 never-driver-verified keys staged at r07 slots 51-89
-# are promoted to slots 1-39, completing 380/380 cumulative driver
-# coverage. Slot 40 holds the single round-8 addition
-# (dedup_minhash_band_sweep, r07 verdict action 5); slots 41-50 backfill
-# with already-verified keys so nothing new can displace completion
-# (r07 verdict: "keep any r08 additions BEHIND the staged 39").
+# 50-key PREFIX of the inventory per round.
+#
+# STANDING ROTATION POLICY (r08 verdict action 1 -- permanent; every round
+# self-rotates by this rule):
+#   1. changed-since-verdict first: any key whose implementation or oracle
+#      changed AFTER its newest driver verdict goes in slots 1..c, so the
+#      hard signal never describes code that no longer exists;
+#   2. never-driver-verified next (new keys added this round);
+#   3. oldest-verdict-first fills the remaining slots (ties broken by key
+#      name for determinism), keeping the cumulative 381/381 coverage
+#      fresh instead of letting the r01-r03 tail go stale.
+# Slots 51-90 stage the NEXT-oldest tail so the r10 rotation is mechanical.
+#
+# Round-9 window: slots 1-7 are the changed-since-verdict set (the six keys
+# rewritten by the r08 sf1 scale fixes -- q5_nation_revenue r03,
+# graph_pagerank r04, win_interval_merge r05, ts_downsample_lttb r07,
+# join_geo_grid r07, hierarchy_flatten_bounded r07 -- plus
+# dedup_minhash_incremental, whose oracle was rewritten this round to
+# reproduce the 16x2 banding deterministically). Slots 8-50: the 43 keys
+# whose latest verdict is r01, oldest tail of the registry.
 _PRIORITY = [
-    # ===== round-8 window (slots 1-39: the staged never-driver-verified
-    # set, promoted from r07 slots 51-89; completes 380/380 coverage) =====
-    "source_gvcf_datasource",
-    "sink_zorder_layout",
-    "sink_write_audit_publish",
-    "sql_recursive_cte",
-    "sql_udf_scalar",
-    "feat_woe_encode",
-    "analytics_diff_in_diff",
-    "curate_dsir_weights",
-    "ts_holt_winters",
-    "multimodal_cdc_chunk_dedup",
-    "ts_downsample_lttb_exact",
-    "win_percentile_running_full",
-    "agg_quantiles_multi",
-    "text_zipf_slope",
-    "curate_gopher_report",
-    "ts_kalman_1d",
-    "curate_ccnet_buckets",
-    "sim_ann_ivf_recall",
-    "sim_pq_recall",
-    "ts_ohlc_bars",
-    "win_drawdown_max",
-    "text_bpe_merge_step",
-    "dedup_minhash_recall",
-    "gvcf_phase_by_transmission",
-    "text_langid_confusion",
-    "gvcf_af_spectrum",
-    "sim_semdedup_eps_sweep",
-    "graph_modularity",
-    "ts_sax_symbols",
-    "anomaly_seasonal_residual",
-    "dedup_minhash_incremental",
-    "profile_drift_psi",
-    "sim_ivf_nprobe_sweep",
-    "graph_assortativity",
-    "gvcf_sample_missingness",
-    "ts_dominant_period",
-    "curate_tokenizer_fertility",
-    "multimodal_audio_vad_segments",
-    "gvcf_pop_fst",
-    # slot 40: the one round-8 addition (behind the staged 39 in spirit --
-    # the window holds 50, so it still gets a driver verdict this round)
-    "dedup_minhash_band_sweep",
-    # ===== slots 41-50: backfill with already-verified keys =====
-    "analytics_dau_wau",
-    "agg_median_twophase",
-    "analytics_chi_square",
-    "analytics_mann_whitney",
-    "analytics_anova",
-    "analytics_survival_km",
-    "stats_bh_fdr",
-    "stats_bootstrap_ci",
-    "feat_rank_bucketize",
-    "feat_standard_scale",
-    # ===== remainder of the r07 window (all driver-verified r07) =====
-    "feat_frequency_encode",
-    "feat_hashing_trick",
-    "feat_target_encode_loo",
-    "ts_autocorr",
-    "win_moving_slope",
-    "ts_cross_correlation",
-    "ts_changepoint_meanshift",
-    "ts_downsample_m4",
+    # ===== round-9 window: slots 1-7 changed-since-verdict =====
+    "q5_nation_revenue",
+    "graph_pagerank",
+    "win_interval_merge",
     "ts_downsample_lttb",
-    "linkage_golden_record",
-    "cdc_snapshot_diff",
-    "graph_khop_reach",
-    "graph_sssp_bounded",
-    "hierarchy_flatten_bounded",
-    "graph_clustering_coefficient",
-    "graph_kcore_bounded",
-    "graph_resource_allocation",
-    "graph_lpa_communities",
-    "agg_countmin_freq",
-    "agg_bloom_membership",
-    "agg_hll_intersection",
-    "geo_haversine_nearest",
     "join_geo_grid",
-    "geo_cell_density",
-    "geo_trajectory_length",
-    "geo_polygon_contains",
-    "geo_geohash_encode",
-    "udtf_analyze_dynamic",
-    "stream_pattern_kleene",
-    "gvcf_titv_ratio",
-    "gvcf_dp_stats",
-    "gvcf_block_compression",
-    "gvcf_hwe_chi2",
-    "gvcf_genotype_concordance",
-    "gvcf_mendelian_violations",
-    "gvcf_roh_runs",
-    "gvcf_variant_density",
-    "gvcf_callable_regions",
-    "gvcf_singleton_share",
-    "gvcf_relatedness_ibs",
+    "hierarchy_flatten_bounded",
+    "dedup_minhash_incremental",
+    # ===== slots 8-50: oldest-verdict-first (all latest=r01) =====
+    "agg_approx_distinct",
+    "agg_arg_minmax",
+    "agg_conditional",
+    "agg_cube",
+    "agg_distinct",
+    "agg_global",
+    "agg_group",
+    "agg_grouping_sets",
+    "agg_hll_sketch_merge",
+    "agg_percentile",
+    "agg_pivot",
+    "agg_stats",
+    "distinct_rows",
+    "filter_conj",
+    "filter_variant_sites",
+    "join_anti",
+    "join_broadcast",
+    "join_cross",
+    "join_full",
+    "join_interval",
+    "join_left",
+    "join_null_safe",
+    "join_range_bucketed",
+    "join_right",
+    "join_semi",
+    "join_shuffle",
+    "join_skew_salted",
+    "limit_offset",
+    "project_expr",
+    "scan_full",
+    "scan_project",
+    "scan_range_key",
+    "sort_multi",
+    "source_csv_inline",
+    "source_json_props",
+    "topk_global",
+    "topk_keyset_page",
+    "win_expand_blocks",
+    "win_frame_rows",
+    "win_lag_lead",
+    "win_ntile_pct",
+    "win_rank",
+    "win_topk_group",
+    # ===== slots 51-90: staged next-oldest (latest=r02) for the
+    # r10 rotation =====
+    "agg_approx_percentile",
+    "agg_collect",
+    "agg_time_rollup",
+    "curate_pack_batches",
+    "curate_pipeline_e2e",
+    "dedup_cluster_cc",
+    "dedup_cluster_cc_lss",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "gvcf_combine",
+    "gvcf_encode_roundtrip",
+    "join_asof",
+    "join_asof_forward",
+    "join_theta",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_join",
+    "multimodal_resize",
+    "set_union_all",
+    "sim_ann_ivf",
+    "sim_ann_lsh",
+    "sim_cosine_pairs",
+    "sim_knn_ivf",
+    "sim_knn_topk",
+    "sink_bucketed_join",
+    "sink_bulk_put",
+    "sink_hive_partitioned",
+    "source_gvcf_lines",
+    "stream_dedup",
+    "stream_foreach_batch_upsert",
+    "stream_join_static",
+    "stream_join_stream",
+    "stream_session",
+    "stream_sliding",
+    "stream_stateful",
+    "stream_tumbling",
+    "stream_watermark_late",
 ]
 # Keys NOT listed above (all with a driver verdict from r01-r07) are
 # appended by load_all() in module registration order after the window.

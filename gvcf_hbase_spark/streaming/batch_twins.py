@@ -136,7 +136,7 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value,
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, value,
              lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_t
       FROM events
     ),
@@ -146,7 +146,11 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered
     ),
     sessions AS (
-      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY epoch_us(t)
+      -- event_id tiebreak matches the lag clause above: under duplicate
+      -- (user_id, ts) pairs a ROWS running sum is peer-order-sensitive, and
+      -- a tied row could otherwise be summed in a different order than its
+      -- new_s flag was computed in (r08 ADVICE window-wobble audit).
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY epoch_us(t), event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM flagged
     )

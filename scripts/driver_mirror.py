@@ -63,14 +63,11 @@ SF01_ORACLE_DEMOTE = {
     "dedup_minhash_recall",  # oracle truth CTE is the brute-force n² Jaccard
     "dedup_minhash_band_sweep",  # same brute-force n² truth CTE (r08)
     "sim_semdedup_eps_sweep",  # oracle pairs CTE is cell-local quadratic
-    # oracle is the brute-force batch x hist join. NOTE (probabilistic gate,
-    # r07 ADVICE): the implementation screens candidates through the 16x2
-    # LSH band index while this oracle does not, so a qualifying pair can be
-    # missed with P = (1-j^2)^16 (~7.7e-8 at j=0.8). The low-SF hash gates
-    # (sf0.001/sf0.01) still run this oracle; that residual flake risk is
-    # ACCEPTED by design — same posture as dedup_near_minhash, whose oracle
-    # is likewise banding-blind.
-    "dedup_minhash_incremental",
+    # dedup_minhash_incremental left this list in r09: its oracle now
+    # reproduces the 16x2 banding deterministically (portable md5-prefix
+    # signatures, batch x hist band join, exact verify on candidates), so
+    # both the r07 probabilistic-flake note and the brute-force cost reason
+    # are gone — the oracle is linear in docs + candidates at every SF.
 }
 
 
@@ -95,26 +92,20 @@ SF1_ORACLE_DEMOTE = SF01_ORACLE_DEMOTE | {
     "gvcf_genotype_concordance",
     "gvcf_relatedness_ibs",
     "curate_decontaminate",
-    # brute-force pairwise-Jaccard truth over the 50k-doc clone-replicated
-    # corpus = ~1.25e9 list_intersect pairs in DuckDB — unbounded wall
-    # (measured: >15 min on the first key with no progress; fine at
-    # sf0.1's 5k docs). The ENGINE side of all three stays full-scale
-    # (SSJoin pairs + large/small-star CC), and all three stay fully
-    # oracle-checked at sf0.001/sf0.01/sf0.1.
-    "dedup_canonical_select",
-    "dedup_cluster_cc",
-    "dedup_cluster_cc_lss",
+    # The CC family (dedup_cluster_cc, dedup_cluster_cc_lss,
+    # dedup_canonical_select) left this list in r09: their oracles now
+    # collapse exact-clone groups to representatives before the pairwise
+    # CTE (O(distinct²), not O(docs²)) — see _CC_LABELS_CTES in
+    # operators/curation.py for the equivalence argument — so the sf1
+    # clone-replicated corpus costs what sf0.1 did.
     # brute-force n^2 haversine truth over 150k points = 2.25e10 DuckDB
     # pairs — unrunnable; the ENGINE side (grid-bucketed shuffle join, the
     # scale path) still runs and row-counts at full sf1 density
     "join_geo_grid",
-    # iterative float accumulation: Spark's and DuckDB's per-iteration rank
-    # sums differ in the last ulp (different summation trees), and at sf1's
-    # 10x node count one score finally landed ON a 6dp quantization
-    # boundary (5.680313 vs 5.680312, node 1005 — measured r08). Inherent
-    # to cross-engine float iteration, not a semantics bug; stays fully
-    # hash-checked at sf0.001/sf0.01/sf0.1 where no boundary case exists.
-    "graph_pagerank",
+    # graph_pagerank left this list in r09: the recurrence is now
+    # fixed-point BIGINT with floor division on both engines, so the r08
+    # float-ulp 6dp-boundary case cannot occur — the oracle is exact at
+    # every SF.
 }
 
 
@@ -196,12 +187,41 @@ def main() -> int:
     # SAME code on the SAME fixtures (each is tagged "(resumed)" in the
     # per-key ledger so the evidence stays honest). FAIL lines are never
     # resumed — they re-run.
+    def _git_sha() -> str:
+        try:
+            import subprocess
+
+            return (
+                subprocess.run(
+                    ["git", "-C", os.path.dirname(os.path.dirname(__file__)),
+                     "rev-parse", "HEAD"],
+                    capture_output=True, text=True, timeout=10,
+                ).stdout.strip()
+                or "unknown"
+            )
+        except Exception:
+            return "unknown"
+
+    # Provenance header (ADVICE r08): the first progress line records the
+    # fixture tag + code revision. Resume REFUSES a progress file whose
+    # header disagrees (or is missing), so a stale or wrong-scale file can
+    # never silently count keys as '(resumed)' verified.
+    header = {"__header__": {"sf": tag0, "sha": _git_sha()}}
+
     resumed: dict[str, str] = {}
     resume_from = os.environ.get("DRIVER_MIRROR_RESUME")
     if resume_from and os.path.exists(resume_from):
         with open(resume_from) as f:
-            for line in f:
-                rec = json.loads(line)
+            lines = [json.loads(line) for line in f if line.strip()]
+        hdr = lines[0].get("__header__") if lines else None
+        if hdr != header["__header__"]:
+            print(
+                f"[mirror] REFUSING resume from {resume_from}: header "
+                f"{hdr!r} != current {header['__header__']!r} "
+                "(different fixtures or code revision) -- running all keys"
+            )
+        else:
+            for rec in lines[1:]:
                 k = next(iter(rec))
                 v = rec[k]
                 if isinstance(v, str) and (
@@ -210,6 +230,7 @@ def main() -> int:
                     resumed[k] = v + " (resumed)"
 
     progress = open(progress_path, "w", buffering=1)
+    progress.write(json.dumps(header) + "\n")
 
     t0 = time.perf_counter()
     for key in sorted(qs):

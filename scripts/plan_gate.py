@@ -1,0 +1,131 @@
+"""Executable plan-ledger gate (r08 verdict action 6).
+
+The plan-digest ledger (PLANS_r{N}.json, written by scripts/plan_digest.py)
+was being diffed by eye between rounds; this script makes the diff a
+mechanical gate. It exits nonzero on:
+
+  1. a key whose NEW digest contains a CartesianProduct the OLD one
+     didn't (cart regressions are never acceptable);
+  2. a key that gained a Python stage (py 0 -> >0) without an allowlist
+     entry — the Arrow/pandas tier is declared, so a JVM-only op silently
+     falling to Python is a plan regression;
+  3. ANY other per-key digest change without an allowlist entry — an
+     intentional plan improvement must be recorded below with a reason, so
+     a future round can't miss a real regression the way a cache artifact
+     was nearly missed by eye in r08.
+
+Removed keys are reported as failures too (the inventory is append-only);
+added keys are reported but pass (inventory growth).
+
+Usage:
+    python scripts/plan_gate.py OLD.json NEW.json
+
+The committed-ledger pytest (tests/test_plans.py) runs this gate over the
+two newest PLANS_r*.json in the repo root, so `pytest` fails if a round
+commits a ledger whose diff vs the prior round is not fully allowlisted.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+# key -> reason. An entry admits ANY digest change for that key for the
+# one round-pair being gated; prune entries when the round they describe
+# has been judged (stale entries would mask future regressions).
+ALLOWED_CHANGES: dict[str, str] = {
+    # r08 -> r09 intentional changes:
+    "sql_recursive_cte": (
+        "r09: recursion now executes eagerly under a scoped "
+        "cteRecursionRowLimit raise and returns a localCheckpoint scan "
+        "(ADVICE r08 — conf no longer leaks to the shared session)"
+    ),
+    "dedup_minhash_band_sweep": (
+        "r09: grid materialized via localCheckpoint so the three persisted "
+        "relations can be unpersisted before return (ADVICE r08)"
+    ),
+    "dedup_minhash_incremental": (
+        "r09: switched to portable md5-prefix signatures + raw band-value "
+        "joins so the DuckDB oracle reproduces the banding deterministically "
+        "(r08 verdict action 4)"
+    ),
+    "dedup_minhash_recall": (
+        "r09: the r08 ledger carried an InMemoryRelation boundary from the "
+        "band sweep's persist leaking into the digest session; the sweep now "
+        "unpersists, so recall's digest reverts to its true plan"
+    ),
+}
+
+
+def _load(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def gate(old: dict, new: dict) -> tuple[list[str], list[str]]:
+    """Return (failures, notes)."""
+    fails: list[str] = []
+    notes: list[str] = []
+    op, np_ = old["plans"], new["plans"]
+
+    for key in sorted(set(op) | set(np_)):
+        o, n = op.get(key), np_.get(key)
+        if o is None:
+            notes.append(f"ADDED {key}: {n}")
+            if isinstance(n, dict) and n.get("cart", 0) > 0:
+                fails.append(f"{key}: NEW key planned with CartesianProduct: {n}")
+            continue
+        if n is None:
+            fails.append(f"{key}: REMOVED from ledger (inventory is append-only)")
+            continue
+        if o == n:
+            continue
+        # digest changed — classify
+        if isinstance(n, dict) and isinstance(o, dict):
+            if n.get("cart", 0) > o.get("cart", 0):
+                fails.append(f"{key}: CartesianProduct regression {o} -> {n}")
+                continue
+            if n.get("py", 0) > 0 and o.get("py", 0) == 0 and key not in ALLOWED_CHANGES:
+                fails.append(f"{key}: gained a Python stage outside the declared tier {o} -> {n}")
+                continue
+        if key in ALLOWED_CHANGES:
+            notes.append(f"ALLOWED {key}: {o} -> {n} ({ALLOWED_CHANGES[key]})")
+        else:
+            fails.append(f"{key}: unallowlisted digest change {o} -> {n}")
+    return fails, notes
+
+
+def newest_ledgers(repo_root: str) -> tuple[str, str]:
+    """The two newest committed PLANS_r{N}.json by round number."""
+    paths = glob.glob(os.path.join(repo_root, "PLANS_r*.json"))
+    by_round = sorted(paths, key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    if len(by_round) < 2:
+        raise SystemExit("need at least two committed PLANS_r*.json to gate")
+    return by_round[-2], by_round[-1]
+
+
+def main() -> int:
+    if len(sys.argv) == 3:
+        old_path, new_path = sys.argv[1], sys.argv[2]
+    else:
+        old_path, new_path = newest_ledgers(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+    old, new = _load(old_path), _load(new_path)
+    fails, notes = gate(old, new)
+    for x in notes:
+        print(f"[plan-gate] {x}")
+    for x in fails:
+        print(f"[plan-gate] FAIL {x}")
+    print(
+        f"[plan-gate] {old_path} -> {new_path}: "
+        f"{len(fails)} failures, {len(notes)} allowed/added"
+    )
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -919,3 +919,23 @@ def test_no_holistic_aggregate_rides_a_growing_frame(spark):
         for line in txt.splitlines():
             m = pat.search(line)
             assert not m, f"{key}: holistic aggregate on a growing frame: {line.strip()[:160]}"
+
+
+def test_committed_plan_ledgers_pass_the_gate():
+    """The two newest committed PLANS_r{N}.json must diff clean under
+    scripts/plan_gate.py: zero cartesian regressions, zero undeclared
+    Python stages, and every other per-key digest change covered by an
+    ALLOWED_CHANGES entry with a reason (r08 verdict action 6 — the r08
+    cache-artifact line was caught by eye; this makes it mechanical)."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "plan_gate", os.path.join(root, "scripts", "plan_gate.py")
+    )
+    pg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pg)
+    old_path, new_path = pg.newest_ledgers(root)
+    fails, _ = pg.gate(pg._load(old_path), pg._load(new_path))
+    assert not fails, f"{old_path} -> {new_path}:\n" + "\n".join(fails)

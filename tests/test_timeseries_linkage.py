@@ -197,9 +197,10 @@ def test_pagerank_mass_and_shape(spark):
     outranks the ring-only median node."""
     rows = SPECS["graph_pagerank"].fn(spark, "/root/testdata/sf0.001").collect()
     n = len(rows)
-    ranks = {r.id: r.rank_scaled for r in rows}
+    # rank_scaled_1e6 is the fixed-point n-scaled rank in 1e-6 units (r09)
+    ranks = {r.id: r.rank_scaled_1e6 / 1e6 for r in rows}
     assert abs(sum(ranks.values()) - n) < 1e-3 * n
-    assert min(ranks.values()) >= 0.15 - 1e-9
+    assert min(ranks.values()) >= 0.15 - 1e-5
     assert ranks[0] > ranks[n // 2 + 1]
     assert ranks[1] > 1.0  # node 1 receives from 0, 2 and 3
 
