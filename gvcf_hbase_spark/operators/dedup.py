@@ -806,8 +806,63 @@ _MH_RECALL_SHINGLES = """
 
 _MH_N_BANDS = _N_HASHES // _BAND_ROWS
 
+# Rep-collapsed shared prefix for the two confusion-gauge oracles (r09,
+# lifts their sf0.1/sf1 cost demotes). The brute-force truth CTE paired
+# ALL docs — O(docs²) list_intersect. This form is exactly equivalent on
+# any corpus and two cost classes cheaper:
+#   1. exact-normalized-text clone groups collapse to their min-doc_id
+#      representative (docs in a group have identical shingle sets, so
+#      the j≥t pair graph AND the band-candidate graph factor through
+#      representatives; a non-empty-gram group is a clique on both sides,
+#      an under-3-word group has EMPTY shingles — never a pair on either
+#      side — and keeps a per-doc key);
+#   2. rep-level truth is the SSJoin inverted index with the lossless
+#      size-ratio prune (the ENGINE's own truth shape: j ≥ t requires a
+#      shared shingle and t·|B| ≤ |A| ≤ |B|/t), never an all-pairs join.
+# Confusion COUNTS over all docs then expand through group sizes:
+# cross-pair terms Σ gsz_a·gsz_b over rep pairs, plus the within-group
+# clique term w = Σ C(gsz,2) — identical clones are truth AND candidate
+# pairs at every banding, so w adds to n_truth, n_pred and n_hit alike.
+_MH_REP_CTES = f"""norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS nt
+      FROM documents
+    ),
+    grp AS (
+      SELECT doc_id, nt, nw,
+             min(doc_id) OVER (PARTITION BY gk) AS rep,
+             count(*) OVER (PARTITION BY gk) AS gsz
+      FROM (SELECT doc_id, nt, len(string_split(nt, ' ')) AS nw,
+                   CASE WHEN len(string_split(nt, ' ')) < 3
+                        THEN 'E' || CAST(doc_id AS VARCHAR) ELSE nt END AS gk
+            FROM norm)
+    ),
+    d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(l) - 2, 0) + 1),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(nt, ' ') AS l FROM grp
+            WHERE doc_id = rep)
+    ),
+    gs AS (SELECT rep, max(gsz) AS gsz FROM grp WHERE nw >= 3 GROUP BY rep),
+    ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM d),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             count(*) AS c
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      WHERE a.sz >= {_JACCARD_THRESHOLD} * b.sz
+        AND b.sz >= {_JACCARD_THRESHOLD} * a.sz
+      GROUP BY 1, 2, 3, 4
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM shared
+      WHERE CAST(c AS DOUBLE) / (sz_a + sz_b - c) >= {_JACCARD_THRESHOLD}
+    ),
+    wv AS (SELECT COALESCE(SUM(gsz * (gsz - 1) // 2), 0) AS w FROM gs)
+"""
+
 _MINHASH_RECALL_ORACLE = f"""
-    WITH d AS ({_MH_RECALL_SHINGLES}),
+    WITH {_MH_REP_CTES},
     hashed AS (
       SELECT doc_id,
              {_PREMIX_SQL.format(h="CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)")} AS h
@@ -827,24 +882,25 @@ _MINHASH_RECALL_ORACLE = f"""
         ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1
        AND a.doc_id < b.doc_id
     ),
-    truth AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM d a JOIN d b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {_JACCARD_THRESHOLD}
-    ),
-    hit AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_hit
-      FROM truth t JOIN pred p ON p.id_a = t.id_a AND p.id_b = t.id_b
+    tots AS (
+      SELECT
+        (SELECT COALESCE(SUM(ga.gsz * gb.gsz), 0) FROM truth t
+           JOIN gs ga ON ga.rep = t.id_a JOIN gs gb ON gb.rep = t.id_b) AS ct,
+        (SELECT COALESCE(SUM(ga.gsz * gb.gsz), 0) FROM pred p
+           JOIN gs ga ON ga.rep = p.id_a JOIN gs gb ON gb.rep = p.id_b) AS cp,
+        (SELECT COALESCE(SUM(ga.gsz * gb.gsz), 0) FROM truth t
+           JOIN pred p ON p.id_a = t.id_a AND p.id_b = t.id_b
+           JOIN gs ga ON ga.rep = t.id_a JOIN gs gb ON gb.rep = t.id_b) AS ch,
+        (SELECT w FROM wv) AS w
     )
-    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
-           (SELECT CAST(count(*) AS BIGINT) FROM pred) AS n_pred,
-           n_hit,
-           CAST(n_hit * 1000000 // NULLIF((SELECT count(*) FROM truth), 0) AS BIGINT)
+    SELECT CAST(ct + w AS BIGINT) AS n_truth,
+           CAST(cp + w AS BIGINT) AS n_pred,
+           CAST(ch + w AS BIGINT) AS n_hit,
+           CAST((ch + w) * 1000000 // NULLIF(ct + w, 0) AS BIGINT)
              AS recall_1e6,
-           CAST(n_hit * 1000000 // NULLIF((SELECT count(*) FROM pred), 0) AS BIGINT)
+           CAST((ch + w) * 1000000 // NULLIF(cp + w, 0) AS BIGINT)
              AS precision_1e6
-    FROM hit
+    FROM tots
 """
 
 
@@ -1082,7 +1138,7 @@ def _band_sweep_oracle() -> str:
     )
     parts = [
         f"""
-    WITH d AS ({_MH_RECALL_SHINGLES}),
+    WITH {_MH_REP_CTES},
     hashed AS (
       SELECT doc_id,
              {_PREMIX_SQL.format(h="CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)")} AS h
@@ -1092,12 +1148,6 @@ def _band_sweep_oracle() -> str:
       SELECT doc_id,
 {sig_cols}
       FROM hashed GROUP BY doc_id
-    ),
-    truth AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM d a JOIN d b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {_JACCARD_THRESHOLD}
     )"""
     ]
     for nb, r in _BAND_SWEEP_GRID:
@@ -1107,6 +1157,10 @@ def _band_sweep_oracle() -> str:
             )
             for bi in range(nb)
         )
+        # rep-level pred per grid point, expanded through group sizes like
+        # the recall oracle (see _MH_REP_CTES): within-group clone pairs
+        # are candidates at EVERY banding (identical signatures), so the
+        # same w term joins every confusion row.
         parts.append(
             f""",
     bands_{nb}_{r} AS ({band_sel}),
@@ -1118,11 +1172,18 @@ def _band_sweep_oracle() -> str:
     conf_{nb}_{r} AS (
       SELECT CAST({nb} AS INTEGER) AS n_bands,
              CAST({r} AS INTEGER) AS rows_per_band,
-             (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
-             (SELECT CAST(count(*) AS BIGINT) FROM pred_{nb}_{r}) AS n_pred,
-             (SELECT CAST(count(*) AS BIGINT)
-              FROM truth t JOIN pred_{nb}_{r} p
-                ON p.id_a = t.id_a AND p.id_b = t.id_b) AS n_hit
+             (SELECT COALESCE(SUM(ga.gsz * gb.gsz), 0) FROM truth t
+                JOIN gs ga ON ga.rep = t.id_a
+                JOIN gs gb ON gb.rep = t.id_b) AS ct,
+             (SELECT COALESCE(SUM(ga.gsz * gb.gsz), 0) FROM pred_{nb}_{r} p
+                JOIN gs ga ON ga.rep = p.id_a
+                JOIN gs gb ON gb.rep = p.id_b) AS cp,
+             (SELECT COALESCE(SUM(ga.gsz * gb.gsz), 0) FROM truth t
+                JOIN pred_{nb}_{r} p
+                  ON p.id_a = t.id_a AND p.id_b = t.id_b
+                JOIN gs ga ON ga.rep = t.id_a
+                JOIN gs gb ON gb.rep = t.id_b) AS ch,
+             (SELECT w FROM wv) AS w
     )"""
         )
     union = "\n    UNION ALL\n    ".join(
@@ -1130,9 +1191,12 @@ def _band_sweep_oracle() -> str:
     )
     parts.append(
         f"""
-    SELECT n_bands, rows_per_band, n_truth, n_pred, n_hit,
-           CAST(n_hit * 1000000 // NULLIF(n_truth, 0) AS BIGINT) AS recall_1e6,
-           CAST(n_hit * 1000000 // NULLIF(n_pred, 0) AS BIGINT) AS precision_1e6
+    SELECT n_bands, rows_per_band,
+           CAST(ct + w AS BIGINT) AS n_truth,
+           CAST(cp + w AS BIGINT) AS n_pred,
+           CAST(ch + w AS BIGINT) AS n_hit,
+           CAST((ch + w) * 1000000 // NULLIF(ct + w, 0) AS BIGINT) AS recall_1e6,
+           CAST((ch + w) * 1000000 // NULLIF(cp + w, 0) AS BIGINT) AS precision_1e6
     FROM ({union})"""
     )
     return "".join(parts)

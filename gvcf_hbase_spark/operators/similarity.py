@@ -50,8 +50,40 @@ _KNN_K = 5
 # Random-hyperplane LSH: 10 tables × 3 planes (fixed seed). For cos≈0.4
 # pairs, P(shared bucket in ≥1 table) ≈ 1-(1-0.63^3)^10 ≈ 0.94.
 _LSH_TABLES = 10
-_LSH_PLANES = 3
-_planes = np.random.RandomState(7).normal(size=(_LSH_TABLES * _LSH_PLANES, 64))
+_LSH_PLANES = 3  # floor (and the shipped value at every oracle-gate SF)
+# Adaptive depth (r09, same sf10-rehearsal finding as the IVF cell count):
+# with a STATIC 3 planes, buckets hold n/8 vectors and the per-bucket pair
+# work grows quadratically with the corpus. Planes per table scale as
+# log2(n / target-bucket), so bucket size stays ~8k and candidate cost
+# stays linear; gate SFs (n ≤ 50k ⇒ 3 planes) keep their exact historical
+# behavior. Hyperplanes are pregenerated at max depth from the fixed seed,
+# and a table's first p planes are the SAME at every depth, so deeper
+# bucketing is a refinement of the shipped buckets.
+_LSH_MAX_PLANES = 16
+_LSH_BUCKET_TARGET = 8192
+_planes_base = np.random.RandomState(7).normal(
+    size=(_LSH_TABLES * _LSH_PLANES, 64)
+)  # the original seed-7 draw — depth-3 buckets stay bit-identical
+_planes_all = np.concatenate(
+    [
+        _planes_base.reshape(_LSH_TABLES, _LSH_PLANES, 64),
+        np.random.RandomState(11).normal(
+            size=(_LSH_TABLES, _LSH_MAX_PLANES - _LSH_PLANES, 64)
+        ),
+    ],
+    axis=1,
+)
+_planes = _planes_base  # legacy 3-deep view (kept for reference/tests)
+
+
+def _lsh_planes_for(n: int) -> int:
+    if n <= 0:
+        return _LSH_PLANES
+    import math
+
+    return int(
+        min(_LSH_MAX_PLANES, max(_LSH_PLANES, math.ceil(math.log2(max(1, n / _LSH_BUCKET_TARGET)))))
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,54 +354,97 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sim_ann_lsh", oracle=None, tags=("similarity", "lsh"))
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest-neighbor pairs via random-hyperplane LSH:
-    10 tables × 3 fixed hyperplanes → per-table sign-pattern buckets →
-    per-bucket equi-join candidates → exact cosine verify ≥ 0.4.
+    10 tables × depth fixed hyperplanes → per-table sign-pattern buckets
+    → per-bucket exact cosine ≥ 0.4.
 
-    Fully broadcast-free: bucket signs need only the fixed hyperplane
-    constants, the candidate join is a DataFrame equi-join on (table,
-    bucket) shuffling only (id, t, bucket) ints, and the exact-cosine
-    verify fetches the two vectors per candidate by id-join
-    (:func:`_verify_pairs`) — so cost ~ Σ bucket² instead of n² and no
-    stage holds the corpus in one place at any size.
+    Fully broadcast-free, and both scale knobs adapt (r09, sf10-rehearsal
+    findings shared with the IVF tier): table depth grows as
+    log2(n / 8192) so bucket size — and with it the quadratic per-bucket
+    work — stays bounded as the corpus grows (3 planes at the gate SFs,
+    bit-identical to the shipped buckets; deeper tables refine them),
+    and scoring is per-bucket chunked BLAS via applyInPandas instead of
+    a bucket equi-join that materialized one row per candidate pair
+    (~2×10¹⁰ rows at 500k vectors with the static depth). Each bucket
+    task sorts members by id, scores ≤1024-row chunks against the
+    id-later remainder, and emits exactly the τ-survivors.
 
     Rows-only check (candidate recall is probabilistic by design); tests
     assert output ⊆ sim_cosine_pairs and recall ≥ 0.7 on the fixture.
     """
     e = _emb(spark, sf_dir)
+    depth = _lsh_planes_for(e.count())  # 1-row scalar probe (dispatch posture)
+    planes = _planes_all[:, :depth, :]
+    threshold = _COS_PAIR_THRESHOLD
 
     def bucketize(batches):
+        flat = planes.reshape(-1, planes.shape[2])
         for pdf in batches:
             if pdf.empty:
                 continue
             q = np.stack([np.asarray(v, dtype="float64") for v in pdf["emb"]])
-            signs = (q @ _planes.T) > 0  # (batch, tables*planes)
+            signs = (q @ flat.T) > 0  # (batch, tables*depth)
             ids = pdf["vec_id"].to_numpy(dtype="int64")
             frames = []
             for t in range(_LSH_TABLES):
-                bits = signs[:, t * _LSH_PLANES : (t + 1) * _LSH_PLANES]
-                bucket = (bits * (1 << np.arange(_LSH_PLANES))).sum(axis=1)
+                bits = signs[:, t * depth : (t + 1) * depth]
+                bucket = (bits * (1 << np.arange(depth))).sum(axis=1)
                 frames.append(
                     pd.DataFrame(
-                        {"vec_id": ids, "t": np.int32(t), "bucket": bucket.astype("int32")}
+                        {
+                            "vec_id": ids,
+                            "t": np.int32(t),
+                            "bucket": bucket.astype("int32"),
+                            "emb": list(pdf["emb"]),
+                        }
                     )
                 )
             yield pd.concat(frames)
 
-    banded = spread(e).mapInPandas(bucketize, "vec_id bigint, t int, bucket int")
-
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    banded = spread(e).mapInPandas(
+        bucketize, "vec_id bigint, t int, bucket int, emb array<double>"
+    )
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64"),
+        }
     )
 
-    return _verify_pairs(cands, e)
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        m = np.stack([np.asarray(v, dtype="float64") for v in pdf["emb"]])
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        out_a, out_b, out_s = [], [], []
+        chunk = max(1, min(1024, 8_000_000 // len(ids)))
+        for st in range(0, len(ids) - 1, chunk):
+            en = min(st + chunk, len(ids))
+            s = np.round(mn[st:en] @ mn[st + 1 :].T, 6)
+            ii, jj = np.nonzero(s >= threshold)
+            keep = jj >= ii
+            ii, jj = ii[keep], jj[keep]
+            out_a.append(ids[st + ii])
+            out_b.append(ids[st + 1 + jj])
+            out_s.append(s[ii, jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_s),
+            }
+        )
+
+    return (
+        banded.groupBy("t", "bucket")
+        .applyInPandas(bucket_pairs, "id_a bigint, id_b bigint, cos_sim double")
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def _pair_cos_np(va: pd.Series, vb: pd.Series) -> pd.Series:
@@ -407,27 +482,44 @@ def _verify_pairs(cands: DataFrame, e: DataFrame) -> DataFrame:
     )
 
 
-# IVF: 16 cells, every vector assigned to its 2 nearest cells (multi-probe
-# assignment makes near-boundary pairs share a cell). Fixed Lloyd config —
-# deterministic, no runtime RNG (SURVEY §5.4 rule 6).
-_IVF_CELLS = 16
+# IVF: data-adaptive cell count (r09 — found by the sf10 rehearsal: a
+# STATIC 16 cells meant ~60k-vector cells at 500k vectors, and the
+# per-cell candidate work grew quadratically with corpus size; the "IVF
+# owns >5M vectors" dispatch claim was false with a fixed k). The rule is
+# a fixed TARGET CELL SIZE: k = clamp(n // 4096, 16, 1024), so candidate
+# cost stays ~n × 4096 — linear in the corpus — and the gate SFs
+# (n ≤ 50k ⇒ k = 16) keep their exact historical behavior. Every vector
+# is assigned to its nearest cells (multi-probe makes near-boundary pairs
+# share a cell). Fixed Lloyd config — deterministic, no runtime RNG
+# (SURVEY §5.4 rule 6).
+_IVF_CELLS = 16  # floor (and the shipped value at every oracle-gate SF)
 _IVF_PROBE = 2
 _IVF_ITERS = 8
 _IVF_TRAIN_SAMPLE = 4096
+_IVF_TARGET_CELL = 4096  # adaptive rule: ~4k vectors per cell
+_IVF_MAX_CELLS = 1024  # keeps the training sample >= 4x cells
+
+
+def _ivf_cell_count(n: int) -> int:
+    return int(min(_IVF_MAX_CELLS, max(_IVF_CELLS, n // _IVF_TARGET_CELL)))
 
 
 def _ivf_centroids(e: DataFrame) -> np.ndarray:
     """Train IVF cells with driver-side Lloyd iterations on a bounded,
     deterministic sample (lowest vec_ids) — the standard ANN recipe: the
-    index trains on a sample, assignment/search run distributed. Init =
-    first k sample vectors; empty cells keep their previous centroid."""
+    index trains on a sample, assignment/search run distributed. Cell
+    count adapts to the corpus (see _ivf_cell_count; the count() is a
+    1-row scalar probe, the containment-dispatch posture). Init = first
+    k sample vectors; empty cells keep their previous centroid."""
+    k = min(_ivf_cell_count(e.count()), _IVF_TRAIN_SAMPLE)
     pdf = e.orderBy("vec_id").limit(_IVF_TRAIN_SAMPLE).select("emb").toPandas()
     x = np.stack([np.asarray(v, dtype="float64") for v in pdf["emb"]])
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
-    cent = x[:_IVF_CELLS].copy()
+    k = min(k, len(x))
+    cent = x[:k].copy()
     for _ in range(_IVF_ITERS):
         assign = (x @ cent.T).argmax(axis=1)
-        for c in range(_IVF_CELLS):
+        for c in range(k):
             members = x[assign == c]
             if len(members):
                 m = members.mean(axis=0)
@@ -442,44 +534,72 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned to its 2 nearest cells → per-cell equi-join candidates →
     exact cosine verify ≥ 0.4.
 
-    Same broadcast-free scale shape as sim_ann_lsh (cost ~ Σ cell², join
-    ships only (id, cell) ints, verify joins vectors by id) but
-    data-adaptive: cells follow the corpus density instead of fixed random
-    hyperplanes, which typically buys higher recall per candidate at the
-    price of a training pass (bounded driver sample — the standard ANN
-    recipe). Rows-only check; tests assert output ⊆ sim_cosine_pairs and
+    Same broadcast-free scale shape as sim_ann_lsh but data-adaptive:
+    cells follow the corpus density instead of fixed random hyperplanes,
+    which typically buys higher recall per candidate at the price of a
+    training pass (bounded driver sample — the standard ANN recipe).
+    Scoring is per-cell chunked BLAS (r09 — the sf10 rehearsal timed out
+    the previous cell-equi-JOIN shape, which materialized one row per
+    candidate pair before the cosine verify: ~4×10⁹ rows at 500k
+    vectors; the identical arithmetic as one upper-triangle matmul per
+    cell is seconds of dgemm, and only the τ-survivors ever become
+    rows). Each cell task sorts members by id, scores ≤1024-row chunks
+    against the id-later remainder (bounds task memory however large the
+    cell), and emits exactly the pairs with rounded cosine ≥ τ — the
+    same candidate set, scores, and threshold as the join shape.
+    Rows-only check; tests assert output ⊆ sim_cosine_pairs and
     recall ≥ 0.7.
     """
     e = _emb(spark, sf_dir)
     cent = _ivf_centroids(e)
+    assigned = spread(e).mapInPandas(
+        _cell_assigner(cent, _IVF_PROBE), "vec_id bigint, cell int, emb array<double>"
+    )
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64"),
+        }
+    )
+    threshold = _COS_PAIR_THRESHOLD
 
-    def assign_cells(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            q = np.stack([np.asarray(v, dtype="float64") for v in pdf["emb"]])
-            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            # top-_IVF_PROBE cells per vector
-            order = np.argsort(-(qn @ cent.T), axis=1)[:, :_IVF_PROBE]
-            ids = pdf["vec_id"].to_numpy(dtype="int64")
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(ids, _IVF_PROBE),
-                    "cell": order.ravel().astype("int32"),
-                }
-            )
-
-    assigned = spread(e).mapInPandas(assign_cells, "vec_id bigint, cell int")
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        m = np.stack([np.asarray(v, dtype="float64") for v in pdf["emb"]])
+        order = np.argsort(ids)  # id-ascending: row i pairs only with j > i
+        ids, m = ids[order], m[order]
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        out_a, out_b, out_s = [], [], []
+        chunk = max(1, min(1024, 8_000_000 // len(ids)))
+        for st in range(0, len(ids) - 1, chunk):
+            en = min(st + chunk, len(ids))
+            s = np.round(mn[st:en] @ mn[st + 1 :].T, 6)
+            # upper triangle: row i (global st+i) pairs with cols st+1+j
+            # where j >= i  <=>  col index >= row's own position
+            ii, jj = np.nonzero(s >= threshold)
+            keep = jj >= ii
+            ii, jj = ii[keep], jj[keep]
+            out_a.append(ids[st + ii])
+            out_b.append(ids[st + 1 + jj])
+            out_s.append(s[ii, jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_s),
+            }
         )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(cell_pairs, "id_a bigint, id_b bigint, cos_sim double")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return _verify_pairs(cands, e)
 
 
 def _cell_assigner(cent: np.ndarray, n_probe: int):
@@ -518,35 +638,88 @@ def knn_topk_ivf(
     - exact cosine on co-located candidate pairs (vectorized pandas UDF),
       then per-query window top-k over (score desc, neighbor_id).
 
-    Cost ~ Σ_cell |queries_probing(cell)| × |cell| instead of n²; every
-    stage is partition-parallel and nothing is driver- or executor-resident
-    beyond one cell's worth of pairs per task. Recall is governed by
-    (cells, corpus_probe, probe): the fixture embeddings are near-random
-    (max pairwise cos ≈ 0.51, essentially unclusterable), so the defaults
-    are deliberately wide — measured recall 0.78 at sf0.01 while scanning
-    ~50% of the pair space; real embedding corpora cluster, buying the
-    usual 10-100× candidate cut at the same recall with narrower probes.
+    Cost ~ Σ_cell |queries_probing(cell)| × |cell| instead of n², and the
+    scoring is per-cell BLAS (r09 — the sf10 rehearsal timed out the
+    previous shape, a cell equi-JOIN scoring one ROW per (query,
+    candidate): ~8×10⁹ joined rows at 500k vectors even with adaptive
+    cells. The same arithmetic as one chunked matmul per cell is ~10¹²
+    flops of dgemm, seconds of CPU): each cell's task takes its queries ×
+    corpus block, scores a ≤1024-row query chunk at a time (bounds task
+    memory at ~64 MB however large the cell), keeps each query's
+    in-cell top-k — lossless for the global top-k, the
+    sim_ivf_nprobe_sweep prune argument — and only those bounded rows
+    ever cross a shuffle. Recall is governed by (cells, corpus_probe,
+    probe): the fixture embeddings are near-random (max pairwise cos ≈
+    0.51, essentially unclusterable), so the defaults are deliberately
+    wide — measured recall 0.78 at sf0.01 while scanning ~50% of the pair
+    space; real embedding corpora cluster, buying the usual 10-100×
+    candidate cut at the same recall with narrower probes.
     """
     cent = _ivf_centroids(e)
     schema = "vec_id bigint, cell int, emb array<double>"
-    corpus = spread(e).mapInPandas(_cell_assigner(cent, corpus_probe), schema).alias("c")
-    queries = spread(e).mapInPandas(_cell_assigner(cent, probe), schema).alias("q")
+    corpus = spread(e).mapInPandas(_cell_assigner(cent, corpus_probe), schema)
+    queries = spread(e).mapInPandas(_cell_assigner(cent, probe), schema)
+    both = corpus.withColumn("role", F.lit("c")).unionByName(
+        queries.withColumn("role", F.lit("q"))
+    )
+    empty = pd.DataFrame(
+        {
+            "vec_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64"),
+        }
+    )
 
-    scored = (
-        queries.join(
-            corpus,
-            (F.col("q.cell") == F.col("c.cell"))
-            & (F.col("q.vec_id") != F.col("c.vec_id")),
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qp = pdf[pdf["role"] == "q"]
+        cp = pdf[pdf["role"] == "c"]
+        if qp.empty or cp.empty:
+            return empty
+        cid = cp["vec_id"].to_numpy(dtype="int64")
+        cm = np.stack([np.asarray(v, dtype="float64") for v in cp["emb"]])
+        ordc = np.argsort(cid)  # id-ascending so ties break like the window
+        cid, cm = cid[ordc], cm[ordc]
+        cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        qid = qp["vec_id"].to_numpy(dtype="int64")
+        qm = np.stack([np.asarray(v, dtype="float64") for v in qp["emb"]])
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        rows_q, rows_n, rows_s = [], [], []
+        chunk = max(1, min(1024, 8_000_000 // max(1, len(cid))))
+        for st in range(0, len(qid), chunk):
+            s = np.round(qn[st : st + chunk] @ cn.T, 6)
+            ids = qid[st : st + chunk]
+            s[ids[:, None] == cid[None, :]] = -np.inf  # self-exclusion
+            kk = min(k, s.shape[1])
+            # (score desc, neighbor_id asc) selection, exact under the
+            # heavy score TIES identical clones produce: columns are
+            # id-ascending, so a STABLE argsort on -s is the composite
+            # order (argpartition would pick an arbitrary subset of a
+            # tie run crossing the k boundary)
+            part = np.argsort(-s, axis=1, kind="stable")[:, :kk]
+            for i in range(s.shape[0]):
+                cand = part[i]
+                cand = cand[s[i][cand] > -np.inf]
+                rows_q.append(np.full(len(cand), ids[i], dtype="int64"))
+                rows_n.append(cid[cand])
+                rows_s.append(s[i][cand])
+        if not rows_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(rows_q),
+                "neighbor_id": np.concatenate(rows_n),
+                "cos_sim": np.concatenate(rows_s),
+            }
         )
-        .select(
-            F.col("q.vec_id").alias("vec_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            _arr_cos(F.col("q.emb"), F.col("c.emb")).alias("cos_sim"),
-        )
-        .dropDuplicates(["vec_id", "neighbor_id"])
+
+    local = both.groupBy("cell").applyInPandas(
+        cell_topk, "vec_id bigint, neighbor_id bigint, cos_sim double"
     )
     from pyspark.sql import Window
 
+    scored = local.groupBy("vec_id", "neighbor_id").agg(
+        F.max("cos_sim").alias("cos_sim")  # pair-determined; max dedupes cells
+    )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
