@@ -87,18 +87,22 @@ def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #   2. never-driver-verified next (new keys added this round);
 #   3. oldest-verdict-first fills the remaining slots (ties broken by key
 #      name for determinism), keeping the cumulative 381/381 coverage
-#      fresh instead of letting the r01-r03 tail go stale.
-# Slots 51-90 stage the NEXT-oldest tail so the r10 rotation is mechanical.
+#      fresh instead of letting the oldest tail go stale.
+# Slots 51-90 stage the NEXT-oldest tail so the next rotation is mechanical.
 #
-# Round-9 window: slots 1-7 are the changed-since-verdict set (the six keys
-# rewritten by the r08 sf1 scale fixes -- q5_nation_revenue r03,
-# graph_pagerank r04, win_interval_merge r05, ts_downsample_lttb r07,
-# join_geo_grid r07, hierarchy_flatten_bounded r07 -- plus
-# dedup_minhash_incremental, whose oracle was rewritten this round to
-# reproduce the 16x2 banding deterministically). Slots 8-50: the 43 keys
-# whose latest verdict is r01, oldest tail of the registry.
+# Round-9 window: slots 1-19 are the changed-since-verdict set -- the six
+# keys rewritten by the r08 sf1 scale fixes (q5_nation_revenue,
+# graph_pagerank [rewritten again r09 as fixed-point], win_interval_merge,
+# ts_downsample_lttb, join_geo_grid, hierarchy_flatten_bounded), the r09
+# deterministic-banding oracle rewrite (dedup_minhash_incremental), the
+# rep-collapsed gauge/CC oracles (dedup_minhash_recall,
+# dedup_minhash_band_sweep, dedup_cluster_cc, dedup_cluster_cc_lss,
+# dedup_canonical_select), the stream_session oracle tiebreak, the scoped
+# recursion-limit rewrite (sql_recursive_cte), and the sf10-rehearsal ANN
+# fixes (sim_knn_ivf, sim_ann_ivf, sim_ann_lsh, sim_ann_ivf_recall,
+# sim_ivf_nprobe_sweep). Slots 20-50: oldest-verdict-first (latest=r01).
 _PRIORITY = [
-    # ===== round-9 window: slots 1-7 changed-since-verdict =====
+    # ===== round-9 window: slots 1-19 changed-since-verdict =====
     "q5_nation_revenue",
     "graph_pagerank",
     "win_interval_merge",
@@ -106,7 +110,19 @@ _PRIORITY = [
     "join_geo_grid",
     "hierarchy_flatten_bounded",
     "dedup_minhash_incremental",
-    # ===== slots 8-50: oldest-verdict-first (all latest=r01) =====
+    "dedup_minhash_recall",
+    "dedup_minhash_band_sweep",
+    "dedup_cluster_cc",
+    "dedup_cluster_cc_lss",
+    "dedup_canonical_select",
+    "stream_session",
+    "sql_recursive_cte",
+    "sim_knn_ivf",
+    "sim_ann_ivf",
+    "sim_ann_lsh",
+    "sim_ann_ivf_recall",
+    "sim_ivf_nprobe_sweep",
+    # ===== slots 20-50: oldest-verdict-first (latest=r01) =====
     "agg_approx_distinct",
     "agg_arg_minmax",
     "agg_conditional",
@@ -138,6 +154,7 @@ _PRIORITY = [
     "project_expr",
     "scan_full",
     "scan_project",
+    # ===== slots 51-90: staged next-oldest for the r10 rotation =====
     "scan_range_key",
     "sort_multi",
     "source_csv_inline",
@@ -150,15 +167,11 @@ _PRIORITY = [
     "win_ntile_pct",
     "win_rank",
     "win_topk_group",
-    # ===== slots 51-90: staged next-oldest (latest=r02) for the
-    # r10 rotation =====
     "agg_approx_percentile",
     "agg_collect",
     "agg_time_rollup",
     "curate_pack_batches",
     "curate_pipeline_e2e",
-    "dedup_cluster_cc",
-    "dedup_cluster_cc_lss",
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_near_minhash",
@@ -174,10 +187,7 @@ _PRIORITY = [
     "multimodal_join",
     "multimodal_resize",
     "set_union_all",
-    "sim_ann_ivf",
-    "sim_ann_lsh",
     "sim_cosine_pairs",
-    "sim_knn_ivf",
     "sim_knn_topk",
     "sink_bucketed_join",
     "sink_bulk_put",
@@ -185,13 +195,6 @@ _PRIORITY = [
     "source_gvcf_lines",
     "stream_dedup",
     "stream_foreach_batch_upsert",
-    "stream_join_static",
-    "stream_join_stream",
-    "stream_session",
-    "stream_sliding",
-    "stream_stateful",
-    "stream_tumbling",
-    "stream_watermark_late",
 ]
 # Keys NOT listed above (all with a driver verdict from r01-r07) are
 # appended by load_all() in module registration order after the window.

@@ -60,8 +60,10 @@ SF01_ORACLE_DEMOTE = {
     "linkage_best_match",
     "linkage_golden_record",
     "graph_kcore_bounded",  # r06 verdict action 2 (oracle disk blowup)
-    "dedup_minhash_recall",  # oracle truth CTE is the brute-force n² Jaccard
-    "dedup_minhash_band_sweep",  # same brute-force n² truth CTE (r08)
+    # dedup_minhash_recall / dedup_minhash_band_sweep left this list in
+    # r09: their oracles' truth side is now the rep-collapsed SSJoin with
+    # the size-ratio prune (see _MH_REP_CTES in operators/dedup.py) —
+    # measured 4.4 s / 20.8 s at sf0.1, hash-MATCH.
     "sim_semdedup_eps_sweep",  # oracle pairs CTE is cell-local quadratic
     # dedup_minhash_incremental left this list in r09: its oracle now
     # reproduces the 16x2 banding deterministically (portable md5-prefix

@@ -57,6 +57,37 @@ ALLOWED_CHANGES: dict[str, str] = {
         "band sweep's persist leaking into the digest session; the sweep now "
         "unpersists, so recall's digest reverts to its true plan"
     ),
+    "win_interval_merge": (
+        "r08 fix surfacing: PLANS_r08.json was generated BEFORE commit "
+        "97c9e18 landed dedup-before-merge (the DuckDB window-wobble fix), "
+        "which adds one distinct exchange; fresh-session replan confirms "
+        "xh=2 is the true committed plan"
+    ),
+    "join_geo_grid": (
+        "r08 fix surfacing: PLANS_r08.json predates commit 97c9e18's "
+        "shuffle_hash pin (broadcast of the full point side timed out at "
+        "sf1); bc 1->0 + xh 0->2 IS that fix, confirmed by fresh replan"
+    ),
+    "sim_knn_ivf": (
+        "r09 sf10-rehearsal fix: per-cell chunked-BLAS top-k via "
+        "applyInPandas replaces the cell equi-join + row-per-pair scorer "
+        "(timeout at 500k vectors); bc 1->0, +1 exchange/sort for the "
+        "groupBy(cell) stage"
+    ),
+    "sim_ann_ivf": (
+        "r09 sf10-rehearsal fix: per-cell chunked-BLAS pair scoring "
+        "replaces the cell equi-join + _verify_pairs id-joins; py 4->2, "
+        "bc 3->0"
+    ),
+    "sim_ann_lsh": (
+        "r09 sf10-rehearsal fix: per-bucket chunked-BLAS pair scoring + "
+        "adaptive table depth replace the bucket equi-join + _verify_pairs; "
+        "py 4->2, bc 3->0"
+    ),
+    "sim_ann_ivf_recall": (
+        "r09: rides knn_topk_ivf's rewrite (one broadcast fewer on the "
+        "pred side)"
+    ),
 }
 
 

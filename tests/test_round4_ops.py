@@ -412,21 +412,21 @@ def test_freshness_lag_zero_for_newest(spark):
 
 def test_driver_window_prefix_is_the_planned_rotation():
     """The driver verifies only the FIRST 50 enumeration keys; pin the
-    CURRENT (r08) window so a stray registration-order change can't
-    silently displace the planned never-verified cohort."""
+    CURRENT (r09) window so a stray registration-order change can't
+    silently displace the planned rotation (policy comment in
+    registry.py: changed-since-verdict first, then never-verified, then
+    oldest-verdict-first)."""
     keys = list(SPECS)
     from gvcf_hbase_spark.registry import _PRIORITY
 
     assert keys[: len(_PRIORITY)] == _PRIORITY
-    # r08 rotation: the 39 never-driver-verified keys staged at r07
-    # slots 51-89 head the window (completes 380/380 cumulative driver
-    # coverage); slot 40 is the single r08 addition; slots 41-50
-    # backfill with already-verified keys
-    assert keys[0] == "source_gvcf_datasource"
-    assert keys[38] == "gvcf_pop_fst"
-    assert keys[39] == "dedup_minhash_band_sweep"
-    assert keys[40] == "analytics_dau_wau"
-    assert keys[49] == "feat_standard_scale"
+    # r09 rotation: slots 1-19 = the changed-since-verdict set (sf1 scale
+    # fixes, oracle rewrites, sf10 ANN fixes); slots 20-50 = the oldest
+    # (latest=r01) verdict tail
+    assert keys[0] == "q5_nation_revenue"
+    assert keys[18] == "sim_ivf_nprobe_sweep"
+    assert keys[19] == "agg_approx_distinct"
+    assert keys[49] == "scan_project"
     # new ops register AFTER the priority window, so later additions can
     # only grow the tail — the prefix pins above are the actual guard
     assert len(SPECS) >= 381
