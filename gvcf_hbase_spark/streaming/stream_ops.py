@@ -23,20 +23,59 @@ from gvcf_hbase_spark.session import apply_runtime_confs
 from gvcf_hbase_spark.streaming.batch_twins import tumbling_agg
 
 
-_stream_dirs: dict[str, str] = {}
+_stream_dirs: dict[tuple[str, int], str] = {}
+
+# Observability for the multi-micro-batch soak: number of micro-batches the
+# most recent run_available_now drain executed (from the query's progress
+# history). Single-file availableNow runs report 1; the soak asserts > 1.
+last_batch_count: int = 0
 
 
 def _events_stream_dir(sf_dir: str) -> str:
     """FileStreamSource requires a *directory*; expose the single events
-    parquet file through a per-SF temp dir symlink (cached)."""
-    if sf_dir not in _stream_dirs:
-        import os
+    parquet file through a per-SF temp dir symlink (cached).
+
+    Soak mode (r09, the rate-limited multi-micro-batch path): when
+    ``SPARK_GRAFT_STREAM_SPLIT=N`` (N > 1) the events table is rewritten
+    as N EVENT-TIME-ORDERED chunk files with increasing mtimes, so that
+    with ``maxFilesPerTrigger=1`` each chunk becomes its own micro-batch
+    arriving in event-time order — the daily-ingest shape, where the
+    watermark advances between batches but drops nothing (chunk k+1's
+    min ts ≥ chunk k's max ts). Out-of-order/late-file semantics are
+    exercised separately (tests/test_streaming.py watermark tests)."""
+    import os
+
+    split = int(os.environ.get("SPARK_GRAFT_STREAM_SPLIT", "1") or "1")
+    key = (sf_dir, split)
+    if key not in _stream_dirs:
         import tempfile
 
         d = tempfile.mkdtemp(prefix="gvcf_events_stream_")
-        os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
-        _stream_dirs[sf_dir] = d
-    return _stream_dirs[sf_dir]
+        if split <= 1:
+            os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        else:
+            import duckdb
+
+            con = duckdb.connect()
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet('{sf_dir}/events.parquet')"
+            ).fetchone()[0]
+            per = (n + split - 1) // split
+            now = None
+            for i in range(split):
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet('{sf_dir}/events.parquet') "
+                    f"ORDER BY ts, event_id LIMIT {per} OFFSET {i * per}) "
+                    f"TO '{d}/chunk_{i:03d}.parquet' (FORMAT PARQUET)"
+                )
+                # strictly increasing mtimes pin the FileStreamSource
+                # pickup order to the event-time order
+                if now is None:
+                    now = os.stat(f"{d}/chunk_{i:03d}.parquet").st_mtime
+                os.utime(f"{d}/chunk_{i:03d}.parquet", (now + i, now + i))
+            con.close()
+        _stream_dirs[key] = d
+    return _stream_dirs[key]
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,12 +83,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the same dtype-branching helper as the batch loader
     (sources.tables.with_event_time), plus ``ts_evt`` — the µs TIMESTAMP
     (with timezone) form watermarks require (session tz is UTC, so its
-    wall values equal the NTZ twin's)."""
+    wall values equal the NTZ twin's). ``SPARK_GRAFT_STREAM_MAXFILES``
+    rate-limits file pickup (soak mode; availableNow honors source rate
+    limits, so N files become N micro-batches)."""
+    import os
+
     from gvcf_hbase_spark.sources.tables import with_event_time
 
     apply_runtime_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = spark.readStream.schema(schema).parquet(_events_stream_dir(sf_dir))
+    reader = spark.readStream.schema(schema)
+    maxfiles = os.environ.get("SPARK_GRAFT_STREAM_MAXFILES")
+    if maxfiles:
+        reader = reader.option("maxFilesPerTrigger", int(maxfiles))
+    raw = reader.parquet(_events_stream_dir(sf_dir))
     return with_event_time(raw).withColumn(
         "ts_evt", F.timestamp_micros(F.col("ts_us_long"))
     )
@@ -67,6 +114,11 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> Data
         .start()
     )
     q.awaitTermination()
+    global last_batch_count
+    try:
+        last_batch_count = sum(1 for p in q.recentProgress if p.get("numInputRows", 0) >= 0)
+    except Exception:
+        last_batch_count = 0
     spark = stream_df.sparkSession
     return spark.table(name)
 

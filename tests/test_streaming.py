@@ -528,3 +528,29 @@ def test_processing_time_trigger_rocksdb_state_recovery(spark, tmp_path):
     arts = glob.glob(f"{ckpt}/state/**/*", recursive=True)
     assert any(p.endswith((".zip", ".changelog")) for p in arts), arts
     assert not any(p.endswith(".delta") for p in arts), "HDFS provider leaked in"
+
+
+def test_soak_multi_micro_batch_equals_single_drain(monkeypatch):
+    """Rate-limited soak pin (r09): with the events table split into 4
+    event-time-ordered chunk files and maxFilesPerTrigger=1, the
+    registered streaming ops run as REAL multi-micro-batch streams —
+    state crosses batch boundaries, the watermark advances between
+    batches — and must produce exactly the single-drain output. The
+    full oracled-family soak is scripts/stream_soak.py (committed as
+    STREAM_SOAK_r{N}.json); this test pins the mechanism in-suite for
+    two state-heavy representatives and asserts the split actually
+    produced multiple micro-batches."""
+    from gvcf_hbase_spark import session as S
+    from gvcf_hbase_spark.streaming import stream_ops as so
+
+    spark = S.get_spark()
+    sf = "/root/testdata/sf0.001"
+    for key in ("stream_stateful", "stream_watermark_late"):
+        single = canon_rows(SPECS[key].fn(spark, sf).toPandas())
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_SPLIT", "4")
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_MAXFILES", "1")
+        multi = canon_rows(SPECS[key].fn(spark, sf).toPandas())
+        assert so.last_batch_count > 1, f"{key}: soak ran a single micro-batch"
+        monkeypatch.delenv("SPARK_GRAFT_STREAM_SPLIT")
+        monkeypatch.delenv("SPARK_GRAFT_STREAM_MAXFILES")
+        assert single == multi, f"{key}: multi-micro-batch output differs"
