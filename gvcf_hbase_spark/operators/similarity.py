@@ -1806,3 +1806,223 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pred = sim_pq_adc_topk(spark, sf_dir).select("q_id", "vec_id")
     return _confusion_row(truth, pred, ["q_id", "vec_id"])
+
+
+# ---------------------------------------------------------------------------
+# HNSW (hierarchical navigable small world) — the serving-index ANN tier
+# (r09, completes the documented dispatch ladder: LSH / IVF / PQ / HNSW).
+# Spark-first decomposition: the GRAPH BUILD is the distributed part — the
+# corpus hash-shards to ~8k-vector partitions and each shard's graph is
+# constructed independently inside one applyInPandas task (HNSW insertion
+# is inherently sequential WITHIN an index; sharding is how every
+# production system distributes it) — while SEARCH fans a bounded query
+# set out to every shard (queries ride the closure; per-shard beam search
+# is ef-bounded) and a global window merges the per-shard top-k, which is
+# exact over the shard results by construction. Same bounded-query-set
+# posture as sim_pq_adc_topk (_PQ_NQ): HNSW is the low-latency SERVING
+# tier, not a bulk self-join — the bulk-pairs path at scale is the
+# IVF/LSH family above.
+#
+# Determinism (SURVEY §5.4 rule 6): no runtime RNG anywhere — node levels
+# come from an md5(vec_id) uniform (the standard floor(-ln(U)·mL) draw),
+# insertion order is vec_id-ascending, and every candidate selection
+# breaks score ties by vec_id, so the graph and results are a pure
+# function of the shard contents.
+# ---------------------------------------------------------------------------
+
+_HNSW_M = 8  # max out-degree on upper layers; layer 0 keeps 2M
+_HNSW_EFC = 48  # beam width during construction
+_HNSW_EFS = 48  # beam width during search
+_HNSW_NQ = 32  # bounded query set (lowest vec_ids) — serving shape
+_HNSW_SHARD_TARGET = 8192
+
+
+def _hnsw_level(vec_id: int) -> int:
+    import hashlib
+    import math
+
+    h = int.from_bytes(hashlib.md5(str(int(vec_id)).encode()).digest()[:8], "big")
+    u = (h + 1) / float(2**64)
+    return int(-math.log(u) / math.log(_HNSW_M))
+
+
+def _hnsw_build(ids: np.ndarray, xn: np.ndarray):
+    """Sequential HNSW construction over one shard (ids ASCENDING for
+    determinism; xn L2-normalized). Returns (levels, adj, entry) where
+    adj[level][i] is an int-array of neighbor ROW indices."""
+    n = len(ids)
+    levels = np.array([_hnsw_level(i) for i in ids], dtype="int32")
+    adj: dict[int, dict[int, np.ndarray]] = {}
+    empty = np.empty(0, dtype="int64")
+    entry, entry_lev = 0, int(levels[0])
+    for lev in range(entry_lev + 1):
+        adj.setdefault(lev, {})[0] = empty
+
+    def beam(q: np.ndarray, start: int, ef: int, lev: int) -> list[tuple[float, int]]:
+        """Best-first search at one level; returns [(sim, row)] sorted
+        (sim desc, id asc), at most ef entries."""
+        import heapq
+
+        visited = {start}
+        s0 = float(q @ xn[start])
+        # candidates: max-heap by sim (store negative); results: the ef best
+        cand = [(-s0, int(ids[start]), start)]
+        res = [(s0, int(ids[start]), start)]
+        worst = s0
+        while cand:
+            negs, _, c = heapq.heappop(cand)
+            if -negs < worst and len(res) >= ef:
+                break
+            nbrs = adj.get(lev, {}).get(c, empty)
+            fresh = [b for b in nbrs if b not in visited]
+            if not fresh:
+                continue
+            visited.update(fresh)
+            sims = xn[fresh] @ q
+            for b, s in zip(fresh, sims):
+                s = float(s)
+                if len(res) < ef or s > worst:
+                    heapq.heappush(cand, (-s, int(ids[b]), int(b)))
+                    res.append((s, int(ids[b]), int(b)))
+                    # keep res as the ef best (sim desc, id asc)
+                    res.sort(key=lambda t: (-t[0], t[1]))
+                    del res[ef:]
+                    worst = res[-1][0] if len(res) >= ef else -2.0
+        return [(s, b) for s, _, b in res]
+
+    for i in range(1, n):
+        q = xn[i]
+        li = int(levels[i])
+        for lev in range(li + 1):
+            adj.setdefault(lev, {}).setdefault(i, empty)
+        cur = entry
+        for lev in range(entry_lev, li, -1):  # greedy descent above li
+            if lev in adj:
+                cur = beam(q, cur, 1, lev)[0][1]
+        for lev in range(min(li, entry_lev), -1, -1):
+            found = beam(q, cur, _HNSW_EFC, lev)
+            mmax = _HNSW_M * 2 if lev == 0 else _HNSW_M
+            chosen = [b for _, b in found[:_HNSW_M]]
+            adj[lev][i] = np.array(chosen, dtype="int64")
+            for b in chosen:  # bidirectional, degree-capped by similarity
+                cur_nbrs = adj[lev].get(b, empty)
+                merged = np.append(cur_nbrs, i)
+                if len(merged) > mmax:
+                    sims = xn[merged] @ xn[b]
+                    order = np.lexsort((ids[merged], -sims))[:mmax]
+                    merged = merged[order]
+                adj[lev][b] = merged
+            cur = found[0][1]
+        if li > entry_lev:
+            entry, entry_lev = i, li
+    return levels, adj, entry, entry_lev
+
+
+def _hnsw_search(
+    q: np.ndarray, ids, xn, adj, entry: int, entry_lev: int, k: int
+) -> list[tuple[float, int]]:
+    """Greedy descent + layer-0 beam; returns [(sim, row)] top-k."""
+    import heapq
+
+    empty = np.empty(0, dtype="int64")
+
+    def greedy(cur: int, lev: int) -> int:
+        while True:
+            nbrs = adj.get(lev, {}).get(cur, empty)
+            if len(nbrs) == 0:
+                return cur
+            sims = xn[nbrs] @ q
+            b = int(nbrs[np.lexsort((ids[nbrs], -sims))[0]])
+            if float(xn[b] @ q) > float(xn[cur] @ q):
+                cur = b
+            else:
+                return cur
+
+    cur = entry
+    for lev in range(entry_lev, 0, -1):
+        cur = greedy(cur, lev)
+    visited = {cur}
+    s0 = float(q @ xn[cur])
+    cand = [(-s0, int(ids[cur]), cur)]
+    res = [(s0, int(ids[cur]), cur)]
+    worst = s0
+    ef = max(_HNSW_EFS, k)
+    while cand:
+        negs, _, c = heapq.heappop(cand)
+        if -negs < worst and len(res) >= ef:
+            break
+        nbrs = adj.get(0, {}).get(c, empty)
+        fresh = [b for b in nbrs if b not in visited]
+        if not fresh:
+            continue
+        visited.update(fresh)
+        sims = xn[fresh] @ q
+        for b, s in zip(fresh, sims):
+            s = float(s)
+            if len(res) < ef or s > worst:
+                heapq.heappush(cand, (-s, int(ids[b]), int(b)))
+                res.append((s, int(ids[b]), int(b)))
+                res.sort(key=lambda t: (-t[0], t[1]))
+                del res[ef:]
+                worst = res[-1][0] if len(res) >= ef else -2.0
+    return [(s, b) for s, _, b in res[:k]]
+
+
+@register("sim_ann_hnsw", oracle=None, tags=("similarity", "ann"))
+def sim_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW top-k, sharded: distributed graph build (one ~8k-vector HNSW
+    per hash shard inside applyInPandas), bounded query set searched
+    against every shard (beam ef=48), global window merges shard top-k.
+    Rows-only (graph search is approximate by design); tests pin
+    determinism and recall ≥ 0.8 @5 against the exact scorer. See the
+    section comment above for the scale posture."""
+    e = _emb(spark, sf_dir)
+    k = _KNN_K
+    n = e.count()
+    # floor 2: the shard fan-out + merge path is always exercised (the
+    # _pick_blocks precedent); cap 64 bounds the query fan-out
+    shards = int(min(64, max(2, n // _HNSW_SHARD_TARGET)))
+    qpdf = e.orderBy("vec_id").limit(_HNSW_NQ).select("vec_id", "emb").toPandas()
+    q_ids = qpdf["vec_id"].to_numpy(dtype="int64")
+    qm = np.stack([np.asarray(v, dtype="float64") for v in qpdf["emb"]])
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    sharded = e.select(
+        "vec_id", "emb", (F.col("vec_id") % shards).cast("int").alias("shard")
+    )
+    empty = pd.DataFrame(
+        {
+            "q_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64"),
+        }
+    )
+
+    def shard_search(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        order = np.argsort(ids)
+        ids = ids[order]
+        x = np.stack([np.asarray(v, dtype="float64") for v in pdf["emb"]])[order]
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        levels, adj, entry, entry_lev = _hnsw_build(ids, xn)
+        rows = []
+        for qi in range(len(q_ids)):
+            for s, b in _hnsw_search(qn[qi], ids, xn, adj, entry, entry_lev, k + 1):
+                if ids[b] == q_ids[qi]:
+                    continue  # self
+                rows.append((int(q_ids[qi]), int(ids[b]), round(float(s), 6)))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["q_id", "neighbor_id", "cos_sim"])
+
+    local = sharded.groupBy("shard").applyInPandas(
+        shard_search, "q_id bigint, neighbor_id bigint, cos_sim double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        local.dropDuplicates(["q_id", "neighbor_id"])
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )

@@ -122,7 +122,9 @@ _PRIORITY = [
     "sim_ann_lsh",
     "sim_ann_ivf_recall",
     "sim_ivf_nprobe_sweep",
-    # ===== slots 20-50: oldest-verdict-first (latest=r01) =====
+    # ===== slot 20: never-driver-verified (r09 addition) =====
+    "sim_ann_hnsw",
+    # ===== slots 21-50: oldest-verdict-first (latest=r01) =====
     "agg_approx_distinct",
     "agg_arg_minmax",
     "agg_conditional",
@@ -153,8 +155,8 @@ _PRIORITY = [
     "limit_offset",
     "project_expr",
     "scan_full",
-    "scan_project",
     # ===== slots 51-90: staged next-oldest for the r10 rotation =====
+    "scan_project",
     "scan_range_key",
     "sort_multi",
     "source_csv_inline",

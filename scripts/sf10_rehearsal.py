@@ -119,6 +119,7 @@ KEYS = [
     "sim_ann_ivf",
     "sim_ann_lsh",
     "sim_pq_adc_topk",
+    "sim_ann_hnsw",
     "text_bpe_merge_step",
     "text_tfidf",
     "curate_ccnet_buckets",

@@ -425,11 +425,13 @@ def test_driver_window_prefix_is_the_planned_rotation():
     # (latest=r01) verdict tail
     assert keys[0] == "q5_nation_revenue"
     assert keys[18] == "sim_ivf_nprobe_sweep"
-    assert keys[19] == "agg_approx_distinct"
-    assert keys[49] == "scan_project"
+    # slot 20: the round's one never-driver-verified addition (policy tier 2)
+    assert keys[19] == "sim_ann_hnsw"
+    assert keys[20] == "agg_approx_distinct"
+    assert keys[49] == "scan_full"
     # new ops register AFTER the priority window, so later additions can
     # only grow the tail — the prefix pins above are the actual guard
-    assert len(SPECS) >= 381
+    assert len(SPECS) >= 382
 
 
 def test_snapshot_diff_classification(spark, tmp_path):
