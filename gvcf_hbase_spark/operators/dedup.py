@@ -1104,12 +1104,19 @@ def _register_minhash_incremental() -> None:
             F.size("sh_n") + F.size("sh_h") - F.size(F.array_intersect("sh_n", "sh_h"))
         )
         jac = inter / union
-        return (
+        out = (
             cands.join(n, "new_id")
             .join(h, "hist_id")
             .filter(jac >= _JACCARD_THRESHOLD)
             .select("new_id", "hist_id", F.round(jac, 6).alias("jaccard"))
         )
+        # Hit set is small (screened candidates); materialize eagerly so the
+        # persisted shingle relation can be released here instead of pinning
+        # executor storage for the rest of a multi-key session (same ADVICE
+        # r08 lifetime rule the band sweep follows).
+        out = out.localCheckpoint(eager=True)
+        sets_df.unpersist()
+        return out
 
 
 _register_minhash_incremental()

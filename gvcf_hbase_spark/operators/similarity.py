@@ -73,7 +73,6 @@ _planes_all = np.concatenate(
     ],
     axis=1,
 )
-_planes = _planes_base  # legacy 3-deep view (kept for reference/tests)
 
 
 def _lsh_planes_for(n: int) -> int:
@@ -463,23 +462,9 @@ def _arr_cos(a, b):
     return F.pandas_udf(_pair_cos_np, "double")(a, b)
 
 
-def _verify_pairs(cands: DataFrame, e: DataFrame) -> DataFrame:
-    """Exact-cosine verify for candidate (id_a, id_b) pairs: the two
-    vectors are fetched by id equi-joins against the corpus, then scored
-    with a vectorized pandas UDF. No corpus broadcast anywhere — the
-    joins shuffle candidate-count × vector-size bytes, which is small by
-    construction (candidates are the bucket-pruned survivors), and AQE
-    still broadcasts the corpus side on its own when it happens to be
-    tiny. This is the same vectors-travel-with-candidates shape as
-    :func:`knn_topk_ivf`'s cell join."""
-    va = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
-    vb = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
-    return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", _arr_cos("emb_a", "emb_b").alias("cos_sim"))
-        .filter(F.col("cos_sim") >= _COS_PAIR_THRESHOLD)
-    )
+# (The id-join verify helper `_verify_pairs` was removed in r09: its last
+# two callers, sim_ann_lsh and sim_ann_ivf, score candidates with
+# per-bucket/per-cell chunked BLAS now.)
 
 
 # IVF: data-adaptive cell count (r09 — found by the sf10 rehearsal: a

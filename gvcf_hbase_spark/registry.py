@@ -88,7 +88,7 @@ def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #   3. oldest-verdict-first fills the remaining slots (ties broken by key
 #      name for determinism), keeping the cumulative 381/381 coverage
 #      fresh instead of letting the oldest tail go stale.
-# Slots 51-90 stage the NEXT-oldest tail so the next rotation is mechanical.
+# Slots 51+ stage the NEXT-oldest tail so the next rotation is mechanical.
 #
 # Round-9 window: slots 1-19 are the changed-since-verdict set -- the six
 # keys rewritten by the r08 sf1 scale fixes (q5_nation_revenue,
@@ -155,7 +155,7 @@ _PRIORITY = [
     "limit_offset",
     "project_expr",
     "scan_full",
-    # ===== slots 51-90: staged next-oldest for the r10 rotation =====
+    # ===== slots 51-91: staged next-oldest (41 keys) for the r10 rotation =====
     "scan_project",
     "scan_range_key",
     "sort_multi",

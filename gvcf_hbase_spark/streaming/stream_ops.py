@@ -57,15 +57,20 @@ def _events_stream_dir(sf_dir: str) -> str:
             import duckdb
 
             con = duckdb.connect()
-            n = con.execute(
-                f"SELECT count(*) FROM read_parquet('{sf_dir}/events.parquet')"
-            ).fetchone()[0]
+            # sort ONCE into a row-numbered temp table; each chunk is then
+            # a cheap rn-range filter instead of its own full-table sort
+            con.execute(
+                "CREATE TEMP TABLE ev AS "
+                "SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, * "
+                f"FROM read_parquet('{sf_dir}/events.parquet')"
+            )
+            n = con.execute("SELECT count(*) FROM ev").fetchone()[0]
             per = (n + split - 1) // split
             now = None
             for i in range(split):
                 con.execute(
-                    f"COPY (SELECT * FROM read_parquet('{sf_dir}/events.parquet') "
-                    f"ORDER BY ts, event_id LIMIT {per} OFFSET {i * per}) "
+                    f"COPY (SELECT * EXCLUDE (rn) FROM ev "
+                    f"WHERE rn > {i * per} AND rn <= {(i + 1) * per} ORDER BY rn) "
                     f"TO '{d}/chunk_{i:03d}.parquet' (FORMAT PARQUET)"
                 )
                 # strictly increasing mtimes pin the FileStreamSource
@@ -116,7 +121,7 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> Data
     q.awaitTermination()
     global last_batch_count
     try:
-        last_batch_count = sum(1 for p in q.recentProgress if p.get("numInputRows", 0) >= 0)
+        last_batch_count = sum(1 for p in q.recentProgress if p.get("numInputRows", 0) > 0)
     except Exception:
         last_batch_count = 0
     spark = stream_df.sparkSession

@@ -132,7 +132,11 @@ def gate(old: dict, new: dict) -> tuple[list[str], list[str]]:
 def newest_ledgers(repo_root: str) -> tuple[str, str]:
     """The two newest committed PLANS_r{N}.json by round number."""
     paths = glob.glob(os.path.join(repo_root, "PLANS_r*.json"))
-    by_round = sorted(paths, key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    # match on the basename only — a directory component like ".../r2/..."
+    # must not win the round-number extraction
+    by_round = sorted(
+        paths, key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+    )
     if len(by_round) < 2:
         raise SystemExit("need at least two committed PLANS_r*.json to gate")
     return by_round[-2], by_round[-1]

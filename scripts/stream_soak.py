@@ -50,12 +50,15 @@ def main() -> int:
     results: dict[str, str] = {}
     for key in ORACLED_STREAM_KEYS + ROWS_ONLY_STREAM_KEYS:
         t0 = time.perf_counter()
-        p = subprocess.run(
-            [sys.executable, os.path.join(HERE, "check_key.py"), key, sf_dir],
-            capture_output=True, text=True, env=env, timeout=900,
-        )
-        line = (p.stdout.strip().splitlines() or ["<no output>"])[-1]
-        results[key] = f"{line.split(': ', 1)[-1]} ({time.perf_counter() - t0:.1f}s)"
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(HERE, "check_key.py"), key, sf_dir],
+                capture_output=True, text=True, env=env, timeout=900,
+            )
+            line = (p.stdout.strip().splitlines() or ["<no output>"])[-1]
+            results[key] = f"{line.split(': ', 1)[-1]} ({time.perf_counter() - t0:.1f}s)"
+        except subprocess.TimeoutExpired:
+            results[key] = f"TIMEOUT >900s ({time.perf_counter() - t0:.1f}s)"
         print(json.dumps({key: results[key]}), flush=True)
     fails = {
         k: v
