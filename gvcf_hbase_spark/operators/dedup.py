@@ -757,26 +757,13 @@ def _register_simhash_recall() -> None:
         pred = simhash_banded_pairs(
             simhash_signatures(d), _RECALL_MAX_HAMMING
         ).select("id_a", "id_b")
-        nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
-        npred = pred.agg(F.count("*").cast("bigint").alias("n_pred"))
-        nh = truth.join(pred, ["id_a", "id_b"], "left_semi").agg(
-            F.count("*").cast("bigint").alias("n_hit")
-        )
-        return (
-            nh.crossJoin(F.broadcast(nt))
-            .crossJoin(F.broadcast(npred))
-            .select(
-                "n_truth",
-                "n_pred",
-                "n_hit",
-                F.floor(F.col("n_hit") * 1_000_000 / F.nullif(F.col("n_truth"), F.lit(0)))
-                .cast("bigint")
-                .alias("recall_1e6"),
-                F.floor(F.col("n_hit") * 1_000_000 / F.nullif(F.col("n_pred"), F.lit(0)))
-                .cast("bigint")
-                .alias("precision_1e6"),
-            )
-        )
+        # shared 1-row confusion reduce (r09): identical arithmetic to the
+        # hand-rolled block this replaces, plus the helper's one-compute
+        # boundary per side — truth here is the FULL near-minhash pipeline,
+        # which the old inline reduce evaluated twice.
+        from gvcf_hbase_spark.operators.similarity import _confusion_row
+
+        return _confusion_row(truth, pred, ["id_a", "id_b"])
 
 
 _register_simhash_recall()
@@ -1084,8 +1071,13 @@ def _register_minhash_incremental() -> None:
         lossy. Production keeps the xxhash64 signature path for ingest
         (2× cheaper); the screen's dataflow is identical either way."""
         d = load_table(spark, sf_dir, "documents")
-        # one shingle materialization serves signatures AND the verify joins
-        sets_df = _shingle_sets(d).persist()
+        # One shingle materialization serves signatures AND both verify
+        # sides. Lazy localCheckpoint (r09) instead of the r08
+        # persist + eager-result-checkpoint + unpersist dance: the RDD
+        # blocks release with the DataFrame (no session-lifetime pinning,
+        # the ADVICE concern), nothing executes at build time, and the
+        # bench clocks the real screen per run instead of a checkpoint scan.
+        sets_df = _shingle_sets(d).localCheckpoint(eager=False)
         sigs = minhash_signatures_portable(sets_df)
         # batch×history restriction: the helper's id_a < id_b self-join
         # plus one pushable filter per side (hist ids < 400 < batch ids,
@@ -1104,19 +1096,12 @@ def _register_minhash_incremental() -> None:
             F.size("sh_n") + F.size("sh_h") - F.size(F.array_intersect("sh_n", "sh_h"))
         )
         jac = inter / union
-        out = (
+        return (
             cands.join(n, "new_id")
             .join(h, "hist_id")
             .filter(jac >= _JACCARD_THRESHOLD)
             .select("new_id", "hist_id", F.round(jac, 6).alias("jaccard"))
         )
-        # Hit set is small (screened candidates); materialize eagerly so the
-        # persisted shingle relation can be released here instead of pinning
-        # executor storage for the rest of a multi-key session (same ADVICE
-        # r08 lifetime rule the band sweep follows).
-        out = out.localCheckpoint(eager=True)
-        sets_df.unpersist()
-        return out
 
 
 _register_minhash_incremental()

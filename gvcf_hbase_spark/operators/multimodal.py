@@ -508,9 +508,16 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just overlap. Signature computation is one Arrow-batched
     mapInPandas pass; everything after runs on 5-int rows."""
     d = load_table(spark, sf_dir, "documents")
+    # One lazy checkpoint: the signature pass is consumed FOUR times (both
+    # sides of the band join + both sides of the hamming verify), and the
+    # verify sides ride broadcast exchanges that AQE's exchange reuse does
+    # not collapse with the band join's shuffle — unboundaried, the Arrow
+    # pass re-read and re-hashed every payload up to 4x (r09 measured
+    # 1.1-1.7 s -> 0.3 s at sf0.1). The checkpointed relation is 5 ints per
+    # doc; payload bytes still never shuffle.
     sigs = phash_signatures(
         d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    )
+    ).localCheckpoint(eager=False)
     bands = sigs.select(
         "doc_id",
         F.explode(

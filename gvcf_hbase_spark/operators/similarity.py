@@ -1575,7 +1575,20 @@ def _confusion_row(truth: DataFrame, pred: DataFrame, keys: list[str]) -> DataFr
     """One-row recall/precision report: three scalar aggregates reduced
     independently and cross-joined as 1-row broadcasts (the same
     1-row-cross pattern as dedup_simhash_recall — never a driver
-    collect), ratios integer-quantized so no float reaches the hash."""
+    collect), ratios integer-quantized so no float reaches the hash.
+
+    Each side is consumed TWICE (its own count + the hit semi-join), and
+    both sides are typically the expensive halves of a gauge (an SSJoin
+    truth, an exact-KNN pass) — without a boundary here the optimizer
+    plans each subtree twice and broadcast subtrees dodge AQE exchange
+    reuse, so every gauge paid ~2x its real cost (r09 measured:
+    dedup_minhash_recall 2.7 s -> 0.7 s at sf0.1). The pair sets are
+    id-pair rows — tiny relative to what produced them — so one lazy
+    localCheckpoint per side bounds the extra storage while cutting the
+    recompute; a side that is already checkpointed (nprobe sweep) just
+    re-scans its RDD."""
+    truth = truth.localCheckpoint(eager=False)
+    pred = pred.localCheckpoint(eager=False)
     nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
     npred = pred.agg(F.count("*").cast("bigint").alias("n_pred"))
     nh = truth.join(pred, keys, "left_semi").agg(

@@ -1356,31 +1356,19 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (spark.sql.cteRecursionRowLimit, default 1e6). The walk emits one
     # row per (node, ancestor-step), so total rows ≈ Σ depth(node) —
     # ~150k nodes × ~20 levels already exceeds the default at the sf1
-    # gate (r08). Raise the guard to a bound sized for the fixture
-    # decades (1e8); the LEVEL limit (default 100) stays — depth grows
-    # as log2(keys), so levels are never the binding constraint here.
-    # The raised guard is scoped: execute the recursion eagerly under it
-    # (lineage-truncating localCheckpoint), then restore the prior value in
-    # a finally so later operators in a shared session do NOT inherit the
-    # 100x-relaxed runaway-recursion guard (ADVICE r08). The result set is
-    # small (one row per (node, ancestor-step)), so eager materialization
-    # costs what the driver's collect would have anyway.
-    try:
-        prev = spark.conf.get("spark.sql.cteRecursionRowLimit")
-    except Exception:
-        prev = None
-    spark.conf.set("spark.sql.cteRecursionRowLimit", 100_000_000)
-    try:
-        load_table(spark, sf_dir, "customer").createOrReplaceTempView(
-            "v_customer_rcte"
-        )
-        df = spark.sql(_RECURSIVE_CTE_BODY.format(customer="v_customer_rcte"))
-        return df.localCheckpoint(eager=True)
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.cteRecursionRowLimit")
-        else:
-            spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
+    # gate (r08). The engine-wide guard is raised to 1e8 in
+    # session.RUNTIME_CONFS (r09) — a declared, uniform posture sized for
+    # the fixture decades, applied to the driver-harness session by
+    # load_table's apply_runtime_confs — which retires the r08-ADVICE
+    # scoped-mutation + eager-localCheckpoint workaround: the recursion now
+    # executes lazily at action time like every other declared query, so
+    # the bench clocks the real recursive computation. The LEVEL limit
+    # (default 100) stays — depth grows as log2(keys), so levels are never
+    # the binding constraint here.
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_customer_rcte"
+    )
+    return spark.sql(_RECURSIVE_CTE_BODY.format(customer="v_customer_rcte"))
 
 
 _SQL_UDF_ORACLE = """

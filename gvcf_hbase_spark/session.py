@@ -33,6 +33,15 @@ RUNTIME_CONFS: dict[str, str] = {
     # events/documents/embeddings are small dims at every SF; lineitem at
     # 100 TB shuffles on 32-ish partitions locally, cluster-sized via AQE.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Recursive-CTE runaway guard, sized for this engine's data decades
+    # rather than Spark's 1e6 default: sql_recursive_cte's ancestor walk
+    # emits Σ depth(node) ≈ n·log2(n) rows (~3M at sf1, ~32M at sf10), so
+    # 1e8 still trips on a genuinely runaway recursion while letting every
+    # fixture decade run. Declared HERE as engine posture (r09) instead of
+    # a mid-query conf mutation + eager-materialization workaround (the
+    # r08-ADVICE shape), so the limit is uniform for every operator and
+    # the recursion itself executes lazily on the query's own clock.
+    "spark.sql.cteRecursionRowLimit": "100000000",
 }
 
 

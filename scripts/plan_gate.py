@@ -39,9 +39,11 @@ import sys
 ALLOWED_CHANGES: dict[str, str] = {
     # r08 -> r09 intentional changes:
     "sql_recursive_cte": (
-        "r09: recursion now executes eagerly under a scoped "
-        "cteRecursionRowLimit raise and returns a localCheckpoint scan "
-        "(ADVICE r08 — conf no longer leaks to the shared session)"
+        "r09 (optimization round): the raised cteRecursionRowLimit moved "
+        "from a scoped mid-query mutation + eager-checkpoint workaround to "
+        "a declared session.RUNTIME_CONFS posture, so the recursion is lazy "
+        "again and the bench clocks it; digest regains the UnionLoop "
+        "exchange (xh 0->1) the eager checkpoint had hidden"
     ),
     "dedup_minhash_band_sweep": (
         "r09: grid materialized via localCheckpoint so the three persisted "
@@ -50,12 +52,18 @@ ALLOWED_CHANGES: dict[str, str] = {
     "dedup_minhash_incremental": (
         "r09: switched to portable md5-prefix signatures + raw band-value "
         "joins so the DuckDB oracle reproduces the banding deterministically "
-        "(r08 verdict action 4)"
+        "(r08 verdict action 4); optimization round then replaced the "
+        "persist + eager-result-checkpoint + unpersist dance with one lazy "
+        "shingle localCheckpoint — the screen executes on the query clock "
+        "again, so the digest regains its real exchanges (xh 0->2, bc 0->3)"
     ),
     "dedup_minhash_recall": (
         "r09: the r08 ledger carried an InMemoryRelation boundary from the "
         "band sweep's persist leaking into the digest session; the sweep now "
-        "unpersists, so recall's digest reverts to its true plan"
+        "unpersists, so recall's digest reverts to its true plan; "
+        "optimization round then added the _confusion_row one-compute "
+        "boundary (truth/pred localCheckpoint) — the doubled truth/pred "
+        "subtrees leave the digest (xh 8->2, bc 6->2)"
     ),
     "win_interval_merge": (
         "r08 fix surfacing: PLANS_r08.json was generated BEFORE commit "
@@ -86,7 +94,39 @@ ALLOWED_CHANGES: dict[str, str] = {
     ),
     "sim_ann_ivf_recall": (
         "r09: rides knn_topk_ivf's rewrite (one broadcast fewer on the "
-        "pred side)"
+        "pred side); optimization round adds the _confusion_row one-compute "
+        "boundary — exact-KNN truth and IVF pred each plan once instead of "
+        "twice (py 8->0 in the digest: both sides now sit behind their "
+        "checkpoint, the Arrow stages still run inside it)"
+    ),
+    # r09 optimization round — one-compute boundaries (each key's duplicated
+    # expensive subtree now materializes once behind a lazy localCheckpoint;
+    # oracle-verified MATCH at sf0.001/sf0.01, headline keys also at sf0.1):
+    "dedup_simhash_recall": (
+        "r09 optimization: inline confusion reduce replaced by the shared "
+        "_confusion_row helper — the near-minhash truth pipeline plans once "
+        "instead of twice (xh 10->2, bc 10->2)"
+    ),
+    "multimodal_phash_neardup": (
+        "r09 optimization: signature mapInPandas consumed 4x (band join + "
+        "both hamming-verify sides) now computes once behind a lazy "
+        "checkpoint (py 4->0 in the digest; the Arrow pass runs inside the "
+        "checkpointed RDD); bench 1.19 -> 0.46 s at sf0.1"
+    ),
+    "sim_pq_recall": (
+        "r09 optimization: _confusion_row one-compute boundary — the exact "
+        "L2 scoring pass and the ADC pred each plan once instead of twice "
+        "(py 6->0 in the digest, stages run inside the checkpoint)"
+    ),
+    "sim_ivf_nprobe_sweep": (
+        "r09 optimization: _confusion_row checkpoints per grid point — the "
+        "rank-masked pred windows plan once instead of twice per nprobe "
+        "(xh 16->8, sort 24->8)"
+    ),
+    "gvcf_relatedness_ibs": (
+        "r09 optimization: the thinned dosage grid materializes once behind "
+        "a lazy checkpoint instead of re-running grid+thin on both pair "
+        "sides (xh 3->1, bc 3->1); bench 1.45 -> 0.75 s at sf0.1"
     ),
 }
 

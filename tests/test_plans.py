@@ -939,3 +939,70 @@ def test_committed_plan_ledgers_pass_the_gate():
     old_path, new_path = pg.newest_ledgers(root)
     fails, _ = pg.gate(pg._load(old_path), pg._load(new_path))
     assert not fails, f"{old_path} -> {new_path}:\n" + "\n".join(fails)
+
+
+# ---------------------------------------------------------------------------
+# r09 optimization round: one-compute boundaries. Each of these operators
+# consumed an expensive subtree (an Arrow signature pass, an SSJoin truth
+# side, the synthesized dosage grid) from MULTIPLE downstream branches, and
+# the optimizer planned the subtree once per consumer — broadcast-fed
+# consumers cannot ride AQE exchange reuse, so the work really ran 2-4x.
+# A lazy localCheckpoint materializes each such relation exactly once; these
+# tests pin the boundary so a refactor can't silently reintroduce the
+# recompute. (Results are unchanged — the oracle gate covers that.)
+# ---------------------------------------------------------------------------
+
+
+def test_phash_signature_pass_computes_once(spark):
+    """All four consumers of the phash signature table must read ONE
+    checkpointed relation; no MapInPandas may survive in the outer plan
+    (it runs once, inside the checkpoint's lineage)."""
+    plan = explain_str(SPECS["multimodal_phash_neardup"].fn(spark, SF_DIR))
+    assert "MapInPandas" not in plan
+    assert plan.count("Scan ExistingRDD") >= 4
+
+
+def test_confusion_gauges_compute_each_side_once(spark):
+    """_confusion_row consumes truth and pred twice each (count + hit
+    semi-join); both sides must sit behind a checkpoint boundary so the
+    SSJoin truth / near-minhash pipeline plans once, not twice."""
+    for key in ("dedup_minhash_recall", "dedup_simhash_recall"):
+        plan = explain_str(SPECS[key].fn(spark, SF_DIR))
+        # 2 reads of truth + 2 of pred, all from checkpoint scans
+        assert plan.count("Scan ExistingRDD") >= 4, key
+        # the shingle/SSJoin machinery must NOT be re-planned inline
+        assert "Scan parquet" not in plan, key
+
+
+def test_cohort_grid_computes_once(spark):
+    """The pair-join cohort ops must read the dosage grid from one
+    checkpointed relation on both sides instead of re-running the
+    synth+parse+expand subtree per side."""
+    for key in ("gvcf_relatedness_ibs", "gvcf_genotype_concordance"):
+        plan = explain_str(SPECS[key].fn(spark, SF_DIR))
+        assert plan.count("Scan ExistingRDD") >= 2, key
+        assert "Scan parquet" not in plan, key
+
+
+def test_recursive_cte_is_lazy_again(spark):
+    """r09: the raised cteRecursionRowLimit is engine posture
+    (session.RUNTIME_CONFS), not a scoped mutation — so the recursion must
+    appear in the action-time plan (UnionLoop), not be pre-materialized
+    into a checkpoint scan at build time."""
+    from gvcf_hbase_spark.session import RUNTIME_CONFS
+
+    assert int(RUNTIME_CONFS["spark.sql.cteRecursionRowLimit"]) >= 10**8
+    plan = explain_str(SPECS["sql_recursive_cte"].fn(spark, SF_DIR))
+    assert "UnionLoop" in plan
+    assert "Scan ExistingRDD" not in plan
+
+
+def test_minhash_incremental_is_lazy_with_one_shingle_pass(spark):
+    """r09: the screen returns a lazy plan (bench clocks the real work)
+    whose three shingle consumers read one checkpointed relation; the
+    r08 persist+eager-checkpoint+unpersist shape is retired."""
+    plan = explain_str(SPECS["dedup_minhash_incremental"].fn(spark, SF_DIR))
+    assert plan.count("Scan ExistingRDD") >= 3
+    assert "InMemoryRelation" not in plan
+    # lazy: the band join + verify run at action time, in THIS plan
+    assert "HashAggregate" in plan or "SortMergeJoin" in plan
