@@ -229,3 +229,42 @@ def test_two_phase_ntile_equals_native(spark):
         a = {r.id: (r.rk, r.t7, r.t5) for r in got.collect()}
         b = {r.id: (r.rk, r.t7, r.t5) for r in native.collect()}
         assert a == b
+
+
+def test_cdc_prefix_doubling_matches_unrolled_window_sum(gear):
+    """r09 optimization: the Gear hash switched from 64 shifted adds to
+    6 prefix-doubling passes (the window is 2^6 wide). Pin bit-equality
+    of the resulting chunking against the r08 unrolled reference across
+    every short length (the doubling's slice-boundary edge cases) and a
+    long payload."""
+    import hashlib
+
+    import numpy as np
+
+    from gvcf_hbase_spark.operators.multimodal import _CDC_SHIFT_W
+
+    def reference_chunks(payload: bytes) -> list[str]:
+        b = np.frombuffer(payload, dtype=np.uint8)
+        n = b.size
+        if n == 0:
+            return []
+        g = gear[b]
+        h = np.zeros(n, dtype=np.uint64)
+        for k in range(min(_CDC_SHIFT_W, n)):
+            h[k:] += g[: n - k] << np.uint64(k)
+        cand = np.flatnonzero((h >> np.uint64(64 - _CDC_MASK_BITS)) == 0)
+        out, start = [], 0
+        while start < n:
+            lo = start + _CDC_MIN - 1
+            hi = min(start + _CDC_MAX - 1, n - 1)
+            i = int(np.searchsorted(cand, lo))
+            e = int(cand[i]) if i < cand.size and cand[i] <= hi else hi
+            out.append(hashlib.md5(payload[start : e + 1]).hexdigest())
+            start = e + 1
+        return out
+
+    long = _payload(11, 4096)
+    assert cdc_chunk_hashes(long, gear) == reference_chunks(long)
+    for n in range(0, 2 * _CDC_SHIFT_W + 2):
+        p = _payload(n, n)
+        assert cdc_chunk_hashes(p, gear) == reference_chunks(p), n
