@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from gvcf_hbase_spark.functions.textfns import normalize_text
 from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.session import one_compute_boundary
 from gvcf_hbase_spark.sources.tables import load_table
 
 # 12 of 16 first-hex-char buckets => deterministic ~75/25 split.
@@ -822,7 +823,7 @@ def curate_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Both the frequency pass and the tagging join consume `grams`; one
     # lazy checkpoint materializes the explode once instead of twice
     # (same truncation discipline as dedup_near_minhash's persist).
-    grams = grams.localCheckpoint(eager=False)
+    grams = grams.transform(one_compute_boundary)
     dfreq = grams.groupBy("source", "gram").agg(
         F.count_distinct("doc_id").alias("docs_with")
     )
@@ -1551,7 +1552,7 @@ def curate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("i", "seg"),
-    ).localCheckpoint(eager=False)
+    ).transform(one_compute_boundary)
     freq = segs.groupBy(F.md5("seg").alias("fp")).agg(F.count("*").alias("occ"))
     kept = (
         segs.withColumn("fp", F.md5("seg"))
@@ -1568,7 +1569,14 @@ def curate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cleaned"),
         F.count("*").alias("n_kept"),
     )
-    spine = toks.select("doc_id", n_segs.alias("n_segs"))
+    # NULL-text contract (ADVICE r09): normalize/split of NULL text is NULL,
+    # so the explode emits nothing for such docs and the oracle's
+    # `JOIN n_all USING (doc_id)` drops them from the output entirely. The
+    # r09 spine rewrite (n_segs from the token array instead of the explode)
+    # would have emitted an (n_segs=NULL, cleaned='') row for them — the
+    # shipped fixtures carry no NULL text, so the oracle gate can't see the
+    # difference; this filter pins the dropped-row contract explicitly.
+    spine = toks.filter(F.col("l").isNotNull()).select("doc_id", n_segs.alias("n_segs"))
     return spine.join(rebuilt, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
@@ -1981,7 +1989,7 @@ def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
         )
         .filter(F.col("term") != "")
-        .localCheckpoint(eager=False)
+        .transform(one_compute_boundary)
     )
     total = tok.agg(F.count("*").alias("n_corpus"))
     lm = (
@@ -2121,7 +2129,7 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bnd = ref.groupBy("event_type").agg(
         F.percentile("x", pcts).alias("bnds"),
         F.count(F.lit(1)).cast("bigint").alias("n_ref"),
-    ).localCheckpoint(eager=False)
+    ).transform(one_compute_boundary)
     bucketed = (
         sliced.join(F.broadcast(bnd.select("event_type", "bnds")), "event_type")
         .select(
@@ -2138,7 +2146,7 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~F.col("is_cur"), 1).otherwise(0)).cast("bigint").alias("cr"),
             F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).cast("bigint").alias("cc"),
         )
-        .localCheckpoint(eager=False)
+        .transform(one_compute_boundary)
     )
     grid = bnd.select(
         "event_type",

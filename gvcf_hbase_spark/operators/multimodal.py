@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from gvcf_hbase_spark.functions.vectors import as_double, norm
 from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.session import one_compute_boundary
 from gvcf_hbase_spark.sources.tables import load_table
 
 
@@ -517,7 +518,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc; payload bytes still never shuffle.
     sigs = phash_signatures(
         d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    ).localCheckpoint(eager=False)
+    ).transform(one_compute_boundary)
     bands = sigs.select(
         "doc_id",
         F.explode(

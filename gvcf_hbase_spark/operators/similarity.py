@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from gvcf_hbase_spark.functions.vectors import as_double, corpus_broadcast
 from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.session import one_compute_boundary
 from gvcf_hbase_spark.sources.tables import load_table, scan_size_bytes, spread
 
 _COS_PAIR_THRESHOLD = 0.4
@@ -1587,8 +1588,8 @@ def _confusion_row(truth: DataFrame, pred: DataFrame, keys: list[str]) -> DataFr
     localCheckpoint per side bounds the extra storage while cutting the
     recompute; a side that is already checkpointed (nprobe sweep) just
     re-scans its RDD."""
-    truth = truth.localCheckpoint(eager=False)
-    pred = pred.localCheckpoint(eager=False)
+    truth = truth.transform(one_compute_boundary)
+    pred = pred.transform(one_compute_boundary)
     nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
     npred = pred.agg(F.count("*").cast("bigint").alias("n_pred"))
     nh = truth.join(pred, keys, "left_semi").agg(
@@ -1722,12 +1723,12 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         # provably outside that mask's top-k); cos_sim is pair-determined
         .groupBy("vec_id", "neighbor_id")
         .agg(F.min("prank").alias("prank"), F.max("cos_sim").alias("cos_sim"))
-        .localCheckpoint(eager=False)  # consumed once per grid point
+        .transform(one_compute_boundary)  # consumed once per grid point
     )
     truth = (
         sim_knn_topk(spark, sf_dir)
         .select("vec_id", "neighbor_id")
-        .localCheckpoint(eager=False)
+        .transform(one_compute_boundary)
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

@@ -21,7 +21,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 
 # Configs that are safe (and required) to apply to an externally provided
 # session at runtime — all of these are runtime-settable SQLConfs.
@@ -45,12 +46,65 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+# --- one-compute boundaries: fault-tolerance posture (r10) -----------------
+#
+# Several operators materialize a shared subtree exactly once (an Arrow
+# signature pass, an SSJoin truth side, the synthesized dosage grid, the
+# segment explode) because their consumers feed BROADCAST exchanges /
+# scalar aggregates, which AQE's runtime exchange-reuse cannot dedupe
+# (it only reuses identical SHUFFLE exchanges). Locally the cheapest
+# boundary is `localCheckpoint(eager=False)` (guide §5): lineage is
+# truncated and blocks live unreplicated on executors. On a real cluster
+# that is a fault-tolerance trade — a lost executor (or a dynamic-
+# allocation scale-down) makes the job FAIL instead of recomputing,
+# which is why Spark's docs discourage localCheckpoint under dynamic
+# allocation. For the id-pair/signature boundaries the recompute-vs-
+# fragility trade is bounded and local is fine even on a cluster; for
+# the data-proportional boundaries (dosage grid, segment explode) a
+# cluster deployment should pick a recoverable posture instead:
+#
+#   SPARK_GRAFT_BOUNDARY=local     (default) localCheckpoint(eager=False)
+#   SPARK_GRAFT_BOUNDARY=disk      persist(StorageLevel.DISK_ONLY) — lineage
+#                                  kept, blocks recomputable after loss
+#   SPARK_GRAFT_BOUNDARY=reliable  checkpoint(eager=False) to the configured
+#                                  checkpoint dir (sparkContext.setCheckpointDir
+#                                  must be set by the deployer)
+#
+# The knob is declared HERE (not per-operator) so every boundary moves
+# together; the bench/driver default is `local`, which keeps plan-ledger
+# digests and bench methodology identical to r09.
+_BOUNDARY_ENV = "SPARK_GRAFT_BOUNDARY"
+
+
+def one_compute_boundary(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` exactly once for multiple plan consumers, with a
+    deployment-selectable fault-tolerance posture (see module comment).
+    Always lazy: nothing executes until the query's own action, so bench
+    clocks stay honest."""
+    posture = os.environ.get(_BOUNDARY_ENV, "local")
+    if posture == "disk":
+        return df.persist(StorageLevel.DISK_ONLY)
+    if posture == "reliable":
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
+# Confs that are engine *preference*, not engine *requirement*: applied to
+# an externally provided session only when the caller has not already set
+# them explicitly (ADVICE r09 — the relaxed recursion guard must not
+# override a user's own, possibly stricter, limit in a shared session).
+_SOFT_CONFS = {"spark.sql.cteRecursionRowLimit"}
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime confs to an existing session (e.g. the
     driver-harness session, which we don't construct). Best-effort: a conf
-    that became static in a future Spark just logs and is skipped."""
+    that became static in a future Spark just logs and is skipped. Soft
+    confs (see :data:`_SOFT_CONFS`) honor a pre-existing explicit value."""
     for k, v in RUNTIME_CONFS.items():
         try:
+            if k in _SOFT_CONFS and spark.conf.get(k, None) is not None:
+                continue  # explicitly set by the session owner — honor it
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - static conf on other versions
             pass

@@ -19,6 +19,8 @@ operators.gvcf.combine_positions (A9) and plans.layout (A5):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+
+from gvcf_hbase_spark.session import one_compute_boundary
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -1279,7 +1281,7 @@ def _register_popgen_queries() -> None:
         # the grid was computed twice per run (r09 measured 1.7 s -> 0.9 s
         # at sf0.1). At cluster scale this materialization IS the dosage
         # store a joint-calling pipeline keeps on disk anyway.
-        d = _dosage_positions(spark, sf_dir).localCheckpoint(eager=False)
+        d = _dosage_positions(spark, sf_dir).transform(one_compute_boundary)
         a = d.select("contig", "pos", F.col("sample_id").alias("sample_a"), F.col("alt_n").alias("da"))
         b = d.select("contig", "pos", F.col("sample_id").alias("sample_b"), F.col("alt_n").alias("db"))
         pairs = a.join(b, ["contig", "pos"]).filter(F.col("sample_a") < F.col("sample_b"))
@@ -1310,7 +1312,7 @@ def _register_popgen_queries() -> None:
         oracle."""
         # one grid materialization serves all three role slices (r09; the
         # three filtered sides otherwise each re-ran the synth+parse grid)
-        d = _dosage_positions(spark, sf_dir).localCheckpoint(eager=False)
+        d = _dosage_positions(spark, sf_dir).transform(one_compute_boundary)
         fa = d.filter(F.col("sample_id") == "s0").select("contig", "pos", F.col("alt_n").alias("fd"))
         mo = d.filter(F.col("sample_id") == "s1").select("contig", "pos", F.col("alt_n").alias("md"))
         ch = d.filter(F.col("sample_id") == "s2").select("contig", "pos", F.col("alt_n").alias("cd"))
@@ -1348,7 +1350,7 @@ def _register_popgen_queries() -> None:
         the trio fan-out is 1:1, never pairwise."""
         # same one-materialization-for-three-slices boundary as
         # gvcf_mendelian_violations (r09)
-        d = _dosage_positions(spark, sf_dir).localCheckpoint(eager=False)
+        d = _dosage_positions(spark, sf_dir).transform(one_compute_boundary)
         fa = d.filter(F.col("sample_id") == "s0").select("contig", "pos", F.col("alt_n").alias("fd"))
         mo = d.filter(F.col("sample_id") == "s1").select("contig", "pos", F.col("alt_n").alias("md"))
         ch = d.filter(F.col("sample_id") == "s2").select("contig", "pos", F.col("alt_n").alias("cd"))
@@ -1687,7 +1689,7 @@ def _register_cohort_queries() -> None:
         shuffle of the big side), then a per-sample rollup."""
         # one grid materialization serves the AC aggregate and the carrier
         # side of the join (r09; same boundary as the other cohort ops)
-        d = _dosage_grid(spark, sf_dir).localCheckpoint(eager=False)
+        d = _dosage_grid(spark, sf_dir).transform(one_compute_boundary)
         sites = d.groupBy("contig", "pos").agg(F.sum("alt_n").alias("ac"))
         carriers = d.filter(F.col("alt_n") >= 1)
         joined = carriers.join(sites, ["contig", "pos"])
@@ -1748,9 +1750,7 @@ def _register_cohort_queries() -> None:
         # gvcf_genotype_concordance; measured 2.3 s -> 2.0 s quiet and
         # 6.5 s -> 3.4 s loaded at sf0.1). The materialized relation is the
         # post-thinning site budget, the smallest relation in the query.
-        d = d.join(thinned, ["contig", "pos"], "leftsemi").localCheckpoint(
-            eager=False
-        )
+        d = d.join(thinned, ["contig", "pos"], "leftsemi").transform(one_compute_boundary)
         a = d.select("contig", "pos", F.col("sample_id").alias("sample_a"), F.col("alt_n").alias("da"))
         b = d.select("contig", "pos", F.col("sample_id").alias("sample_b"), F.col("alt_n").alias("db"))
         pairs = a.join(b, ["contig", "pos"]).filter(F.col("sample_a") < F.col("sample_b"))
