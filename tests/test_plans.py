@@ -8,6 +8,7 @@ import contextlib
 import io
 
 import pyspark.sql.functions as F
+import pytest
 
 from tests.conftest import SF_DIR
 from gvcf_hbase_spark.registry import load_all
@@ -55,6 +56,7 @@ def test_agg_is_partial_plus_final(spark):
     assert plan.count("HashAggregate") >= 2  # partial (map-side) + final
 
 
+@pytest.mark.mirror  # whole-registry plan sweep (r10: default-suite budget)
 def test_relational_paths_are_jvm_only(spark):
     """No Python evaluation nodes in any relational/join/window/setop/
     scalar-fn plan: the hot path must stay inside whole-stage codegen
@@ -102,6 +104,7 @@ def test_relational_paths_are_jvm_only(spark):
         )
 
 
+@pytest.mark.mirror  # whole-registry plan sweep (r10: default-suite budget)
 def test_no_cartesian_products_anywhere(spark):
     """Every join in the inventory must be equi/broadcast/range — a
     CartesianProduct OR BroadcastNestedLoopJoin at 100 TB is a bug
@@ -883,6 +886,7 @@ def test_partitionless_windows_ride_aggregates_only(spark):
         check(df._jdf.queryExecution().optimizedPlan(), key)
 
 
+@pytest.mark.mirror  # whole-registry plan sweep (r10: default-suite budget)
 def test_no_holistic_aggregate_rides_a_growing_frame(spark):
     """r07 (closes the r06 weak mark on win_percentile_running): a
     HOLISTIC window aggregate (percentile / collect_list / collect_set /

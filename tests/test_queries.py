@@ -15,8 +15,23 @@ from gvcf_hbase_spark.registry import load_all
 
 SPECS = load_all()
 
+# The default suite keeps a representative oracle smoke (the bench headline
+# set — one key per operator family); the full 382-key sweep runs under
+# `pytest -m mirror` (r10: the driver's default-suite budget could not fit
+# the whole sweep — see pytest.ini). scripts/driver_mirror.py remains the
+# standalone full-sweep equivalent and the round ledger records one run.
+import bench  # noqa: E402  (repo root is on sys.path via conftest)
 
-@pytest.mark.parametrize("key", sorted(SPECS))
+_SMOKE = set(bench.HEADLINE)
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        k if k in _SMOKE else pytest.param(k, marks=pytest.mark.mirror)
+        for k in sorted(SPECS)
+    ],
+)
 def test_query_vs_oracle(key, spark, oracle, compare):
     spec = SPECS[key]
     df = spec.fn(spark, SF_DIR)

@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pytest
 
 from tests.conftest import SF_DIR
 from gvcf_hbase_spark.registry import load_all
@@ -124,6 +125,7 @@ def test_pmi_closed_form(spark):
         pmi = math.log((r.n_pair / nb) / ((r.c1 / nu) * (r.c2 / nu)))
         assert abs(r.pmi_1e6 - math.floor(pmi * 1e6 + 0.5)) <= 1
 
+@pytest.mark.mirror  # slow e2e (r10: default-suite budget; runs in the -m mirror tier)
 def test_rp_projection_matches_numpy(spark):
     """Each of the 16 components is the exact signed int sum of the
     1e-6-quantized embedding — recomputed in numpy for 5 vectors."""

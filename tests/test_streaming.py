@@ -243,6 +243,7 @@ def test_stream_stream_join_equals_batch_theta(spark):
     _assert_same(batch, stream, "stream-stream join")
 
 
+@pytest.mark.mirror  # slow e2e (r10: default-suite budget; runs in the -m mirror tier)
 def test_checkpoint_restart_exactly_once(spark, tmp_path):
     """Restart-with-checkpoint contract: run the upsert sink over an
     initial file set, STOP, let new files arrive, restart from the SAME
@@ -414,6 +415,7 @@ def test_complete_mode_topk_across_micro_batches(spark, tmp_path):
 
 
 @pytest.mark.continuous_trigger
+@pytest.mark.mirror  # slow e2e (r10: default-suite budget; runs in the -m mirror tier)
 def test_processing_time_trigger_rocksdb_state_recovery(spark, tmp_path):
     """A REAL continuous run (r04 verdict action 6): processingTime
     trigger + RocksDB state store, started, stopped mid-stream, and
@@ -530,6 +532,7 @@ def test_processing_time_trigger_rocksdb_state_recovery(spark, tmp_path):
     assert not any(p.endswith(".delta") for p in arts), "HDFS provider leaked in"
 
 
+@pytest.mark.mirror  # slow e2e (r10: default-suite budget; runs in the -m mirror tier)
 def test_soak_multi_micro_batch_equals_single_drain(monkeypatch):
     """Rate-limited soak pin (r09): with the events table split into 4
     event-time-ordered chunk files and maxFilesPerTrigger=1, the
