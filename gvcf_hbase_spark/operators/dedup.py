@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from gvcf_hbase_spark.functions.textfns import normalize_text, shingles, stable_hash32, tokens
 from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.session import one_compute_boundary
 from gvcf_hbase_spark.sources.tables import load_table, spread
 
 # ---------------------------------------------------------------------------
@@ -427,11 +428,29 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
       on this host (candidate distinct + two verify joins shipping the
       bigram arrays + the rank window).
 
-    Dispatch: direct when Σdf² is small (≤ `_CONTAINMENT_DIRECT_CEILING`
+    - BITMAP path (r10): when the df≥2 vocabulary is BOUNDED (≤ 8k
+      grams), each doc's distinct-gram set packs into a v2-bit bitmap;
+      blocked (i ≤ j) block pairs — the same blocked-all-pairs harness
+      as `sim_cosine_pairs` — unpack to dense 0/1 float32 inside the
+      applyInPandas task and score |A∩B| with one BLAS sgemm (exact:
+      products are 0/1 and counts ≤ v2 « 2^24). No Σdf² pair rows ever
+      exist; the only shuffle replicates each ~v2/8-byte packed
+      signature ~√cells times. Exact: a df-1 gram can never be in an
+      intersection (it still counts toward sz, carried separately),
+      and the integer pre-filter 5c ≥ 4·sz is equivalent to the float
+      threshold for t = 0.8 = 4/5. Cost = n²/2 · v2/8 byte-units — n²
+      grows without bound, so a big corpus over a small vocabulary
+      still self-limits back to direct/prefix via the cost model.
+
+    Dispatch: bitmap when the vocabulary is bounded AND its byte-ops
+    undercut Σdf² pair rows by the measured `_CONTAINMENT_BITMAP_FACTOR`;
+    else direct when Σdf² is small (≤ `_CONTAINMENT_DIRECT_CEILING`
     — no probe beyond the df scalar needed); otherwise compute the
     exact prefix bound (linear pass) and take prefix only when it
     prunes ≥ `_CONTAINMENT_PREFIX_FACTOR`×; the probe is memoized per
-    dataset content. Measured calibration, BOTH regimes:
+    dataset content. Measured calibration (r09), direct-vs-prefix
+    regimes (the r10 bitmap path now takes the first of these — see
+    OPTIMIZATION_r10.md for its 26x measurement):
 
     - replicated sf1 fixture (931-bigram BOUNDED vocabulary — every
       token hot, the prefix filter's worst case): Σdf² = 7.3e9, prefix
@@ -465,33 +484,291 @@ _CONTAINMENT_DIRECT_CEILING = 200_000_000
 # direct pair row (one shuffled 16-byte tuple into a partial aggregate).
 _CONTAINMENT_PREFIX_FACTOR = 12
 
-# (sf_dir, documents fingerprint) -> (Σdf², prefix bound). The probe is a
-# data-dependent dispatch input and must run a real job; memoizing per
-# dataset content (same discipline as graph_pagerank's dangling probe)
-# keeps whole-inventory plan sweeps — which call this op's builder dozens
-# of times per session against the same fixtures — from re-paying it.
-_CONTAINMENT_PROBE_MEMO: dict[tuple, tuple[int, int]] = {}
+# Bitmap path (r10, guide §1.1 first-principles + §4.2 vectorized-native):
+# when the corpus-wide bigram vocabulary is BOUNDED (this engine's worst
+# direct-path regime — every gram hot, Σdf² enormous, prefix filter
+# useless), each doc's distinct-gram set packs into a v2-bit bitmap;
+# blocked (i ≤ j) block pairs unpack to dense 0/1 float32 inside the task
+# and |A∩B| is one BLAS sgemm (exact: products are 0/1, counts ≤ v2 «
+# 2^24) — no Σdf² pair-row shuffle at all; only the ~v2/8-byte packed
+# signatures move. Only grams with df ≥ 2 get a bit: a df-1 gram is in
+# exactly ONE doc, so it can never appear in an intersection (it still
+# counts toward sz, which is carried separately), keeping the bitmap at
+# the effective vocabulary width. (A uint8 popcount-lookup kernel was
+# measured first: 272 s at sf1 — memory-bound; the sgemm kernel replaced
+# it, see OPTIMIZATION_r10.md.)
+_CONTAINMENT_BITMAP_MAX_VOCAB = 8_192  # 1 KB/doc bitmap; 32 MB/4k-block dense
+# Cost-model constant: one shuffled Σdf² pair row through the partial
+# aggregate costs about as much as this many bitmap BYTE-ops (AND +
+# popcount-lookup + sum). Measured on this host (sf1 replicated fixture:
+# direct 7.3e9 rows ≈ 300 s vs bitmap 1.5e11 byte-ops ≈ 12 s ⇒ ~800 —
+# see OPTIMIZATION_r10.md); 64 is deliberately 10x conservative so the
+# bitmap path only engages where it wins decisively.
+_CONTAINMENT_BITMAP_FACTOR = 64
+_CONTAINMENT_BLOCK = 4_096  # docs per block: bounds per-task memory
+_CONTAINMENT_BITMAP_CHUNK_BYTES = 64 << 20  # per-chunk AND buffer bound
 
 
-def _containment_probe(spark, sf_dir, df_t, ranked) -> tuple[int, int]:
-    """Exact (Σdf² fanout, Σ prefix-posting df bound), memoized per
-    dataset content; a non-local path (no fingerprint) always re-probes —
-    correctness over warmth."""
+def _containment_bitmap_wins(fanout: int, n_docs: int, v2: int) -> bool:
+    """Dispatch rule for the bitmap path: vocabulary bounded AND the n²/2
+    popcount byte-ops undercut the Σdf² pair-row aggregate by the measured
+    constant factor. n² grows without bound, so a huge corpus with a small
+    vocabulary still falls back to direct/prefix — the model self-limits."""
+    if v2 <= 0 or v2 > _CONTAINMENT_BITMAP_MAX_VOCAB or n_docs <= 0:
+        return False
+    nb = (v2 + 7) // 8
+    byte_ops = (n_docs * n_docs // 2) * nb
+    return byte_ops < fanout * _CONTAINMENT_BITMAP_FACTOR
+
+
+# (sf_dir, documents fingerprint) -> (Σdf², prefix bound, n_docs, v2).
+# The probe is a data-dependent dispatch input and must run a real job;
+# memoizing per dataset content (same discipline as graph_pagerank's
+# dangling probe) keeps whole-inventory plan sweeps — which call this
+# op's builder dozens of times per session against the same fixtures —
+# from re-paying it.
+_CONTAINMENT_PROBE_MEMO: dict[tuple, tuple[int, int, int, int]] = {}
+
+# (sf_dir, fingerprint) -> sorted df≥2 vocabulary (bitmap bit order).
+# Bounded by _CONTAINMENT_BITMAP_MAX_VOCAB strings; same content-keyed
+# memo discipline as the probe (it is a dispatch-time build input, not a
+# query result — every timed action still computes from the parquet).
+_CONTAINMENT_VOCAB_MEMO: dict[tuple, list] = {}
+
+
+def _containment_probe(spark, sf_dir, docs, df_t, ranked) -> tuple[int, int, int, int]:
+    """Exact (Σdf² fanout, Σ prefix-posting df bound, n_docs, df≥2 vocab
+    size), memoized per dataset content; a non-local path (no fingerprint)
+    always re-probes — correctness over warmth. n_docs is only probed when
+    the vocabulary is bitmap-bounded, and the prefix bound only when the
+    bitmap path did not already win — each probe job is paid exactly when
+    its dispatch decision needs it."""
     from gvcf_hbase_spark.operators.graphs import _dataset_fingerprint
 
     fp = _dataset_fingerprint(sf_dir, "documents")
     key = (sf_dir, fp)
     if fp is None or key not in _CONTAINMENT_PROBE_MEMO:
-        fanout = df_t.agg(F.sum(F.col("df") * F.col("df"))).collect()[0][0] or 0
+        row = df_t.agg(
+            F.sum(F.col("df") * F.col("df")),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)),
+        ).collect()[0]
+        fanout, v2 = int(row[0] or 0), int(row[1] or 0)
+        n_docs = 0
+        if 0 < v2 <= _CONTAINMENT_BITMAP_MAX_VOCAB:
+            n_docs = docs.count()
         bound = 0
-        if fanout > _CONTAINMENT_DIRECT_CEILING:
+        if fanout > _CONTAINMENT_DIRECT_CEILING and not _containment_bitmap_wins(
+            fanout, n_docs, v2
+        ):
             # the bound pass (df join + rank window) is only needed when
-            # the fast-accept ceiling is exceeded
+            # the fast-accept ceiling is exceeded and bitmap didn't win
             bound = ranked.filter("in_prefix").agg(F.sum("df")).collect()[0][0] or 0
         if fp is None:
-            return int(fanout), int(bound)
-        _CONTAINMENT_PROBE_MEMO[key] = (int(fanout), int(bound))
+            return fanout, int(bound), n_docs, v2
+        _CONTAINMENT_PROBE_MEMO[key] = (fanout, int(bound), n_docs, v2)
     return _CONTAINMENT_PROBE_MEMO[key]
+
+
+# PID of the worker whose OpenBLAS has been pinned to 1 thread (guide
+# §4.5: heavyweight init once per process; worker reuse keeps it).
+_BLAS_PINNED_PID: int | None = None
+
+
+def _pin_blas_single_thread() -> None:
+    """Best-effort pin of the Python worker's OpenBLAS pool to 1 thread.
+    Every concurrent task spawning a full 32-thread BLAS pool
+    oversubscribes the host ~32x — measured on the containment sgemm
+    stage: whole-stage throughput equaled ONE saturated matmul (~40
+    GFLOPS) until pinned, after which 32 single-threaded sgemms (~20
+    GFLOPS each) run concurrently. Linux-only (/proc scan), silently a
+    no-op elsewhere; PID-guarded so a reused worker pays it once."""
+    global _BLAS_PINNED_PID
+    import os
+
+    if _BLAS_PINNED_PID == os.getpid():
+        return
+    try:
+        import ctypes
+        import re
+
+        with open("/proc/self/maps") as f:
+            text = f.read()
+        for path in set(re.findall(r"/\S+openblas\S*\.so\S*", text)):
+            lib = ctypes.CDLL(path)
+            for fname in ("openblas_set_num_threads", "openblas_set_num_threads64_"):
+                fn = getattr(lib, fname, None)
+                if fn is not None:
+                    fn(1)
+                    break
+    except Exception:  # pragma: no cover - platform-specific best effort
+        pass
+    _BLAS_PINNED_PID = os.getpid()
+
+
+def _containment_bitmap_verified(
+    spark, sf_dir, docs, df_t, n_docs: int
+) -> DataFrame:
+    """`verified`-shaped (id_a, id_b, c, sz_a, sz_b) candidate pairs via
+    the bitmap path. EXACT: c = Σ_bit bitA·bitB = |A∩B| because
+    every gram shared by ≥2 docs has a bit; the integer pre-filter
+    5c ≥ 4·sz is equivalent to the float c/sz ≥ 0.8 the shared fwd/rev
+    tail re-applies (t = 0.8 = 4/5 is exact in integers, and the double
+    division can't cross the 1/(5·sz) rational gap for any sz < 4e15),
+    so the emitted set is the same set the direct path's aggregate feeds
+    into that tail — only pairs that can never pass are withheld."""
+    import pandas as pd
+
+    from gvcf_hbase_spark.operators.graphs import _dataset_fingerprint
+
+    fp = _dataset_fingerprint(sf_dir, "documents")
+    vkey = (sf_dir, fp)
+    if fp is None or vkey not in _CONTAINMENT_VOCAB_MEMO:
+        vocab = sorted(
+            r[0] for r in df_t.filter(F.col("df") >= 2).select("tok").collect()
+        )
+        if fp is not None:
+            _CONTAINMENT_VOCAB_MEMO[vkey] = vocab
+    else:
+        vocab = _CONTAINMENT_VOCAB_MEMO[vkey]
+    nb = max((len(vocab) + 7) // 8, 1)
+    bc = spark.sparkContext.broadcast({tok: i for i, tok in enumerate(vocab)})
+
+    def pack(batches):
+        vv = bc.value
+        for pdf in batches:
+            bits = np.zeros((len(pdf), nb), dtype=np.uint8)
+            for r, toks in enumerate(pdf["toks"]):
+                for tk in toks:
+                    i = vv.get(tk)
+                    if i is not None:
+                        bits[r, i >> 3] |= 1 << (i & 7)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(dtype="int64"),
+                    "sz": pdf["sz"].to_numpy(dtype="int32"),
+                    "bits": [b.tobytes() for b in bits],
+                }
+            )
+
+    # One-compute boundary: the packed signatures feed BOTH grid sides
+    # (left and right replication joins), so without it the Arrow pack
+    # pass runs twice (guide §2.4 — same discipline as the phash
+    # signatures). ~(nb+12) bytes per doc, the smallest relation here.
+    packed = one_compute_boundary(
+        docs.select("doc_id", F.size("toks").alias("sz"), "toks").mapInPandas(
+            pack, "doc_id bigint, sz int, bits binary"
+        )
+    )
+
+    # Blocked (i ≤ j) block-pair grid — the _pairs_above_blocked pattern:
+    # per-task memory is bounded by the block size regardless of corpus
+    # size; each doc's ~nb-byte signature is shuffled ~b times.
+    b = max(1, -(-n_docs // _CONTAINMENT_BLOCK))
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(b) for j in range(i, b)], "bi int, bj int"
+    )
+    tagged = packed.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(b)).cast("int")
+    )
+    left = tagged.join(F.broadcast(grid), F.col("blk") == F.col("bi")).select(
+        "bi", "bj", F.lit("a").alias("side"), "doc_id", "sz", "bits"
+    )
+    right = (
+        tagged.join(
+            F.broadcast(grid.filter(F.col("bi") != F.col("bj"))),
+            F.col("blk") == F.col("bj"),
+        )
+        .select("bi", "bj", F.lit("b").alias("side"), "doc_id", "sz", "bits")
+    )
+    both = left.unionByName(right)
+
+    v2 = len(vocab)
+
+    def _empty():
+        return pd.DataFrame(
+            {
+                "id_a": np.array([], "int64"),
+                "id_b": np.array([], "int64"),
+                "c": np.array([], "int64"),
+                "sz_a": np.array([], "int32"),
+                "sz_b": np.array([], "int32"),
+            }
+        )
+
+    def _unpack(col):
+        """(rows, nb) packed bitmaps -> (rows, v2) dense 0/1 float32. The
+        shuffle moves the ~nb-byte PACKED form; the dense form exists only
+        inside the task so the intersection counts run through BLAS sgemm
+        — exact, since every product is 0/1 and every count ≤ v2 « 2^24
+        (float32 holds all integers below 2^24 exactly)."""
+        mat = np.stack([np.frombuffer(x, dtype=np.uint8) for x in col])
+        return np.unpackbits(mat, axis=1, bitorder="little")[:, :v2].astype(
+            np.float32
+        )
+
+    def cell(key, pdf):
+        _pin_blas_single_thread()
+        bi, bj = key
+        a = pdf[pdf["side"] == "a"]
+        if a.empty:
+            return _empty()
+        ids_a = a["doc_id"].to_numpy(dtype="int64")
+        sz_a = a["sz"].to_numpy(dtype="int64")
+        mat_a = _unpack(a["bits"])
+        if bi == bj:
+            ids_b, sz_b, mat_b = ids_a, sz_a, mat_a
+        else:
+            bb = pdf[pdf["side"] == "b"]
+            if bb.empty:
+                return _empty()
+            ids_b = bb["doc_id"].to_numpy(dtype="int64")
+            sz_b = bb["sz"].to_numpy(dtype="int64")
+            mat_b = _unpack(bb["bits"])
+        mat_bt = mat_b.T.copy()  # one contiguous transpose for every chunk
+        chunk = max(1, _CONTAINMENT_BITMAP_CHUNK_BYTES // max(len(ids_b) * 12, 1))
+        out = {"id_a": [], "id_b": [], "c": [], "sz_a": [], "sz_b": []}
+        for s0 in range(0, len(ids_a), chunk):
+            s1 = min(s0 + chunk, len(ids_a))
+            inter = (mat_a[s0:s1] @ mat_bt).astype(np.int64)
+            qual = (5 * inter >= 4 * sz_a[s0:s1, None]) | (
+                5 * inter >= 4 * sz_b[None, :]
+            )
+            if bi == bj:
+                # Diagonal group: upper triangle de-duplicates mirrored and
+                # self pairs; cross-block pairs exist in exactly ONE group
+                # and are oriented min/max below instead.
+                qual &= ids_a[s0:s1, None] < ids_b[None, :]
+            ii, jj = np.nonzero(qual)
+            if len(ii) == 0:
+                continue
+            ia, ib = ids_a[s0 + ii], ids_b[jj]
+            sa, sb = sz_a[s0 + ii], sz_b[jj]
+            swap = ia > ib
+            out["id_a"].append(np.where(swap, ib, ia))
+            out["id_b"].append(np.where(swap, ia, ib))
+            out["c"].append(inter[ii, jj])
+            out["sz_a"].append(np.where(swap, sb, sa).astype("int32"))
+            out["sz_b"].append(np.where(swap, sa, sb).astype("int32"))
+        if not out["id_a"]:
+            return _empty()
+        return pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
+    # Explicit cell-keyed repartition (guide §2.5-adjacent): the cell stage
+    # is CPU-heavy but byte-light (~nb bytes/doc), so AQE's advisory-size
+    # coalescing collapses its exchange to 1-2 tasks and the ~b²/2 sgemm
+    # cells run nearly serially (measured 29 s -> 9 s at sf1 when spread).
+    # A user-specified partition count is exempt from AQE coalescing and
+    # already satisfies the groupBy's clustering, so no extra exchange is
+    # planned. Scale-adaptive: one partition per cell up to 8x parallelism,
+    # beyond which tasks batch multiple cells (each cell's memory stays
+    # bounded by the block size either way).
+    n_cells = b * (b + 1) // 2
+    num = max(1, min(n_cells, spark.sparkContext.defaultParallelism * 8))
+    return (
+        both.repartition(num, "bi", "bj")
+        .groupBy("bi", "bj")
+        .applyInPandas(cell, "id_a bigint, id_b bigint, c bigint, sz_a int, sz_b int")
+    )
 
 
 def _containment_pairs(
@@ -507,7 +784,7 @@ def _containment_pairs(
         .select("doc_id", tokens(normalize_text(F.col("text"))).alias("words"))
         .select("doc_id", F.array_distinct(shingles(F.col("words"), k=2)).alias("toks"))
         .filter(F.size("toks") > 0)
-        .localCheckpoint(eager=False)
+        .transform(one_compute_boundary)
     )
     post = docs.select(
         "doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("tok")
@@ -533,10 +810,13 @@ def _containment_pairs(
         # generic length is sz - ceil(t*sz) + 1; only t=0.8 has the exact
         # integer form above.
         raise ValueError(f"prefix math specialized to t=0.8, got {t}")
+    n_docs_probed = 0
     if force_path is None:
-        probe = _containment_probe(spark, sf_dir, df_t, ranked)
-        fanout, bound = probe
-        if fanout <= _CONTAINMENT_DIRECT_CEILING:
+        probe = _containment_probe(spark, sf_dir, docs, df_t, ranked)
+        fanout, bound, n_docs_probed, v2 = probe
+        if _containment_bitmap_wins(fanout, n_docs_probed, v2):
+            path = "bitmap"
+        elif fanout <= _CONTAINMENT_DIRECT_CEILING:
             path = "direct"
         else:
             path = (
@@ -547,7 +827,19 @@ def _containment_pairs(
     else:
         path = force_path
 
-    if path == "direct":
+    if path == "bitmap":
+        if n_docs_probed <= 0:  # forced path (tests): probe the block count
+            n_docs_probed = docs.count()
+        # One-compute boundary on the candidate set: `verified` feeds BOTH
+        # the fwd and rev orientation branches below, and the expensive
+        # sgemm cell stage ends in a FlatMapGroupsInPandas — NOT an
+        # exchange, so AQE's runtime exchange-reuse cannot dedupe it the
+        # way it dedupes the direct path's duplicated aggregate subtree.
+        # The relation is the qualifying-pair set (tiny by construction).
+        verified = one_compute_boundary(
+            _containment_bitmap_verified(spark, sf_dir, docs, df_t, n_docs_probed)
+        )
+    elif path == "direct":
         a = post.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "tok")
         b = post.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "tok")
         verified = (
@@ -1077,7 +1369,7 @@ def _register_minhash_incremental() -> None:
         # blocks release with the DataFrame (no session-lifetime pinning,
         # the ADVICE concern), nothing executes at build time, and the
         # bench clocks the real screen per run instead of a checkpoint scan.
-        sets_df = _shingle_sets(d).localCheckpoint(eager=False)
+        sets_df = _shingle_sets(d).transform(one_compute_boundary)
         sigs = minhash_signatures_portable(sets_df)
         # batch×history restriction: the helper's id_a < id_b self-join
         # plus one pushable filter per side (hist ids < 400 < batch ids,

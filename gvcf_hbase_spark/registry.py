@@ -90,72 +90,33 @@ def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #      fresh instead of letting the oldest tail go stale.
 # Slots 51+ stage the NEXT-oldest tail so the next rotation is mechanical.
 #
-# Round-9 window: slots 1-19 are the changed-since-verdict set -- the six
-# keys rewritten by the r08 sf1 scale fixes (q5_nation_revenue,
-# graph_pagerank [rewritten again r09 as fixed-point], win_interval_merge,
-# ts_downsample_lttb, join_geo_grid, hierarchy_flatten_bounded), the r09
-# deterministic-banding oracle rewrite (dedup_minhash_incremental), the
-# rep-collapsed gauge/CC oracles (dedup_minhash_recall,
-# dedup_minhash_band_sweep, dedup_cluster_cc, dedup_cluster_cc_lss,
-# dedup_canonical_select), the stream_session oracle tiebreak, the scoped
-# recursion-limit rewrite (sql_recursive_cte), and the sf10-rehearsal ANN
-# fixes (sim_knn_ivf, sim_ann_ivf, sim_ann_lsh, sim_ann_ivf_recall,
-# sim_ivf_nprobe_sweep). Slots 20-50: oldest-verdict-first (latest=r01).
+# Round-10 window: slots 1-3 are this round's changed-since-verdict set
+# (dedup_containment [r10 bitmap/sgemm third path], graph_pagerank [r10
+# lean iterative round], curate_segment_dedup [r10 NULL-text spine
+# filter]); slots 4-13 are the r09-verdict gate caveat — the keys the r09
+# optimization touched that the rotated r09 sample missed, which the
+# verdict ordered sampled FIRST this round (multimodal_phash_neardup,
+# multimodal_cdc_chunk_dedup, profile_drift_psi, dedup_simhash_recall,
+# sim_pq_recall, and the five gvcf cohort ops; curate_segment_dedup of
+# that list is already in slot 3). Slots 14-50: the staged next-oldest
+# tail from the r09 rotation, in its staged order.
 _PRIORITY = [
-    # ===== round-9 window: slots 1-19 changed-since-verdict =====
-    "q5_nation_revenue",
+    # ===== round-10 window: slots 1-3 changed-since-verdict =====
+    "dedup_containment",
     "graph_pagerank",
-    "win_interval_merge",
-    "ts_downsample_lttb",
-    "join_geo_grid",
-    "hierarchy_flatten_bounded",
-    "dedup_minhash_incremental",
-    "dedup_minhash_recall",
-    "dedup_minhash_band_sweep",
-    "dedup_cluster_cc",
-    "dedup_cluster_cc_lss",
-    "dedup_canonical_select",
-    "stream_session",
-    "sql_recursive_cte",
-    "sim_knn_ivf",
-    "sim_ann_ivf",
-    "sim_ann_lsh",
-    "sim_ann_ivf_recall",
-    "sim_ivf_nprobe_sweep",
-    # ===== slot 20: never-driver-verified (r09 addition) =====
-    "sim_ann_hnsw",
-    # ===== slots 21-50: oldest-verdict-first (latest=r01) =====
-    "agg_approx_distinct",
-    "agg_arg_minmax",
-    "agg_conditional",
-    "agg_cube",
-    "agg_distinct",
-    "agg_global",
-    "agg_group",
-    "agg_grouping_sets",
-    "agg_hll_sketch_merge",
-    "agg_percentile",
-    "agg_pivot",
-    "agg_stats",
-    "distinct_rows",
-    "filter_conj",
-    "filter_variant_sites",
-    "join_anti",
-    "join_broadcast",
-    "join_cross",
-    "join_full",
-    "join_interval",
-    "join_left",
-    "join_null_safe",
-    "join_range_bucketed",
-    "join_right",
-    "join_semi",
-    "join_shuffle",
-    "join_skew_salted",
-    "limit_offset",
-    "project_expr",
-    "scan_full",
-    # ===== slots 51-91: staged next-oldest (41 keys) for the r10 rotation =====
+    "curate_segment_dedup",
+    # ===== slots 4-13: r09-optimizer-touched, missed by the r09 sample =====
+    "multimodal_phash_neardup",
+    "multimodal_cdc_chunk_dedup",
+    "profile_drift_psi",
+    "dedup_simhash_recall",
+    "sim_pq_recall",
+    "gvcf_genotype_concordance",
+    "gvcf_relatedness_ibs",
+    "gvcf_mendelian_violations",
+    "gvcf_phase_by_transmission",
+    "gvcf_singleton_share",
+    # ===== slots 14-50: staged next-oldest (r09 stage list, in order) =====
     "scan_project",
     "scan_range_key",
     "sort_multi",
@@ -198,10 +159,14 @@ _PRIORITY = [
     "stream_dedup",
     "stream_foreach_batch_upsert",
 ]
-# Keys NOT listed above (all with a driver verdict from r01-r07) are
-# appended by load_all() in module registration order after the window.
-# After the r08 rotation every key in the inventory has either a driver
-# verdict already or a slot inside the r08 50-key window.
+# Slots 51-54 stage the tail of the r09 stage list (sink_hive_partitioned,
+# source_gvcf_lines, stream_dedup, stream_foreach_batch_upsert land just
+# past the 50-key window; they lead the r11 rotation together with
+# whatever r11 changes). Keys NOT listed above (including the full
+# r09 window, which now carries the freshest verdicts) are appended by
+# load_all() in module registration order after the window. Every key in
+# the inventory has a driver verdict from some round; the rotation keeps
+# the oldest ones cycling through the 50-key sample.
 
 _loaded = False
 

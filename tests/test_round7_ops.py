@@ -229,16 +229,38 @@ def test_langid_confusion_exposes_unsupported_language(spark):
 
 @pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_DIR])
 def test_containment_paths_are_hash_identical(spark, sf_dir):
-    """dedup_containment is size-dispatched (direct postings self-join vs
-    prefix-filtered SSJoin); the dispatch must be INVISIBLE in the result.
-    Force each path on the same fixture and require identical row sets —
-    the lossless-prefix pigeonhole argument, executed."""
+    """dedup_containment is cost-dispatched (direct postings self-join vs
+    prefix-filtered SSJoin vs r10's bitmap-popcount blocked all-pairs);
+    the dispatch must be INVISIBLE in the result. Force each path on the
+    same fixture and require identical row sets — the lossless-prefix
+    pigeonhole argument and the df≥2-bitmap exactness argument, executed."""
     from gvcf_hbase_spark.operators.dedup import _containment_pairs
 
     direct = sorted(map(tuple, _containment_pairs(spark, sf_dir, 0.8, "direct").collect()))
     prefix = sorted(map(tuple, _containment_pairs(spark, sf_dir, 0.8, "prefix").collect()))
+    bitmap = sorted(map(tuple, _containment_pairs(spark, sf_dir, 0.8, "bitmap").collect()))
     assert direct == prefix
+    assert direct == bitmap
     assert len(direct) > 0
+
+
+def test_containment_bitmap_dispatch_model():
+    """The bitmap cost model: engages on bounded-vocabulary corpora where
+    n²/2 · v2/8 byte-ops undercut Σdf² pair rows by the measured factor;
+    self-limits on huge corpora (n² growth) and wide vocabularies."""
+    from gvcf_hbase_spark.operators.dedup import (
+        _CONTAINMENT_BITMAP_MAX_VOCAB,
+        _containment_bitmap_wins,
+    )
+
+    # sf1 replicated fixture shape: Σdf²=7.3e9, n=50k, v2=931 -> bitmap
+    assert _containment_bitmap_wins(7_320_096_000, 50_000, 931)
+    # same vocabulary but 100x the docs: n² self-limits -> falls back
+    assert not _containment_bitmap_wins(7_320_096_000 * 100, 5_000_000, 931)
+    # unbounded vocabulary -> never
+    assert not _containment_bitmap_wins(10**12, 50_000, _CONTAINMENT_BITMAP_MAX_VOCAB + 1)
+    # degenerate inputs
+    assert not _containment_bitmap_wins(0, 0, 0)
 
 
 def test_containment_prefix_filter_is_tight():

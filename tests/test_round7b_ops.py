@@ -367,12 +367,16 @@ def test_containment_dispatch_picks_prefix_on_boilerplate(spark, tmp_path, monke
     os.makedirs(p, exist_ok=True)
     pdf.to_parquet(f"{p}/documents.parquet")
 
-    # shrink the fast-accept ceiling so this small fixture escalates
+    # shrink the fast-accept ceiling so this small fixture escalates, and
+    # take the r10 bitmap tier out of the ladder (this corpus is small and
+    # bounded-vocabulary, so bitmap would legitimately win first — its own
+    # dispatch test covers that) to pin the prefix-vs-direct decision.
     monkeypatch.setattr(dd, "_CONTAINMENT_DIRECT_CEILING", 10_000)
+    monkeypatch.setattr(dd, "_CONTAINMENT_BITMAP_MAX_VOCAB", 0)
     dd._CONTAINMENT_PROBE_MEMO.clear()
     auto = sorted(map(tuple, dd._containment_pairs(spark, p, 0.8, None).collect()))
     (probe,) = dd._CONTAINMENT_PROBE_MEMO.values()
-    fanout, bound = probe
+    fanout, bound, _n_docs, _v2 = probe
     assert fanout > 10_000  # escalated
     assert bound * dd._CONTAINMENT_PREFIX_FACTOR < fanout  # prefix chosen
     direct = sorted(
@@ -383,3 +387,11 @@ def test_containment_dispatch_picks_prefix_on_boilerplate(spark, tmp_path, monke
     )
     assert auto == direct == prefix
     assert len(auto) > 0
+    # with the bitmap tier restored, the same corpus dispatches to bitmap
+    # (bounded vocabulary, tiny n) and the result is unchanged
+    monkeypatch.setattr(dd, "_CONTAINMENT_BITMAP_MAX_VOCAB", 65_536)
+    dd._CONTAINMENT_PROBE_MEMO.clear()
+    auto_bm = sorted(map(tuple, dd._containment_pairs(spark, p, 0.8, None).collect()))
+    (probe_bm,) = dd._CONTAINMENT_PROBE_MEMO.values()
+    assert dd._containment_bitmap_wins(probe_bm[0], probe_bm[2], probe_bm[3])
+    assert auto_bm == auto
