@@ -21,6 +21,7 @@ from gvcf_hbase_spark.functions.ranks import (
     attach_two_phase_ntile,
 )
 from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.session import one_compute_boundary
 from gvcf_hbase_spark.sources.tables import load_table
 
 _FUNNEL_ORACLE = """
@@ -70,12 +71,17 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", F.col("ts_us_long").alias("t")
     )
     users = ev.select("user_id").distinct()
-    v = (
+    # One-compute boundaries (r10, guide §2.4): v and c each feed the next
+    # step's filter join AND the final left-join cascade; the executed sf1
+    # plan ran 11 separate parquet scans with only 2 ReusedExchange, so
+    # each step aggregate materializes once (user-sized, ever-shrinking
+    # relations). Measured: 0.53 -> 0.35 s at sf1.
+    v = one_compute_boundary(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("t").alias("view_us"))
     )
-    c = (
+    c = one_compute_boundary(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("t") > F.col("view_us"))
@@ -1122,9 +1128,15 @@ def analytics_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     and user-count sides are vocabulary-sized broadcasts. Ratios are
     integer-quantized."""
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
-    n = ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
-    tc = (
+    # One-compute boundaries (r10, guide §2.4): the basket relation feeds
+    # the frequency table, the user count, and both pair-join sides; tc is
+    # consumed three times, all broadcast-fed (no AQE exchange reuse —
+    # measured only 5 ReusedExchange across 14 parquet scans at sf1).
+    # n_users now counts over the (already-distinct) basket relation
+    # instead of rescanning the raw log — provably the same value.
+    ut = one_compute_boundary(ev.select("user_id", "event_type").distinct())
+    n = ut.agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    tc = one_compute_boundary(
         ut.groupBy("event_type")
         .agg(F.count("*").cast("bigint").alias("n_t"))
         .crossJoin(F.broadcast(n))
@@ -1238,11 +1250,20 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("v") / 1000),  # per-$10 cent buckets, monotone in v
         {"cx_here": "cx", "cy_here": "cy"},
     ).select("v", "cx", "cy")
-    diffs = cum.crossJoin(F.broadcast(n)).select(
-        "v",
-        "nx",
-        "ny",
-        F.abs(F.col("cx") * F.col("ny") - F.col("cy") * F.col("nx")).alias("dnum"),
+    # One-compute boundary (r10, guide §2.4): diffs feeds the max
+    # aggregate, the argmax join, and the final projection — and mx/at
+    # are BROADCAST-fed, so consumers re-ran the support pipeline (events
+    # scan + two-phase cumsum); the executed sf1 plan showed only partial
+    # reuse (5 ReusedExchange, 13 separate parquet scans). The support
+    # relation is bounded by the value domain, the smallest relation
+    # here. Measured: 0.98 -> 0.24 s at sf1.
+    diffs = one_compute_boundary(
+        cum.crossJoin(F.broadcast(n)).select(
+            "v",
+            "nx",
+            "ny",
+            F.abs(F.col("cx") * F.col("ny") - F.col("cy") * F.col("nx")).alias("dnum"),
+        )
     )
     mx = diffs.agg(F.max("dnum").alias("max_dnum"))
     at = (
@@ -1318,12 +1339,14 @@ def funnel_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", F.col("ts_us_long").alias("t")
     )
     users = ev.select("user_id").distinct()
-    v = (
+    # One-compute boundaries (r10, guide §2.4): same shape as funnel_steps
+    # — v and c each feed the next step AND the final left-join cascade.
+    v = one_compute_boundary(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("t").alias("view_us"))
     )
-    c = (
+    c = one_compute_boundary(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(
@@ -1508,12 +1531,23 @@ def analytics_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts_us_long").alias("t"), "value"
     )
-    u = ev.groupBy("user_id").agg(
-        F.max("t").alias("last_t"),
-        F.count("*").alias("frequency"),
-        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
-        .cast("bigint")
-        .alias("monetary_cents"),
+    # One-compute boundary (r10, guide §2.4): u feeds the anchor aggregate,
+    # the base projection, and — through base — the three ntile branches'
+    # internal count/rank/offset sub-branches (~8 plan consumers). The r09
+    # audit assumed AQE ReuseExchange would dedupe them all at runtime;
+    # the executed sf1 plan shows reuse is PARTIAL (12 ReusedExchange but
+    # still 25 separate parquet scans and 43 distinct query stages — the
+    # branches' differing projections/filters don't canonicalize equal),
+    # so the per-user aggregate — the smallest relation in the query —
+    # materializes once instead. Measured: 1.91 -> 0.97 s at sf1.
+    u = one_compute_boundary(
+        ev.groupBy("user_id").agg(
+            F.max("t").alias("last_t"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
     )
     anchor = u.agg(F.max("last_t").alias("t_max"))
     base = u.crossJoin(F.broadcast(anchor)).select(
@@ -1526,9 +1560,9 @@ def analytics_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Three INDEPENDENT score branches off base, joined back on user_id —
     # chaining the ntiles instead would re-nest each stage's count/offset
-    # branches and blow the plan up combinatorially; as flat branches the
-    # per-user aggregate subtree is identical in all of them and Spark's
-    # ReuseExchange materializes it once.
+    # branches and blow the plan up combinatorially. (r10: the r09 belief
+    # that ReuseExchange would materialize the shared subtree once was
+    # measured FALSE — hence the u boundary above.)
     scored = base
     for out, metric, order, bucket in (
         (
@@ -1974,12 +2008,14 @@ def analytics_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.col("ts_us_long").alias("t")
     )
-    v = (
+    # One-compute boundaries (r10, guide §2.4): v and c each feed the next
+    # step AND a count branch (same shape as funnel_steps).
+    v = one_compute_boundary(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("t").alias("view_us"))
     )
-    c = (
+    c = one_compute_boundary(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(
@@ -2120,7 +2156,12 @@ def analytics_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     key) runs on broadcast-sized relations. At 100 TB exactly two fact
     exchanges, both on user_id."""
     ev = load_table(spark, sf_dir, "events")
-    conv = (
+    # One-compute boundaries (r10, guide §2.4): conv feeds the touch join
+    # AND the mask spine; v feeds BOTH broadcast sides of the coalition
+    # join — the executed sf1 plan showed just 1 ReusedExchange across 9
+    # parquet scans, i.e. the log pipeline effectively ran twice.
+    # Measured: 1.63 -> 0.45 s at sf1.
+    conv = one_compute_boundary(
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.min("ts_us_long").alias("cutoff"))
@@ -2159,8 +2200,10 @@ def analytics_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum("cnt").alias("v"))
     )
     dim = spark.createDataFrame([(s,) for s in range(8)], "smask int")
-    v = dim.join(sup, "smask", "left").select(
-        "smask", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v")
+    v = one_compute_boundary(
+        dim.join(sup, "smask", "left").select(
+            "smask", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v")
+        )
     )
     pairs = spark.createDataFrame(
         [

@@ -18,6 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.session import one_compute_boundary
 from gvcf_hbase_spark.sources.tables import load_table
 
 
@@ -33,7 +34,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     fan-out by arboricity) drops in here by replacing the u<v order with
     the degree order; the fixture graph has max degree 4, where the
     plain total order is already optimal."""
-    e = (
+    # One-compute boundary (r10, guide §2.4): the canonical edge relation
+    # feeds the two wedge sides AND the closing semi-join — three plan
+    # consumers of the dedup'd edge list (measured 15 parquet scans, only
+    # 3 ReusedExchange at sf1 before the boundary).
+    e = one_compute_boundary(
         edges.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
@@ -1141,7 +1146,10 @@ def _bridged_clique_graph(spark: SparkSession, sf_dir: str):
         .join(nxt, F.col("node") == F.col("prev_node"))
         .select(F.col("node").alias("u"), "v")
     )
-    e = intra.union(bridge)
+    # One-compute boundary (r10, guide §2.4): e feeds both directions of
+    # adj plus modularity's edge-count and intra-community joins — the
+    # clique self-join otherwise re-ran per consumer.
+    e = one_compute_boundary(intra.union(bridge))
     adj = (
         e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .union(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from gvcf_hbase_spark.functions.textfns import STOPWORDS, stable_hash32, tokens
 from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.session import one_compute_boundary
 from gvcf_hbase_spark.sources.tables import load_table
 
 
@@ -840,7 +841,11 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
     tokd = d.select(toks.alias("toks"))
-    unigrams = (
+    # One-compute boundaries (r10, guide §2.4): unigrams feeds the corpus
+    # total and BOTH broadcast join sides (u1/u2 — broadcast-fed, no AQE
+    # exchange reuse); bigrams feeds its total and the frequent filter.
+    # Both are Zipf-collapsed, keyed on the word domain — tiny.
+    unigrams = one_compute_boundary(
         tokd.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
@@ -850,7 +855,7 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.col("toks"), 1, F.size("toks") - 1),
         F.slice(F.col("toks"), 2, F.size("toks") - 1),
     )
-    bigrams = (
+    bigrams = one_compute_boundary(
         tokd.filter(F.size("toks") >= 2)
         .select(F.explode(pairs).alias("p"))
         .groupBy(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))

@@ -28,6 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from gvcf_hbase_spark.registry import register
+from gvcf_hbase_spark.session import one_compute_boundary
 from gvcf_hbase_spark.sources.tables import load_table
 
 _US_PER_HOUR = 3_600_000_000
@@ -727,8 +728,14 @@ def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     make both engines' interpolated medians identical doubles — same
     determinism argument as `anomaly_mad`."""
     decomp = ts_seasonal_decompose(spark, sf_dir)
-    r = decomp.filter(F.col("resid_1e2").isNotNull()).select(
-        "event_type", "hr", "resid_1e2"
+    # One-compute boundary (r10, guide §2.4): r feeds the median, the
+    # deviation join, and (through dev) the MAD and the final filter —
+    # without it the whole decompose pipeline re-ran per consumer
+    # (measured 6 ReusedExchange but 9 separate parquet scans at sf1).
+    r = one_compute_boundary(
+        decomp.filter(F.col("resid_1e2").isNotNull()).select(
+            "event_type", "hr", "resid_1e2"
+        )
     )
     med = r.groupBy("event_type").agg(
         F.percentile("resid_1e2", F.lit(0.5)).alias("med")
@@ -816,10 +823,15 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment promotes these sums to decimal(38,0) — the argmax and tie
     rules are unchanged by the wider type."""
     ev = load_table(spark, sf_dir, "events")
-    h = ev.groupBy(
-        "event_type",
-        (F.col("ts_us_long") / F.lit(3_600_000_000)).cast("bigint").alias("hr"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # One-compute boundary (r10, guide §2.4): h feeds the per-type stats,
+    # the denominator, the lag-exploded side, and the shifted join side —
+    # four consumers of the one full-data aggregate (#types x #hours rows).
+    h = one_compute_boundary(
+        ev.groupBy(
+            "event_type",
+            (F.col("ts_us_long") / F.lit(3_600_000_000)).cast("bigint").alias("hr"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
     st = h.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cnt").cast("bigint").alias("s"),
@@ -1031,11 +1043,15 @@ def ts_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     the error column stays in the same 1e2 fixed-point domain.
     """
     ev = load_table(spark, sf_dir, "events")
-    h = ev.groupBy(
-        "event_type",
-        (F.col("ts_us_long") / F.lit(86_400_000_000)).cast("bigint").alias("day"),
-        ((F.col("ts_us_long") / F.lit(3_600_000_000)).cast("bigint") % 24).alias("hod"),
-    ).agg(F.count("*").alias("cnt"))
+    # One-compute boundary (r10, guide §2.4): h feeds the max-day anchor,
+    # the train mean, and the holdout side (#types x #days x 24 rows).
+    h = one_compute_boundary(
+        ev.groupBy(
+            "event_type",
+            (F.col("ts_us_long") / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+            ((F.col("ts_us_long") / F.lit(3_600_000_000)).cast("bigint") % 24).alias("hod"),
+        ).agg(F.count("*").alias("cnt"))
+    )
     mx = h.agg(F.max("day").alias("last_day"))
     hh = h.crossJoin(F.broadcast(mx))
     train = (
@@ -1285,7 +1301,13 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     h = (F.col("ts_us_long") / 3_600_000_000).cast("bigint").alias("h")
     c = F.round(F.col("value") * 100, 0).cast("bigint")
-    hourly = (
+    # One-compute boundary (r10, guide §2.4): hourly feeds both series
+    # sides, and each side feeds all five lag joins — the full-data scan
+    # and aggregate were planned TEN times and the executed sf1 plan
+    # showed only partial reuse (8 ReusedExchange, 12 separate parquet
+    # scans). #hours × #series rows, the smallest relation in the query.
+    # Measured: 0.60 -> 0.19 s at sf1.
+    hourly = one_compute_boundary(
         ev.filter(F.col("event_type").isin("view", "purchase"))
         .select("event_type", h, c.alias("c"))
         .groupBy("event_type", "h")
