@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from gvcf_hbase_spark.functions.textfns import normalize_text
 from gvcf_hbase_spark.registry import register
 from gvcf_hbase_spark.session import one_compute_boundary
-from gvcf_hbase_spark.sources.tables import load_table
+from gvcf_hbase_spark.sources.tables import load_table, spread_heavy
 
 # 12 of 16 first-hex-char buckets => deterministic ~75/25 split.
 _TRAIN_BUCKETS = list("0123456789ab")
@@ -1531,7 +1531,11 @@ def curate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all drop survive as empty strings via the left join from the doc
     spine, so the output is total over the corpus."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    # spread (r10): the tokenize+slice+posexplode pipeline materializes at
+    # the segs boundary ON THE SCAN'S partitioning — one input split at
+    # fixture scale meant one core did all the segmentation (sf1 scaling
+    # read ~flat 8-vs-32). No-op at scale (many splits).
+    toks = spread_heavy(d).select(
         "doc_id", F.split(normalize_text(F.col("text")), " ").alias("l")
     )
     n_segs = F.ceil(F.size("l") / float(_SEG_W)).cast("long")

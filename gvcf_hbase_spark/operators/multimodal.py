@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from gvcf_hbase_spark.functions.vectors import as_double, norm
 from gvcf_hbase_spark.registry import register
 from gvcf_hbase_spark.session import one_compute_boundary
-from gvcf_hbase_spark.sources.tables import load_table, spread
+from gvcf_hbase_spark.sources.tables import load_table, spread_heavy
 
 
 def decode_media_stub(payload: bytes, media_type: str) -> bytes:
@@ -88,7 +88,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     and emit typed features. The oracle recomputes byte features in SQL —
     valid because the fixture text is ASCII (byte == char)."""
     d = load_table(spark, sf_dir, "documents")
-    with_payload = spread(d).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    with_payload = spread_heavy(d).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return extract_binary_features(with_payload)
 
 
@@ -174,7 +174,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The binary column itself is dropped from the comparison (hashes
     stand in for payload equality)."""
     d = load_table(spark, sf_dir, "documents")
-    with_payload = spread(d).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    with_payload = spread_heavy(d).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return resize_media(with_payload).select("doc_id", "orig_len", "resized_md5")
 
 
@@ -234,7 +234,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunking with substr arithmetic — exact because the fixture is ASCII
     (byte == char) and md5(utf8 bytes) is engine-portable."""
     d = load_table(spark, sf_dir, "documents")
-    with_payload = spread(d).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    with_payload = spread_heavy(d).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return sample_frames(with_payload)
 
 
@@ -280,7 +280,7 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     d = load_table(spark, sf_dir, "documents")
-    with_payload = spread(d).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    with_payload = spread_heavy(d).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -517,7 +517,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.1-1.7 s -> 0.3 s at sf0.1). The checkpointed relation is 5 ints per
     # doc; payload bytes still never shuffle.
     sigs = phash_signatures(
-        spread(d).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+        spread_heavy(d).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     ).transform(one_compute_boundary)
     bands = sigs.select(
         "doc_id",
@@ -579,7 +579,7 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes the payload source, not this plan.
     """
     d = load_table(spark, sf_dir, "documents")
-    wp = spread(d).select(F.encode("text", "UTF-8").alias("payload"))
+    wp = spread_heavy(d).select(F.encode("text", "UTF-8").alias("payload"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -651,7 +651,7 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     d = load_table(spark, sf_dir, "documents")
-    with_payload = spread(d).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    with_payload = spread_heavy(d).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
 
     def frame_sums(batches):
         for pdf in batches:
@@ -869,7 +869,7 @@ def multimodal_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressible in the oracle's SQL; determinism, shift-robustness, and
     report-invariant properties are pinned in tests instead."""
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    wp = spread(d).select("source", F.encode("text", "UTF-8").alias("payload"))
+    wp = spread_heavy(d).select("source", F.encode("text", "UTF-8").alias("payload"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gear = _gear_table()

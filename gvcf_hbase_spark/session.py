@@ -69,6 +69,11 @@ RUNTIME_CONFS: dict[str, str] = {
 #   SPARK_GRAFT_BOUNDARY=reliable  checkpoint(eager=False) to the configured
 #                                  checkpoint dir (sparkContext.setCheckpointDir
 #                                  must be set by the deployer)
+#   SPARK_GRAFT_BOUNDARY=none      pass-through (no materialization) — for
+#                                  structural-pin tests that must see the
+#                                  FULL plan a boundary would otherwise hide
+#                                  behind its RDD scan; never a production
+#                                  posture (the duplicated subtrees return)
 #
 # The knob is declared HERE (not per-operator) so every boundary moves
 # together; the bench/driver default is `local`, which keeps plan-ledger
@@ -86,6 +91,8 @@ def one_compute_boundary(df: DataFrame) -> DataFrame:
         return df.persist(StorageLevel.DISK_ONLY)
     if posture == "reliable":
         return df.checkpoint(eager=False)
+    if posture == "none":
+        return df
     return df.localCheckpoint(eager=False)
 
 

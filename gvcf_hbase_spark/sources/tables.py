@@ -102,6 +102,55 @@ def scan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
+def scan_raw_bytes(df: DataFrame) -> int | None:
+    """Total UNCOMPRESSED bytes of the DataFrame's parquet scan, from the
+    file footers (~ms, local paths only). Compressed file size is a bad
+    work proxy for clone-heavy corpora (the 10x-replicated sf1 fixture
+    compresses to 1.5x the sf0.1 file while carrying 10x the per-byte
+    compute), so work-gated dispatches read the raw size. None when the
+    source is not local parquet — callers treat None as "unknown, assume
+    large" so the scale-safe path is the default."""
+    from urllib.parse import urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            md = pq.ParquetFile(urlparse(f).path).metadata
+            for rg in range(md.num_row_groups):
+                total += md.row_group(rg).total_byte_size
+        return total
+    except Exception:
+        return None
+
+
+# Work floor for spread_heavy: the heaviest per-raw-byte pass in the
+# Arrow tier (the Gear CDC rolling hash) runs ~0.17 us/byte single-
+# threaded, so 8 MB is ~1.4 s of single-core work — the regime where
+# paying one extra round-robin exchange (+~0.1-0.3 s of stage overhead
+# at local scale) for a many-core win is clearly right. Below it the
+# overhead rivals the win: the r10 A/B measured spread-always costing
+# +0.1-0.33 s per key at sf0.1 (~1.5 MB raw) while saving 1.7-1.9 s per
+# key at sf1 (~15 MB raw). Both fixtures sit a comfortable factor from
+# the threshold on their correct sides.
+_SPREAD_HEAVY_MIN_RAW_BYTES = 8 << 20
+
+
+def spread_heavy(df: DataFrame) -> DataFrame:
+    """spread() gated on RAW scan bytes: fan an under-parallel scan out
+    ONLY when the single-split work is big enough to beat the extra
+    exchange (see _SPREAD_HEAVY_MIN_RAW_BYTES). Unknown size => spread
+    (scale-safe default; at scale spread() is itself a no-op)."""
+    raw = scan_raw_bytes(df)
+    if raw is not None and raw < _SPREAD_HEAVY_MIN_RAW_BYTES:
+        return df
+    return spread(df)
+
+
 def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     """Fan a table out across the cluster before compute-heavy per-row
     work — but ONLY when it actually arrives under-parallel.

@@ -420,15 +420,16 @@ def test_driver_window_prefix_is_the_planned_rotation():
     from gvcf_hbase_spark.registry import _PRIORITY
 
     assert keys[: len(_PRIORITY)] == _PRIORITY
-    # r09 rotation: slots 1-19 = the changed-since-verdict set (sf1 scale
-    # fixes, oracle rewrites, sf10 ANN fixes); slots 20-50 = the oldest
-    # (latest=r01) verdict tail
-    assert keys[0] == "q5_nation_revenue"
-    assert keys[18] == "sim_ivf_nprobe_sweep"
-    # slot 20: the round's one never-driver-verified addition (policy tier 2)
-    assert keys[19] == "sim_ann_hnsw"
-    assert keys[20] == "agg_approx_distinct"
-    assert keys[49] == "scan_full"
+    # r10 rotation: slots 1-3 = this round's changed-since-verdict set,
+    # slots 4-13 = the r09-optimizer-touched keys the r09 sample missed
+    # (verdict item 2 ordered these sampled FIRST), slots 14-50 = the
+    # staged oldest tail from the r09 rotation
+    assert keys[0] == "dedup_containment"
+    assert keys[2] == "curate_segment_dedup"
+    assert keys[3] == "multimodal_phash_neardup"
+    assert keys[12] == "gvcf_singleton_share"
+    assert keys[13] == "scan_project"
+    assert keys[49] == "sink_bulk_put"
     # new ops register AFTER the priority window, so later additions can
     # only grow the tail — the prefix pins above are the actual guard
     assert len(SPECS) >= 382
